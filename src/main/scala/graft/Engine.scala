@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table catalog for the graft engine.
+  *
+  * Scale posture: every knob here is chosen for a real multi-executor
+  * cluster and merely *tested* on local[32] — AQE handles runtime
+  * re-planning (skew joins, partition coalescing), shuffle partitions
+  * default to the local core count but are overridable, and parquet
+  * pushdown/pruning is left on so Catalyst can do its job.
+  */
+object Engine {
+
+  /** Build (or reuse) a session with graft defaults. */
+  def session(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.parquet.enableVectorizedReader", "true")
+      // events.parquet stores ts as TIMESTAMP(NANOS); Spark's reader
+      // needs this to map it (to LongType nanos) instead of erroring.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    b.getOrCreate()
+  }
+
+  /** The driver's synthetic star schema (TESTDATA.md). */
+  object tables {
+    val all: Seq[String] = Seq(
+      "region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+  }
+
+  /** Read one testdata table from an sf dir. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}
