@@ -1,0 +1,24 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One certified query: a Spark definition, an optional DuckDB oracle
+  * (ANSI SQL over the same parquet tables), and a headline flag for the
+  * benchmark set.
+  *
+  * Determinism contract (SURVEY §2B): every query ends in a total-order
+  * ORDER BY with explicit null ordering; float aggregates are computed on
+  * DECIMAL(38,6) so summation order can't change the result; timestamps
+  * are rendered as UTC strings; LIMIT only after a total order. Column
+  * names are aliased identically on both sides (the driver's comparator
+  * sorts columns by name before hashing).
+  */
+final case class QDef(
+    name: String,
+    spark: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+trait QGroup {
+  def defs: Seq[QDef]
+}

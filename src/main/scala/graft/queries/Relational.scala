@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Core relational surface: scans, projection/filter, joins, aggregates,
+  * windows, sort/limit (SURVEY §2B rows S*, P*, J*, A*, W*, O*).
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension joins (`part`, `supplier`, `nation`, `region`,
+  *    `customer` at small SF) are explicitly `broadcast()`; fact-fact
+  *    joins (orders⋈lineitem) are left to sort-merge + AQE.
+  *  - aggregates are hash aggregates with map-side partial aggregation —
+  *    free from `groupBy.agg`; no driver-side collection anywhere.
+  *  - all money arithmetic is cast to DECIMAL(38,6) *before* SUM so the
+  *    result is independent of partitioning/summation order — this is
+  *    what makes the oracle hash stable at any cluster size.
+  */
+object Relational extends QGroup {
+
+  private val dec = DecimalType(38, 6)
+
+  /** TPC-H Q1 shape — the flagship (SURVEY §7.1). */
+  def q1(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+          .as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).cast(dec)).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
+      |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
+      |  SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  def defs: Seq[QDef] = Seq(
+    QDef("a1_agg_q1", q1, Some(q1Sql), headline = true),
+
+    // S1: full scan incl. timestamp rendering — row/hash parity of the raw table.
+    QDef("s1_scan_lineitem",
+      (s, dir) =>
+        Tables(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
+          col("l_returnflag"), col("l_linestatus"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("l_shipdate_s"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        // total order requires every output column.
+        .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first,
+          col("l_partkey").asc_nulls_first, col("l_suppkey").asc_nulls_first,
+          col("l_quantity").asc_nulls_first, col("l_extendedprice").asc_nulls_first,
+          col("l_discount").asc_nulls_first, col("l_tax").asc_nulls_first,
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first,
+          col("l_shipdate_s").asc_nulls_first),
+      Some("""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+        |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate_s
+        |FROM lineitem
+        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+        |  l_partkey ASC NULLS FIRST, l_suppkey ASC NULLS FIRST,
+        |  l_quantity ASC NULLS FIRST, l_extendedprice ASC NULLS FIRST,
+        |  l_discount ASC NULLS FIRST, l_tax ASC NULLS FIRST,
+        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST,
+        |  l_shipdate_s ASC NULLS FIRST""".stripMargin),
+      headline = true),
+
+    // P1: select / rename / reorder.
+    QDef("p1_project_rename",
+      (s, dir) =>
+        Tables(s, dir, "customer")
+          .select(col("c_custkey").as("k"), col("c_name"), col("c_acctbal"))
+          .orderBy(col("k").asc_nulls_first),
+      Some("""SELECT c_custkey AS k, c_name, c_acctbal FROM customer
+        |ORDER BY k ASC NULLS FIRST""".stripMargin)),
+
+    // P2: compound predicates (BETWEEN, IN, LIKE, AND/OR/NOT).
+    QDef("p2_filter_predicates",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate").between(lit("1995-01-01").cast("timestamp"),
+            lit("1996-12-31").cast("timestamp")))
+          .filter(col("l_returnflag").isin("A", "R"))
+          .filter(col("l_quantity") > 10.0 || !(col("l_linestatus") === "O"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_returnflag"))
+          .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first,
+            col("l_quantity").asc_nulls_first, col("l_returnflag").asc_nulls_first),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+        |  AND l_returnflag IN ('A','R')
+        |  AND (l_quantity > 10.0 OR NOT (l_linestatus = 'O'))
+        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+        |  l_quantity ASC NULLS FIRST, l_returnflag ASC NULLS FIRST""".stripMargin)),
+
+    // J1: broadcast hash join with a dimension table.
+    QDef("j1_broadcast_join",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .join(broadcast(Tables(s, dir, "part")),
+            col("l_partkey") === col("p_partkey"), "inner")
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_extendedprice").cast(dec)).as("sum_price"))
+          .orderBy(col("p_brand").asc_nulls_first),
+      Some("""SELECT p_brand, COUNT(*) AS cnt,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand ASC NULLS FIRST""".stripMargin),
+      headline = true),
+
+    // J2: fact-fact shuffle join (sort-merge under AQE).
+    QDef("j2_shuffle_join",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"),
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+              .as("revenue"))
+          .orderBy(col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin),
+      headline = true),
+
+    // A6: global (no-group) aggregate.
+    QDef("a6_global_agg",
+      (s, dir) =>
+        Tables(s, dir, "lineitem").agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          sum(col("l_quantity").cast(dec)).as("sum_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price")),
+      Some("""SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+        |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin)),
+
+    // W1: ranking window with deterministic tie-break.
+    QDef("w1_window_rank",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_extendedprice").desc_nulls_last, col("l_linenumber").asc_nulls_first)
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+            row_number().over(w).as("rn"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"))
+          .orderBy(col("l_orderkey").asc_nulls_first, col("rn").asc_nulls_first)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |             ORDER BY l_extendedprice DESC NULLS LAST, l_linenumber ASC NULLS FIRST)
+        |ORDER BY l_orderkey ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin),
+      headline = true),
+
+    // O2: global top-k after a total order.
+    QDef("o2_topk",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_first)
+          .limit(10)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST
+        |LIMIT 10""".stripMargin)),
+
+    // X2: date/time scalar functions.
+    QDef("x2_datetime_scalars",
+      (s, dir) =>
+        Tables(s, dir, "orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_1999"))
+        .orderBy(col("o_orderkey").asc_nulls_first),
+      Some("""SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS d,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER) AS days_to_1999
+        |FROM orders ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin))
+  )
+}
