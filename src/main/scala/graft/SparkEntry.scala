@@ -12,7 +12,9 @@ import graft.queries._
 object SparkEntry {
 
   /** All query groups. Order only affects listing, not semantics. */
-  def groups: Seq[QGroup] = Seq(Relational)
+  def groups: Seq[QGroup] = Seq(
+    Relational, Joins, Aggregates, Windows, SetOps, Scalars,
+    EventsTime, SourcesSinks)
 
   def all: Seq[QDef] = groups.flatMap(_.defs)
 

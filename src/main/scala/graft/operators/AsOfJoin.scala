@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join (SURVEY §2B J8): for each left row, the most recent right
+  * row with `right.ts <= left.ts` (or `<` when `allowEqual=false`)
+  * sharing the same key.
+  *
+  * Implementation is the scalable union+window pattern, NOT a range
+  * cross-join: both sides are unioned into one stream, hash-partitioned
+  * by key, sorted by (ts, side, tieCols) within each key, and the right
+  * payload is carried forward with `last(..., ignoreNulls)` over an
+  * unbounded-preceding running frame. One shuffle on the key, no row
+  * amplification — this survives 100 TB where a `BETWEEN` theta join
+  * (O(n·m) per key) would not.
+  *
+  * Right payload columns are emitted as `r_<name>`; left columns pass
+  * through unchanged. `tieCols` makes in-timestamp ordering total so the
+  * result is deterministic even with duplicate timestamps.
+  */
+object AsOfJoin {
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightPayload: Seq[String],
+      tieCols: Seq[String] = Nil,
+      allowEqual: Boolean = true): DataFrame = {
+
+    // side ordering at equal ts decides <= vs <: rights first (0) means a
+    // left row can see a same-instant right.
+    val (lSide, rSide) = if (allowEqual) (1, 0) else (0, 1)
+
+    val rPrep = right.select(
+      (Seq(col(key), col(ts)) ++ rightPayload.map(c => col(c).as(s"r_$c"))): _*)
+      .withColumn("__side", lit(rSide))
+    val lPrep = left.withColumn("__side", lit(lSide))
+
+    val unioned = lPrep.unionByName(rPrep, allowMissingColumns = true)
+
+    val ord = (Seq(col(ts).asc_nulls_first, col("__side").asc_nulls_first) ++
+      tieCols.map(c => col(c).asc_nulls_first))
+    val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val withPayload = rightPayload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"r_$c", last(col(s"r_$c"), ignoreNulls = true).over(w))
+    }
+    withPayload.filter(col("__side") === lit(lSide)).drop("__side")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.MedianAggregator
+
+/** Aggregation surface (SURVEY §2B A2–A5, U2): distinct aggregates,
+  * approximate distinct (HLL sketch), grouping sets, canonicalized
+  * collect_list, custom typed aggregate (exact median).
+  *
+  * All are map-side-combining hash aggregates; the only intentionally
+  * non-scalable piece is MedianAggregator's exact per-group buffer (see
+  * its scaladoc — A3's HLL is the sketch path for true scale).
+  */
+object Aggregates extends QGroup {
+
+  private val dec = DecimalType(38, 6)
+
+  def defs: Seq[QDef] = Seq(
+
+    // A2: COUNT(DISTINCT) + SUM(DISTINCT) + deterministic AVG
+    // (decimal-sum ÷ count, cast through double identically on both sides).
+    QDef("a2_distinct_agg",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            countDistinct(col("o_custkey")).as("n_cust"),
+            sum_distinct(col("o_totalprice").cast(dec)).as("sum_distinct_price"),
+            (sum(col("o_totalprice").cast(dec)).cast("double") /
+              count(lit(1))).as("avg_price"))
+          .orderBy(col("o_orderstatus").asc_nulls_first),
+      Some("""SELECT o_orderstatus,
+        |  COUNT(DISTINCT o_custkey) AS n_cust,
+        |  SUM(DISTINCT CAST(o_totalprice AS DECIMAL(38,6))) AS sum_distinct_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin)),
+
+    // A3: approximate distinct (HLL++). Not hash-checkable — the driver
+    // records a rows-only check; the ±5% tolerance test lives in
+    // ApproxSpec (ScalaTest).
+    QDef("a3_approx_distinct",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+          .orderBy(col("l_returnflag").asc_nulls_first),
+      None),
+
+    // A4: ROLLUP + grouping_id (same bit order in Spark and DuckDB:
+    // first grouping column = MSB).
+    QDef("a4_rollup",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast(dec)).as("sum_qty"),
+            grouping_id().as("gid"))
+          .orderBy(col("gid").asc_nulls_first,
+            col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid ASC NULLS FIRST, l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // A4b: CUBE over two dims.
+    QDef("a4b_cube",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+          .orderBy(col("gid").asc_nulls_first,
+            col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // A5: collect_list canonicalized with array_sort (determinism rule 5).
+    QDef("a5_collect_list",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 100)
+          .groupBy(col("l_orderkey"))
+          .agg(array_sort(collect_list(col("l_quantity"))).as("qtys"),
+            array_sort(collect_set(col("l_returnflag"))).as("flags"))
+          .orderBy(col("l_orderkey").asc_nulls_first),
+      Some("""SELECT l_orderkey,
+        |  list_sort(list(l_quantity)) AS qtys,
+        |  list_sort(list(DISTINCT l_returnflag)) AS flags
+        |FROM lineitem WHERE l_orderkey < 100
+        |GROUP BY l_orderkey ORDER BY l_orderkey ASC NULLS FIRST""".stripMargin)),
+
+    // U2: custom typed Aggregator — exact median vs DuckDB median.
+    QDef("u2_median_udaf",
+      (s, dir) => {
+        val med = udaf(MedianAggregator)
+        Tables(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(med(col("value")).as("median_value"), count(lit(1)).as("n"))
+          .orderBy(col("user_id").asc_nulls_first)
+      },
+      Some("""SELECT user_id, median(value) AS median_value, COUNT(*) AS n
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin))
+  )
+}

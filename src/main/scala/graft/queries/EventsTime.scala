@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Event-time aggregations in batch mode (SURVEY §2B G1/G2 oracle half;
+  * the watermark/late-data semantics half lives in StreamingSpec).
+  *
+  * All bucket math is integer arithmetic on epoch nanos (`ts` is long
+  * nanos via Tables) — `ts div N` in Spark equals `epoch_ns(ts) // N` in
+  * DuckDB exactly, with no float or timestamp-unit rounding anywhere.
+  */
+object EventsTime extends QGroup {
+
+  private val dec = DecimalType(38, 6)
+  private val tenMinNs = 600000000000L // 10 min in ns
+  private val fiveMinNs = 300000000000L
+  private val gapNs = 1800000000000L // 30 min session gap
+
+  def defs: Seq[QDef] = Seq(
+
+    // G1: tumbling 10-minute windows.
+    QDef("g1_tumbling_window",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .withColumn("bucket", expr(s"ts div $tenMinNs"))
+          .groupBy(col("bucket"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(dec)).as("sum_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("bucket").asc_nulls_first, col("event_type").asc_nulls_first),
+      Some(s"""SELECT epoch_ns(ts) // $tenMinNs AS bucket, event_type,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(value AS DECIMAL(38,6))) AS sum_value,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2
+        |ORDER BY bucket ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin),
+      headline = true),
+
+    // G1b: sliding windows (width 10 min, slide 5 min) — each event maps
+    // to two window starts; realized as an explode, not a self-join.
+    QDef("g1b_sliding_window",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .withColumn("k", expr(s"ts div $fiveMinNs"))
+          .withColumn("wstart", explode(array(col("k") - 1, col("k"))))
+          .groupBy(col("wstart"))
+          .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sum_value"))
+          .orderBy(col("wstart").asc_nulls_first),
+      Some(s"""SELECT wstart, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+        |FROM (
+        |  SELECT epoch_ns(ts) // $fiveMinNs - 1 AS wstart, value FROM events
+        |  UNION ALL
+        |  SELECT epoch_ns(ts) // $fiveMinNs AS wstart, value FROM events
+        |) w
+        |GROUP BY wstart ORDER BY wstart ASC NULLS FIRST""".stripMargin)),
+
+    // G2: session windows (30-min gap) via gaps-and-islands — identical
+    // break/cumsum formula on both sides.
+    QDef("g2_session_window",
+      (s, dir) => {
+        // micros, not nanos: DuckDB truncates TIMESTAMP_NS to µs on read,
+        // so µs is the finest unit both engines agree on.
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus").asc_nulls_first, col("event_id").asc_nulls_first)
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "events")
+          .withColumn("tus", expr("ts div 1000"))
+          .withColumn("prev_ts", lag(col("tus"), 1).over(wOrd))
+          .withColumn("brk",
+            when(col("prev_ts").isNull || col("tus") - col("prev_ts") >= gapNs / 1000, 1)
+              .otherwise(0))
+          .withColumn("sess", sum(col("brk")).over(wRun))
+          .groupBy(col("user_id"), col("sess"))
+          .agg(count(lit(1)).as("n"),
+            min(col("tus")).as("start_us"),
+            max(col("tus")).as("end_us"),
+            sum(col("value").cast(dec)).as("sum_value"))
+          .orderBy(col("user_id").asc_nulls_first, col("sess").asc_nulls_first)
+      },
+      Some(s"""WITH d AS (
+        |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus FROM events
+        |), m AS (
+        |  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |                   OR tus - lag(tus) OVER w >= ${gapNs / 1000}
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC NULLS FIRST, event_id ASC NULLS FIRST)
+        |), g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |    ORDER BY tus ASC NULLS FIRST, event_id ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM m
+        |)
+        |SELECT user_id, sess, COUNT(*) AS n, MIN(tus) AS start_us, MAX(tus) AS end_us,
+        |  SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+        |FROM g GROUP BY user_id, sess
+        |ORDER BY user_id ASC NULLS FIRST, sess ASC NULLS FIRST""".stripMargin))
+  )
+}

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** Join surface (SURVEY §2B J3–J8): outer, semi/anti, theta, cross,
+  * multi-way star, as-of.
+  *
+  * Scale notes: dimensions (`region`, `nation`, `supplier`, `part`) are
+  * broadcast; fact-fact joins (orders⋈lineitem, customer⋈orders) shuffle
+  * on their keys under AQE. The theta join is bounded to a broadcastable
+  * side so Spark plans BroadcastNestedLoop instead of a cartesian
+  * shuffle. The as-of join is the union+window operator — one shuffle,
+  * no row amplification.
+  */
+object Joins extends QGroup {
+
+  private val dec = DecimalType(38, 6)
+
+  def defs: Seq[QDef] = Seq(
+
+    // J3: left outer — customers kept even with zero orders.
+    QDef("j3_left_outer_join",
+      (s, dir) =>
+        Tables(s, dir, "customer")
+          .join(Tables(s, dir, "orders"),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            sum(col("o_totalprice").cast(dec)).as("total_spent"))
+          .orderBy(col("c_custkey").asc_nulls_first),
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_spent
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey ASC NULLS FIRST""".stripMargin)),
+
+    // J3b: full outer with unmatched keys on both sides.
+    QDef("j3b_full_outer_join",
+      (s, dir) => {
+        val rich = Tables(s, dir, "customer").filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("k"), col("c_acctbal"))
+        val big = Tables(s, dir, "orders").filter(col("o_totalprice") > 50000)
+          .groupBy(col("o_custkey").as("k2"))
+          .agg(count(lit(1)).as("n_big"))
+        rich.join(big, col("k") === col("k2"), "full_outer")
+          .select(coalesce(col("k"), col("k2")).as("custkey"),
+            col("c_acctbal"), col("n_big"))
+          .orderBy(col("custkey").asc_nulls_first)
+      },
+      Some("""SELECT COALESCE(k, k2) AS custkey, c_acctbal, n_big
+        |FROM (SELECT c_custkey AS k, c_acctbal FROM customer WHERE c_acctbal > 5000) rich
+        |FULL OUTER JOIN (SELECT o_custkey AS k2, COUNT(*) AS n_big FROM orders
+        |                 WHERE o_totalprice > 50000 GROUP BY o_custkey) big
+        |ON k = k2
+        |ORDER BY custkey ASC NULLS FIRST""".stripMargin)),
+
+    // J4: left semi — customers that have at least one order.
+    QDef("j4_semi_join",
+      (s, dir) =>
+        Tables(s, dir, "customer")
+          .join(Tables(s, dir, "orders"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey").asc_nulls_first),
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin)),
+
+    // J4b: left anti — customers with no orders.
+    QDef("j4b_anti_join",
+      (s, dir) =>
+        Tables(s, dir, "customer")
+          .join(Tables(s, dir, "orders"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey").asc_nulls_first),
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin)),
+
+    // J5: theta (non-equi) join, bounded; Spark plans BroadcastNestedLoop.
+    QDef("j5_theta_join",
+      (s, dir) =>
+        Tables(s, dir, "part").filter(col("p_size") === 1)
+          .join(broadcast(Tables(s, dir, "supplier")),
+            col("p_retailprice") > col("s_acctbal"), "inner")
+          .select(col("p_partkey"), col("s_suppkey"))
+          .orderBy(col("p_partkey").asc_nulls_first, col("s_suppkey").asc_nulls_first),
+      Some("""SELECT p_partkey, s_suppkey
+        |FROM part JOIN supplier ON p_retailprice > s_acctbal
+        |WHERE p_size = 1
+        |ORDER BY p_partkey ASC NULLS FIRST, s_suppkey ASC NULLS FIRST""".stripMargin)),
+
+    // J6: cross join.
+    QDef("j6_cross_join",
+      (s, dir) =>
+        Tables(s, dir, "region")
+          .crossJoin(Tables(s, dir, "nation"))
+          .select(col("r_regionkey"), col("n_nationkey"), col("r_name"), col("n_name"))
+          .orderBy(col("r_regionkey").asc_nulls_first, col("n_nationkey").asc_nulls_first),
+      Some("""SELECT r_regionkey, n_nationkey, r_name, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey ASC NULLS FIRST, n_nationkey ASC NULLS FIRST""".stripMargin)),
+
+    // J7: 5-table star rollup — region⋈nation⋈customer⋈orders⋈lineitem.
+    QDef("j7_star_join",
+      (s, dir) => {
+        val l = Tables(s, dir, "lineitem")
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        val n = broadcast(Tables(s, dir, "nation"))
+        val r = broadcast(Tables(s, dir, "region"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_items"),
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+              .as("revenue"))
+          .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      },
+      Some("""SELECT r_name, n_name, COUNT(*) AS n_items,
+        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin),
+      headline = true),
+
+    // J8: as-of join — for each error event, the user's latest signup at
+    // or before it (union+window operator; DuckDB ASOF JOIN oracle).
+    QDef("j8_asof_join",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        AsOfJoin.asOf(errors, signups.withColumnRenamed("event_id", "sid"),
+            key = "user_id", ts = "ts",
+            rightPayload = Seq("sid", "value"), tieCols = Seq("event_id"))
+          .select(col("event_id"), col("user_id"),
+            col("r_sid").as("signup_id"), col("r_value").as("signup_value"))
+          .orderBy(col("event_id").asc_nulls_first)
+      },
+      Some("""SELECT e.event_id, e.user_id,
+        |  s.event_id AS signup_id, s.value AS signup_value
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND s.ts <= e.ts
+        |ORDER BY e.event_id ASC NULLS FIRST""".stripMargin),
+      headline = true)
+  )
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar-function surface (SURVEY §2B X1, X3–X6): strings, math,
+  * conditionals, cast matrix, JSON. All whole-stage-codegen built-ins;
+  * zero UDFs in this file by design.
+  *
+  * Determinism: transcendentals (ln/pow) are rounded to 6 dp to absorb
+  * possible last-ulp libm differences between JVM and DuckDB; double →
+  * string formatting is never used (doubles go through round/decimal
+  * first).
+  */
+object Scalars extends QGroup {
+
+  def defs: Seq[QDef] = Seq(
+
+    // X1: string functions over part names.
+    QDef("x1_string_scalars",
+      (s, dir) =>
+        Tables(s, dir, "part").select(
+          col("p_partkey"),
+          concat(col("p_name"), lit("|"), col("p_brand")).as("cat"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_type")).as("lo"),
+          substring(col("p_name"), 1, 5).as("sub5"),
+          element_at(split(col("p_name"), " "), 1).as("first_word"),
+          regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("second_word"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+          length(col("p_name")).as("len"),
+          lpad(col("p_brand"), 10, "*").as("padded"),
+          trim(lit("  x  ")).as("trimmed"))
+          .orderBy(col("p_partkey").asc_nulls_first),
+      Some("""SELECT p_partkey,
+        |  p_name || '|' || p_brand AS cat,
+        |  upper(p_name) AS up,
+        |  lower(p_type) AS lo,
+        |  substring(p_name, 1, 5) AS sub5,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  CAST(length(p_name) AS INTEGER) AS len,
+        |  lpad(p_brand, 10, '*') AS padded,
+        |  trim('  x  ') AS trimmed
+        |FROM part ORDER BY p_partkey ASC NULLS FIRST""".stripMargin)),
+
+    // X3: math functions (floor/ceil as BIGINT on both sides; ln/pow
+    // rounded; sqrt is IEEE-exact; integer modulo).
+    QDef("x3_math_scalars",
+      (s, dir) =>
+        Tables(s, dir, "part").select(
+          col("p_partkey"),
+          round(col("p_retailprice") / 3.0, 2).as("third"),
+          floor(col("p_retailprice")).cast("long").as("flr"),
+          ceil(col("p_retailprice")).cast("long").as("cl"),
+          abs(col("p_retailprice") - 1000.0).as("dist1000"),
+          round(pow(col("p_retailprice"), 0.5), 6).as("sqrt_pow"),
+          sqrt(col("p_retailprice")).as("sqrt_exact"),
+          round(log(col("p_retailprice") + 1.0), 6).as("ln6"),
+          (col("p_size") % 7).as("size_mod7"),
+          signum(col("p_retailprice") - 1000.0).cast("int").as("sgn"))
+          .orderBy(col("p_partkey").asc_nulls_first),
+      Some("""SELECT p_partkey,
+        |  round(p_retailprice / 3.0, 2) AS third,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS flr,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS cl,
+        |  abs(p_retailprice - 1000.0) AS dist1000,
+        |  round(pow(p_retailprice, 0.5), 6) AS sqrt_pow,
+        |  sqrt(p_retailprice) AS sqrt_exact,
+        |  round(ln(p_retailprice + 1.0), 6) AS ln6,
+        |  p_size % 7 AS size_mod7,
+        |  CAST(sign(p_retailprice - 1000.0) AS INTEGER) AS sgn
+        |FROM part ORDER BY p_partkey ASC NULLS FIRST""".stripMargin)),
+
+    // X4: conditionals — CASE, coalesce, nullif, least/greatest.
+    QDef("x4_conditional_scalars",
+      (s, dir) =>
+        Tables(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"),
+          when(col("l_discount") >= 0.05, "high")
+            .when(col("l_discount") >= 0.02, "mid")
+            .otherwise("low").as("disc_band"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_or_none"),
+          least(col("l_quantity"), col("l_discount") * 100).as("least_v"),
+          greatest(col("l_quantity"), col("l_discount") * 100).as("greatest_v"))
+          .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first,
+            col("l_quantity").asc_nulls_first, col("l_discount").asc_nulls_first),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+        |  CASE WHEN l_discount >= 0.05 THEN 'high'
+        |       WHEN l_discount >= 0.02 THEN 'mid'
+        |       ELSE 'low' END AS disc_band,
+        |  COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none,
+        |  least(l_quantity, l_discount * 100) AS least_v,
+        |  greatest(l_quantity, l_discount * 100) AS greatest_v
+        |FROM lineitem
+        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+        |  l_quantity ASC NULLS FIRST, l_discount ASC NULLS FIRST""".stripMargin)),
+
+    // X5: cast matrix — numeric↔string↔decimal↔date round-trips.
+    QDef("x5_cast_matrix",
+      (s, dir) =>
+        Tables(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("int").as("qty_int"),
+          col("l_quantity").cast("int").cast("string").as("qty_str"),
+          col("l_quantity").cast("int").cast("string").cast("double").as("qty_back"),
+          col("l_extendedprice").cast("decimal(12,2)").as("price_dec"),
+          col("l_extendedprice").cast("decimal(12,2)").cast("string").as("price_dec_str"),
+          col("l_shipdate").cast("date").cast("string").as("ship_date_str"),
+          col("l_linenumber").cast("double").as("ln_dbl"))
+          .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first,
+            col("qty_int").asc_nulls_first, col("price_dec").asc_nulls_first),
+      Some("""SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS INTEGER) AS qty_int,
+        |  CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) AS qty_str,
+        |  CAST(CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) AS DOUBLE) AS qty_back,
+        |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec_str,
+        |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date_str,
+        |  CAST(l_linenumber AS DOUBLE) AS ln_dbl
+        |FROM lineitem
+        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+        |  qty_int ASC NULLS FIRST, price_dec ASC NULLS FIRST""".stripMargin)),
+
+    // X6: JSON extraction from the events.props string column.
+    QDef("x6_json_scalars",
+      (s, dir) =>
+        Tables(s, dir, "events").select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+          get_json_object(col("props"), "$.missing").as("k_missing"))
+          .orderBy(col("event_id").asc_nulls_first),
+      Some("""SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        |  json_extract_string(props, '$.missing') AS k_missing
+        |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin))
+  )
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Set operations + dedup + null-safe comparison (SURVEY §2B T1–T3, P3). */
+object SetOps extends QGroup {
+
+  private val dec = DecimalType(38, 6)
+
+  def defs: Seq[QDef] = Seq(
+
+    // T1: split / UNION ALL reunite — aggregate must hash-match the
+    // original table's.
+    QDef("t1_union_all",
+      (s, dir) => {
+        val l = Tables(s, dir, "lineitem")
+        val a = l.filter(col("l_returnflag") === "A")
+        val rest = l.filter(col("l_returnflag") =!= "A")
+        a.unionAll(rest)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast(dec)).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS cnt,
+        |  SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty
+        |FROM (SELECT * FROM lineitem WHERE l_returnflag = 'A'
+        |      UNION ALL
+        |      SELECT * FROM lineitem WHERE l_returnflag <> 'A') u
+        |GROUP BY l_returnflag ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
+
+    // T1b: UNION with distinct semantics.
+    QDef("t1b_union_distinct",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val highPrice = o.filter(col("o_totalprice") > 100000).select(col("o_custkey").as("k"))
+        val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("k"))
+        highPrice.union(urgent).distinct()
+          .orderBy(col("k").asc_nulls_first)
+      },
+      Some("""SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000
+        |UNION
+        |SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY k ASC NULLS FIRST""".stripMargin)),
+
+    // T2: INTERSECT (distinct) — buyers who are also positive-balance customers.
+    QDef("t2_intersect",
+      (s, dir) => {
+        val buyers = Tables(s, dir, "orders").select(col("o_custkey").as("k"))
+        val positive = Tables(s, dir, "customer")
+          .filter(col("c_acctbal") > 0).select(col("c_custkey").as("k"))
+        buyers.intersect(positive).orderBy(col("k").asc_nulls_first)
+      },
+      Some("""SELECT o_custkey AS k FROM orders
+        |INTERSECT
+        |SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+        |ORDER BY k ASC NULLS FIRST""".stripMargin)),
+
+    // T2b: EXCEPT (distinct) — positive-balance customers who never ordered.
+    QDef("t2b_except",
+      (s, dir) => {
+        val positive = Tables(s, dir, "customer")
+          .filter(col("c_acctbal") > 0).select(col("c_custkey").as("k"))
+        val buyers = Tables(s, dir, "orders").select(col("o_custkey").as("k"))
+        positive.except(buyers).orderBy(col("k").asc_nulls_first)
+      },
+      Some("""SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders
+        |ORDER BY k ASC NULLS FIRST""".stripMargin)),
+
+    // T3: DISTINCT projection.
+    QDef("t3_distinct",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("event_type")).distinct()
+          .orderBy(col("user_id").asc_nulls_first, col("event_type").asc_nulls_first),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin)),
+
+    // T3b: keyed dedup with deterministic survivor (min event_id) —
+    // the oracle-checkable contract for dropDuplicates(keys).
+    QDef("t3b_dedup_keep_first",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(min(col("event_id")).as("keep_event_id"), count(lit(1)).as("n_dups"))
+          .orderBy(col("user_id").asc_nulls_first, col("event_type").asc_nulls_first),
+      Some("""SELECT user_id, event_type, MIN(event_id) AS keep_event_id,
+        |  COUNT(*) AS n_dups
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin)),
+
+    // P3: null-safe equality (<=> / IS NOT DISTINCT FROM).
+    QDef("p3_null_safe_eq",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .select(nullif(col("l_returnflag"), lit("N")).as("f"),
+            nullif(col("l_linestatus"), lit("O")).as("st"))
+          .withColumn("same", col("f") <=> col("st"))
+          .groupBy(col("same"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("same").asc_nulls_first),
+      Some("""SELECT (f IS NOT DISTINCT FROM st) AS same, COUNT(*) AS cnt
+        |FROM (SELECT NULLIF(l_returnflag, 'N') AS f, NULLIF(l_linestatus, 'O') AS st
+        |      FROM lineitem) t
+        |GROUP BY 1 ORDER BY same ASC NULLS FIRST""".stripMargin))
+  )
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Source/sink surface (SURVEY §2B S2, S3, S5, S6): explicit-schema
+  * reads with missing-column fill, mergeSchema evolution, write/read
+  * round-trips (snappy), partitioned writes with partition pruning.
+  *
+  * Sink queries write under /tmp/graft_sink/<name>_<sf-hash> with
+  * mode=overwrite so Verify reruns are idempotent; the errorifexists
+  * mode of the reference's R8 is exercised in ParquetIOSpec instead.
+  */
+object SourcesSinks extends QGroup {
+
+  private def sink(dir: String, name: String): String =
+    s"/tmp/graft_sink/${name}_${Integer.toHexString(dir.hashCode)}"
+
+  /** lineitem's physical schema plus a phantom column absent from the
+    * file — Spark fills it with NULLs (reference R4's missing-field
+    * semantics, ParquetConverter.java:123-124). */
+  private val lineitemPlusPhantom = StructType(Seq(
+    StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType),
+    StructField("l_comment", StringType))) // phantom
+
+  def defs: Seq[QDef] = Seq(
+
+    // S2: explicit schema + missing-column fill.
+    QDef("s2_schema_missing_col",
+      (s, dir) =>
+        s.read.schema(lineitemPlusPhantom).parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"), col("l_comment"))
+          .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first,
+            col("l_quantity").asc_nulls_first, col("l_extendedprice").asc_nulls_first),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  CAST(NULL AS VARCHAR) AS l_comment
+        |FROM lineitem
+        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+        |  l_quantity ASC NULLS FIRST, l_extendedprice ASC NULLS FIRST""".stripMargin)),
+
+    // S3: schema evolution — two schema-divergent files + mergeSchema.
+    QDef("s3_merge_schema",
+      (s, dir) => {
+        val n = Tables(s, dir, "nation")
+        val base = sink(dir, "s3_merge_schema")
+        n.select(col("n_nationkey"), col("n_name"))
+          .write.mode("overwrite").parquet(s"$base/a")
+        n.select(col("n_nationkey"), col("n_regionkey"))
+          .write.mode("overwrite").parquet(s"$base/b")
+        s.read.option("mergeSchema", "true").parquet(s"$base/a", s"$base/b")
+          .orderBy(col("n_nationkey").asc_nulls_first, col("n_name").asc_nulls_first,
+            col("n_regionkey").asc_nulls_first)
+      },
+      Some("""SELECT * FROM (
+        |  SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, CAST(NULL AS VARCHAR) AS n_name, n_regionkey FROM nation) u
+        |ORDER BY n_nationkey ASC NULLS FIRST, n_name ASC NULLS FIRST,
+        |  n_regionkey ASC NULLS FIRST""".stripMargin)),
+
+    // S5: snappy write → read-back → aggregate equals source-side aggregate
+    // (reference R8/R10 round-trip).
+    QDef("s5_roundtrip_write",
+      (s, dir) => {
+        val out = sink(dir, "s5_roundtrip_write")
+        Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+          .write.mode("overwrite").option("compression", "snappy").parquet(out)
+        s.read.parquet(out)
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast(DecimalType(38, 6))).as("sum_qty"))
+          .orderBy(col("l_linestatus").asc_nulls_first)
+      },
+      Some("""SELECT l_linestatus, COUNT(*) AS cnt,
+        |  SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_linestatus ORDER BY l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // S6: partitioned write + partition-pruned read-back.
+    QDef("s6_partitioned_write",
+      (s, dir) => {
+        val out = sink(dir, "s6_partitioned_write")
+        Tables(s, dir, "orders")
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+        s.read.parquet(out)
+          .filter(col("o_orderstatus") === "F") // prunes to one directory
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(38, 6))).as("sum_price"))
+          .orderBy(col("o_orderpriority").asc_nulls_first)
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin))
+  )
+}

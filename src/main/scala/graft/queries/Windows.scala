@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Window-function surface (SURVEY §2B W2–W4, O1): analytic functions,
+  * explicit frames (rows + range), top-k per group, multi-key sort with
+  * explicit null ordering.
+  *
+  * Windows partition by the natural key (customer/order) — at 100 TB the
+  * single shuffle per window spec is on a high-cardinality key, so no
+  * driver bottleneck and no skew hot-spot (order counts per customer are
+  * bounded).
+  */
+object Windows extends QGroup {
+
+  private val dec = DecimalType(38, 6)
+
+  def defs: Seq[QDef] = Seq(
+
+    // W2: lag / lead / first_value / last_value over per-customer order history.
+    QDef("w2_analytic_window",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(wFull).as("last_price"))
+          .orderBy(col("o_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)
+        |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin)),
+
+    // W3: running totals with an explicit ROWS frame; decimal sums keep
+    // the running value order-independent given the total window order.
+    QDef("w3_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(dec)).over(w).as("running_spent"),
+          count(lit(1)).over(w).as("running_n"))
+          .orderBy(col("o_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        |  SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS running_spent,
+        |  COUNT(*) OVER w AS running_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin)),
+
+    // W3b: RANGE frame over integer cents (value-based frame is
+    // tie-insensitive, hence deterministic).
+    QDef("w3b_range_frame",
+      (s, dir) => {
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(cents.asc_nulls_first)
+          .rangeBetween(-100000L, 0L)
+        Tables(s, dir, "orders").select(
+          col("o_orderstatus"), col("o_orderkey"),
+          cents.as("cents"),
+          count(lit(1)).over(w).as("n_within_1000"),
+          sum(cents).over(w).as("cents_within_1000"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+      },
+      Some("""SELECT o_orderstatus, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  COUNT(*) OVER w AS n_within_1000,
+        |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS cents_within_1000
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) ASC NULLS FIRST
+        |  RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin)),
+
+    // W4: top-k per group via row_number filter.
+    QDef("w4_topk_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_first)
+        Tables(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_custkey").asc_nulls_first, col("rn").asc_nulls_first)
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin)),
+
+    // O1: multi-key sort with mixed directions and explicit null order
+    // (nulls manufactured via NULLIF).
+    QDef("o1_multikey_sort",
+      (s, dir) =>
+        Tables(s, dir, "customer").select(
+          col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("AUTOMOBILE")).as("seg_or_null"),
+          col("c_acctbal"))
+          .orderBy(col("seg_or_null").asc_nulls_first,
+            col("c_acctbal").desc_nulls_last,
+            col("c_custkey").asc_nulls_first),
+      Some("""SELECT c_custkey, NULLIF(c_mktsegment, 'AUTOMOBILE') AS seg_or_null, c_acctbal
+        |FROM customer
+        |ORDER BY seg_or_null ASC NULLS FIRST, c_acctbal DESC NULLS LAST,
+        |  c_custkey ASC NULLS FIRST""".stripMargin))
+  )
+}
