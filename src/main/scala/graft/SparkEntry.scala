@@ -14,7 +14,7 @@ object SparkEntry {
   /** All query groups. Order only affects listing, not semantics. */
   def groups: Seq[QGroup] = Seq(
     Relational, Joins, Aggregates, Windows, SetOps, Scalars,
-    EventsTime, SourcesSinks)
+    EventsTime, SourcesSinks, Nested, LlmOps)
 
   def all: Seq[QDef] = groups.flatMap(_.defs)
 

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY §2B L2):
+  * brute-force cosine top-k as the exact baseline, and a seedless
+  * random-hyperplane LSH variant as the 100 TB path.
+  *
+  * The dot product / norms are `zip_with` + `aggregate` HOFs computed in
+  * double — fully codegen'd, no UDFs. Brute force broadcasts the (small)
+  * query side so the corpus scan is shuffle-free and embarrassingly
+  * parallel; cost is O(|corpus|·|queries|·dim) FLOPs, which is the
+  * correct baseline but not the scale path. The LSH variant buckets both
+  * sides on hyperplane sign bands (OR-amplified) so each corpus row is
+  * compared only within its buckets.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, computed in
+    * double with left-to-right accumulation (deterministic). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => (x * y).cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(transform(a, x => (x * x).cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val nb = aggregate(transform(b, x => (x * x).cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Exact top-k neighbors per query (excluding self-matches on id).
+    * Output: (q_id, rank, n_id, sim). */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc_nulls_last, col("n_id").asc_nulls_first)
+    c.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * uniform in [-1, 1), derived from xxhash64 — no rand(), so plans are
+    * reproducible across runs and engines. */
+  private def planeWeight(p: Column, d: Column): Column =
+    (pmod(xxhash64(lit("graft-lsh"), p, d), lit(2000001L)) - 1000000L) / 1000000.0
+
+  /** Sign-bit signature of a vector against `nPlanes` hyperplanes. */
+  def lshSignature(vec: Column, nPlanes: Int): Column =
+    transform(sequence(lit(0), lit(nPlanes - 1)), p =>
+      when(aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * planeWeight(p, d)),
+        lit(0.0), (acc, x) => acc + x) > 0, 1L).otherwise(0L))
+
+  /** Approximate top-k: bucket on banded hyperplane signs (bands of 4
+    * planes, OR-amplified), then exact cosine within candidate buckets.
+    * Output: (q_id, rank, n_id, sim) — rank within retrieved candidates. */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nPlanes: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    require(nPlanes % 4 == 0, "nPlanes must be a multiple of 4")
+    val bands = nPlanes / 4
+    def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+        lshSignature(col(vecCol), nPlanes).as("sig"))
+        .select(col(idAs), col(vecAs),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+            xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), lit(7)))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val q = banded(queries, "q_id", "q_vec")
+    val c = banded(corpus, "n_id", "n_vec")
+    val cands = q.join(c, Seq("band", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
+      .dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc_nulls_last, col("n_id").asc_nulls_first)
+    cands.withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+  }
+}

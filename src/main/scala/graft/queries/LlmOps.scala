@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.operators.{Dedup, Similarity}
+
+/** LLM-data-pipeline surface (SURVEY §2B L1–L4 + the north-star ops):
+  * exact/near dedup, cosine similarity search, text analysis, multimodal
+  * binary round-trip.
+  *
+  * Scale notes: exact dedup is a hash groupBy (one shuffle on the
+  * digest); near-dup families group on a constant-size fingerprint;
+  * brute-force top-k broadcasts the (small) query side so the corpus
+  * scan stays shuffle-free — the LSH variant in Dedup/Similarity is the
+  * 100 TB path and is recall-tested in ScalaTest rather than
+  * oracle-hashed (banding is not expressible in portable SQL).
+  */
+object LlmOps extends QGroup {
+
+  private val dec = DecimalType(38, 6)
+
+  def defs: Seq[QDef] = Seq(
+
+    // L1: exact dedup via content digest (sha256), deterministic survivor.
+    QDef("l1_exact_dedup",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .groupBy(sha2(col("text"), 256).as("digest"))
+          .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_copies"))
+          .orderBy(col("digest").asc_nulls_first),
+      Some("""SELECT sha256(text) AS digest, MIN(doc_id) AS keep_doc,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY digest ASC NULLS FIRST""".stripMargin)),
+
+    // L1b: near-dup families by 5-token prefix fingerprint.
+    QDef("l1b_prefix_family_dedup",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .withColumn("fp", concat_ws(" ", slice(split(col("text"), " "), 1, 5)))
+          .groupBy(col("fp"))
+          .agg(count(lit(1)).as("family_size"),
+            min(col("doc_id")).as("canonical_doc"),
+            array_sort(collect_list(col("doc_id"))).as("members"))
+          .filter(col("family_size") >= 1)
+          .orderBy(col("fp").asc_nulls_first),
+      Some("""SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS fp,
+        |  COUNT(*) AS family_size, MIN(doc_id) AS canonical_doc,
+        |  list_sort(list(doc_id)) AS members
+        |FROM documents GROUP BY 1
+        |ORDER BY fp ASC NULLS FIRST""".stripMargin)),
+
+    // L1c: n-gram (unigram-set) Jaccard similarity pairs — exact, via
+    // token explode + pair aggregation (no cross product: the join is on
+    // the token, the classic inverted-index plan).
+    QDef("l1c_jaccard_pairs",
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+        val a = toks.select(col("doc_id").as("d1"), col("tok"))
+        val b = toks.select(col("doc_id").as("d2"), col("tok"))
+        val inter = a.join(b, Seq("tok")).filter(col("d1") < col("d2"))
+          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_tok", "n1"), "d1")
+          .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_tok", "n2"), "d2")
+          .withColumn("jpm", expr("(n_inter * 1000) div (n1 + n2 - n_inter)"))
+          .filter(col("jpm") >= 500)
+          .select(col("d1"), col("d2"), col("n_inter"), col("jpm"))
+          .orderBy(col("d1").asc_nulls_first, col("d2").asc_nulls_first)
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents WHERE doc_id < 100
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d1, d2, n_inter,
+        |  (n_inter * 1000) // (s1.n_tok + s2.n_tok - n_inter) AS jpm
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = d1
+        |JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE (n_inter * 1000) // (s1.n_tok + s2.n_tok - n_inter) >= 500
+        |ORDER BY d1 ASC NULLS FIRST, d2 ASC NULLS FIRST""".stripMargin)),
+
+    // L1d: MinHash-LSH candidate pairs (banding not expressible in
+    // portable SQL → rows-only here; recall vs exact Jaccard is asserted
+    // in DedupSpec).
+    QDef("l1d_minhash_lsh",
+      (s, dir) =>
+        Dedup.minHashLshPairs(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+          idCol = "doc_id", textCol = "text",
+          numHashes = 64, bands = 16)
+          .orderBy(col("d1").asc_nulls_first, col("d2").asc_nulls_first),
+      None),
+
+    // L1e: SimHash fingerprints (rows-only; Hamming-distance behavior
+    // asserted in DedupSpec).
+    QDef("l1e_simhash",
+      (s, dir) =>
+        Dedup.simHash(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+          idCol = "doc_id", textCol = "text")
+          .orderBy(col("doc_id").asc_nulls_first),
+      None),
+
+    // L2: brute-force cosine top-k (query side broadcast; ranking-only
+    // output — each engine computes its own double cosine, rankings agree
+    // and raw sims are checked to 6 dp).
+    QDef("l2_cosine_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 20), emb, k = 5,
+          idCol = "vec_id", vecCol = "embedding")
+          .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim6"))
+          .orderBy(col("q_id").asc_nulls_first, col("rank").asc_nulls_first)
+      },
+      Some("""WITH sims AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id
+        |), ranked AS (
+        |  SELECT q_id, n_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC NULLS LAST, n_id ASC NULLS FIRST) AS rank
+        |  FROM sims
+        |)
+        |SELECT q_id, rank, n_id, round(sim, 6) AS sim6 FROM ranked WHERE rank <= 5
+        |ORDER BY q_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin),
+      headline = true),
+
+    // L2b: LSH-bucketed ANN (the scale path; recall vs brute force is
+    // asserted in SimilaritySpec — rows-only here).
+    QDef("l2b_ann_lsh",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.lshTopK(
+          emb.filter(col("vec_id") < 20), emb, k = 5, nPlanes = 12,
+          idCol = "vec_id", vecCol = "embedding")
+          .select(col("q_id"), col("rank"), col("n_id"))
+          .orderBy(col("q_id").asc_nulls_first, col("rank").asc_nulls_first)
+      },
+      None),
+
+    // L3: per-document text statistics (integer-only output).
+    QDef("l3_text_stats",
+      (s, dir) =>
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          size(array_distinct(split(col("text"), " "))).as("n_distinct_tokens"),
+          length(col("text")).as("text_len"),
+          col("n_chars"),
+          (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).as("n_spaces"),
+          array_contains(split(col("text"), " "), "spark").cast("int").as("mentions_spark"))
+          .orderBy(col("doc_id").asc_nulls_first),
+      Some("""SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+        |  CAST(length(text) AS INTEGER) AS text_len,
+        |  n_chars,
+        |  CAST(length(text) - length(replace(text, ' ', '')) AS INTEGER) AS n_spaces,
+        |  CAST(list_contains(string_split(text, ' '), 'spark') AS INTEGER) AS mentions_spark
+        |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // L3b: corpus-level language distribution.
+    QDef("l3b_lang_distribution",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            countDistinct(col("source")).as("n_sources"))
+          .orderBy(col("lang").asc_nulls_first),
+      Some("""SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin)),
+
+    // L3c: global token frequency (explode → count → top 50).
+    QDef("l3c_token_frequency",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc_nulls_last, col("tok").asc_nulls_first)
+          .limit(50),
+      Some("""SELECT tok, COUNT(*) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |GROUP BY tok
+        |ORDER BY freq DESC NULLS LAST, tok ASC NULLS FIRST LIMIT 50""".stripMargin)),
+
+    // L4: multimodal binary round-trip — text → binary payload + typed
+    // metadata struct, written and read back as parquet, digests compared.
+    QDef("l4_binary_roundtrip",
+      (s, dir) => {
+        val out = s"/tmp/graft_sink/l4_binary_${Integer.toHexString(dir.hashCode)}"
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            encode(col("text"), "UTF-8").as("payload"),
+            struct(col("lang"), col("n_chars"), col("source")).as("meta"))
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .select(col("doc_id"),
+            md5(col("payload")).as("payload_md5"),
+            length(col("payload")).as("payload_bytes"),
+            col("meta.lang").as("lang"),
+            col("meta.n_chars").as("n_chars"))
+          .orderBy(col("doc_id").asc_nulls_first)
+      },
+      Some("""SELECT doc_id, md5(text) AS payload_md5,
+        |  CAST(length(text) AS INTEGER) AS payload_bytes,
+        |  lang, n_chars
+        |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+  )
+}
