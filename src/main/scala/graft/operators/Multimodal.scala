@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (SURVEY §2B L4): media as opaque binary
+  * columns + typed metadata, with decode/feature-extraction plumbed
+  * through `mapPartitions` on a typed Dataset.
+  *
+  * ==== STUB NOTICE ====
+  * Real image/audio/video codecs are NOT available in this container, so
+  * [[FakeCodec]] below is a clearly-marked deterministic stand-in: it
+  * derives "decoded" dimensions/duration from a digest of the payload
+  * bytes. The Spark-side plumbing — schema, typed encoders, partition
+  * batching, feature struct shape — is real and tested; swapping
+  * `FakeCodec` for javacv/ffmpeg bindings is a one-object change.
+  *
+  * Scale shape: decode is per-row CPU work inside `mapPartitions`
+  * (no shuffle); callers should `repartition` first if payload sizes are
+  * skewed so each task gets a balanced byte budget.
+  */
+object Multimodal {
+
+  case class MediaRow(id: Long, kind: String, payload: Array[Byte])
+  case class MediaFeatures(
+      id: Long, kind: String, n_bytes: Long, digest: String,
+      width: Int, height: Int, duration_ms: Long, frames_sampled: Array[Long])
+
+  /** Deterministic fake decoder — see STUB NOTICE above. */
+  object FakeCodec {
+    def digestOf(bytes: Array[Byte]): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(bytes).map("%02x".format(_)).mkString
+    }
+    /** "Decode": dimensions/duration are pure functions of the digest. */
+    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Long) = {
+      val h = java.lang.Long.parseUnsignedLong(digestOf(bytes).take(15), 16)
+      kind match {
+        case "image" => ((h % 1920 + 1).toInt, (h / 1920 % 1080 + 1).toInt, 0L)
+        case "audio" => (0, 0, h % 600000L)
+        case "video" => ((h % 1280 + 1).toInt, (h / 1280 % 720 + 1).toInt, h % 3600000L)
+        case _       => (0, 0, 0L)
+      }
+    }
+    /** "Frame sampling": every `stride`-th byte offset, up to `max`. */
+    def sampleFrames(nBytes: Long, max: Int = 8): Array[Long] = {
+      if (nBytes <= 0) return Array.empty
+      val stride = math.max(1L, nBytes / max)
+      (0L until nBytes by stride).take(max).toArray
+    }
+  }
+
+  /** Decode + feature-extract via typed mapPartitions (the real
+    * distributed plumbing; the codec inside is the stub). */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.payload).getOrElse(Array.empty[Byte])
+        val (w, h, d) = FakeCodec.decode(r.kind, bytes)
+        MediaFeatures(r.id, r.kind, bytes.length.toLong, FakeCodec.digestOf(bytes),
+          w, h, d, FakeCodec.sampleFrames(bytes.length.toLong))
+      }
+    }
+  }
+
+  /** DataFrame facade: (idCol: long, kindCol: string, payloadCol: binary)
+    * → feature frame. */
+  def extractFeatures(df: DataFrame, idCol: String, kindCol: String,
+      payloadCol: String): DataFrame = {
+    implicit val enc = Encoders.product[MediaRow]
+    val typed = df.select(
+      col(idCol).cast("long").as("id"),
+      col(kindCol).cast("string").as("kind"),
+      col(payloadCol).cast("binary").as("payload")).as[MediaRow]
+    extractFeatures(typed).toDF()
+  }
+}

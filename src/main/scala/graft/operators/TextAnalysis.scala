@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (SURVEY §2B L3 family):
+  * language ID (stopword heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and document fingerprinting (rolling
+  * hash). All pure Column expressions — codegen'd, shuffle-free, scale
+  * linearly with the scan.
+  */
+object TextAnalysis {
+
+  /** Tiny public stopword lists per language (top function words). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that", "it", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "zu", "den", "ein", "nicht"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se", "del", "un"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "de", "un", "une", "du", "est"),
+    "it" -> Seq("il", "la", "di", "che", "e", "un", "per", "una", "del", "non"))
+
+  /** Heuristic language ID: argmax of stopword hits per language, with a
+    * CJK-character override; "und" (undetermined) when nothing matches.
+    * Argmax via array_max over (score, -langIndex) structs — pure
+    * Column, deterministic tie-break by list order. */
+  def languageId(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    val scored = stopwords.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((lang, words), i) =>
+        struct(
+          size(array_intersect(toks, typedlit(words.toArray))).as("score"),
+          lit(-i).as("ord"),
+          lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0, lit("zh"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Quality metrics as a struct of integer-safe components plus a
+    * composite score in [0,1] (rounded to 4 dp). */
+  def qualityMetrics(text: Column): Column = {
+    val len = length(text)
+    val nSpaces = len - length(regexp_replace(text, " ", ""))
+    val nTokens = nSpaces + 1
+    val nUpper = length(regexp_replace(text, "[^A-Z]", ""))
+    val nDigit = length(regexp_replace(text, "[^0-9]", ""))
+    val nPunct = len - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    val meanTokLen = (len - nSpaces).cast("double") / nTokens
+    val score = round(
+      greatest(lit(0.0), least(lit(1.0),
+        lit(1.0)
+          - (nPunct.cast("double") / greatest(len, lit(1))) * 2.0
+          - (nDigit.cast("double") / greatest(len, lit(1)))
+          - when(meanTokLen < 2.0 || meanTokLen > 12.0, 0.3).otherwise(0.0)
+          - when(nTokens < 5, 0.3).otherwise(0.0))), 4)
+    struct(nTokens.as("n_tokens"), nUpper.as("n_upper"), nDigit.as("n_digit"),
+      nPunct.as("n_punct"), round(meanTokLen, 4).as("mean_tok_len"),
+      score.as("quality"))
+  }
+
+  /** BPE-ish token count: GPT-2-style pre-tokenizer regex (contractions,
+    * letter runs, digit runs, punctuation runs). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"), lit(0)))
+
+  /** Rolling polynomial fingerprint over word tokens, computed mod
+    * 2^31-1 so the accumulator never overflows (ANSI-safe). */
+  def rollingFingerprint(text: Column): Column = {
+    val M = 2147483647L
+    aggregate(split(text, " "), lit(0L),
+      (acc, t) => pmod(acc * 1000003L + pmod(xxhash64(t), lit(M)), lit(M)))
+  }
+
+  /** Convenience: annotate a corpus with all analysis columns. */
+  def annotate(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("lang_id", languageId(col(textCol)))
+      .withColumn("quality", qualityMetrics(col(textCol)))
+      .withColumn("n_bpeish_tokens", bpeishTokenCount(col(textCol)))
+      .withColumn("fingerprint", rollingFingerprint(col(textCol)))
+}

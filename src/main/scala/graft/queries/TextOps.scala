@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Multimodal, TextAnalysis}
+
+/** Text-analysis + multimodal operator queries (SURVEY §2B L3/L4
+  * extensions). Language-ID, fingerprint, and the multimodal feature
+  * extractor are rows-only here (their semantics are pinned in
+  * TextAnalysisSpec / MultimodalSpec); quality metrics and BPE-ish
+  * token counts are oracle-checked.
+  */
+object TextOps extends QGroup {
+
+  def defs: Seq[QDef] = Seq(
+
+    // Quality metrics — integer components + composite double (identical
+    // IEEE arithmetic on both sides).
+    QDef("l3d_quality_score",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .withColumn("q", TextAnalysis.qualityMetrics(col("text")))
+          .select(col("doc_id"),
+            col("q.n_tokens").as("n_tokens"),
+            col("q.n_upper").as("n_upper"),
+            col("q.n_digit").as("n_digit"),
+            col("q.n_punct").as("n_punct"),
+            col("q.mean_tok_len").as("mean_tok_len"),
+            col("q.quality").as("quality"))
+          .orderBy(col("doc_id").asc_nulls_first),
+      Some("""SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS INTEGER) AS n_upper,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INTEGER) AS n_digit,
+        |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INTEGER) AS n_punct,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |        / (length(text) - length(replace(text, ' ', '')) + 1), 4) AS mean_tok_len,
+        |  round(greatest(0.0, least(1.0,
+        |    1.0
+        |    - (CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |       / greatest(length(text), 1)) * 2.0
+        |    - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1)
+        |    - CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |                / (length(text) - length(replace(text, ' ', '')) + 1) < 2.0
+        |             OR CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |                / (length(text) - length(replace(text, ' ', '')) + 1) > 12.0
+        |           THEN 0.3 ELSE 0.0 END
+        |    - CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 < 5
+        |           THEN 0.3 ELSE 0.0 END)), 4) AS quality
+        |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // BPE-ish token count via the GPT-2-style pre-tokenizer regex.
+    QDef("l3e_bpeish_tokens",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
+          .orderBy(col("doc_id").asc_nulls_first),
+      Some("""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[[:alpha:]]+| ?[[:digit:]]+| ?[^ [:alpha:][:digit:]]+')) AS INTEGER) AS n_bpeish
+        |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // Language ID heuristic (rows-only; accuracy asserted in spec).
+    QDef("l3f_language_id",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_id"))
+          .orderBy(col("doc_id").asc_nulls_first),
+      None),
+
+    // Rolling-hash document fingerprint (rows-only; stability asserted in spec).
+    QDef("l3g_fingerprint",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+          .orderBy(col("doc_id").asc_nulls_first),
+      None),
+
+    // Multimodal feature extraction over binary payloads (STUB codec,
+    // real mapPartitions plumbing; rows-only + MultimodalSpec).
+    QDef("l4b_multimodal_features",
+      (s, dir) => {
+        val media = Tables(s, dir, "documents").select(
+          col("doc_id").as("id"),
+          element_at(typedlit(Array("image", "audio", "video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+          encode(col("text"), "UTF-8").as("payload"))
+        Multimodal.extractFeatures(media, "id", "kind", "payload")
+          .orderBy(col("id").asc_nulls_first)
+      },
+      None)
+  )
+}
