@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators (SURVEY §2B G1–G5): windowed and
+  * session aggregations with watermarks, stateful dedup, arbitrary
+  * per-key state. Batch-mode equivalents of G1/G2 are oracle-checked in
+  * EventsTime; the time/late-data semantics here are asserted with
+  * MemoryStream harnesses in StreamingSpec.
+  *
+  * Scale notes: every operator keys state by `user_id`-grade keys
+  * (hash-partitioned state store, no global state); watermarks bound
+  * state size; no collect/driver loops.
+  */
+object Streams {
+
+  /** G1+G3: tumbling-window counts with a watermark — late rows beyond
+    * the watermark are dropped; append mode emits only closed windows.
+    * Input needs an event-time column `ts` (TimestampType). */
+  def tumblingCounts(events: DataFrame, window_ : String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** G2: session windows (gap-merged) with watermark. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("sstart"),
+        col("session_window.end").as("send"), col("user_id"), col("n"))
+
+  /** G4: stateful dedup by id within the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class UserEvent(user_id: Long, event_id: Long, value: Double)
+  case class UserCounter(user_id: Long, n_events: Long, total_value: Double)
+
+  /** G5: arbitrary per-key running state via flatMapGroupsWithState —
+    * emits the updated counter on every batch (Update mode). */
+  def runningUserCounters(events: Dataset[UserEvent]): Dataset[UserCounter] = {
+    implicit val counterEnc = Encoders.product[UserCounter]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[UserCounter, UserCounter](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserCounter]) =>
+          val prev = state.getOption.getOrElse(UserCounter(userId, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserCounter(userId, n, tot)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

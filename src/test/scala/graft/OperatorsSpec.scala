@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (2L, 150L, "l3"))
+    .toDF("k", "ts", "tag")
+  private def right = Seq((1L, 100L, 10.0), (1L, 180L, 18.0), (2L, 160L, 16.0))
+    .toDF("k", "ts", "v")
+
+  test("asOf picks latest right at-or-before each left ts") {
+    val out = AsOfJoin.asOf(left, right, "k", "ts", Seq("v"), tieCols = Seq("tag"))
+      .orderBy($"k", $"ts").collect()
+    // (1,100) matches right(1,100) since allowEqual; (1,200) → right(1,180)
+    assert(out.map(r => (r.getAs[Long]("k"), r.getAs[Long]("ts"), r.getAs[Any]("r_v"))).toSeq ==
+      Seq((1L, 100L, 10.0), (1L, 200L, 18.0), (2L, 150L, null)))
+  }
+
+  test("asOf strict (<) excludes same-instant rights") {
+    val out = AsOfJoin.asOf(left, right, "k", "ts", Seq("v"), allowEqual = false)
+      .orderBy($"k", $"ts").collect()
+    assert(out.head.getAs[Any]("r_v") == null) // (1,100) no longer matches
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy cat again and again"), // near-dup of 1
+    (3L, "completely different content about spark query engines at scale"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH finds near and exact dup pairs, not unrelated ones") {
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", numHashes = 64, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), "exact dup must collide in all bands")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      "near dup should collide in some band")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)) && !pairs.contains((3L, 4L)),
+      "unrelated doc must not pair")
+  }
+
+  test("exact jaccard ranks near-dup above unrelated") {
+    val j = docs.as("a").crossJoin(docs.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        Dedup.jaccard($"a.text", $"b.text").as("j"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 2L)) > 0.7 && j((1L, 2L)) < 1.0)
+    assert(j((1L, 3L)) < 0.2)
+  }
+
+  test("simhash hamming distance small for near-dups, large for unrelated") {
+    val fp = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(4L)) == 0)
+    assert(ham(fp(1L), fp(2L)) < ham(fp(1L), fp(3L)))
+    assert(ham(fp(1L), fp(2L)) <= 16)
+    assert(ham(fp(1L), fp(3L)) >= 10)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force top-1 equals manually computed nearest") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val res = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") === 0), emb, k = 3, "vec_id", "embedding").collect()
+    assert(res.length == 3)
+    assert(res.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    val sims = res.map(_.getAs[Double]("sim"))
+    assert(sims.sliding(2).forall(p => p(0) >= p(1)), "ranked by descending sim")
+    assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+  }
+
+  test("LSH ANN achieves reasonable recall vs brute force") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5, "vec_id", "embedding")
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val approx = Similarity.lshTopK(queries, emb, 5, nPlanes = 12, "vec_id", "embedding")
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall@5 was $recall — LSH banding is broken if this is near 0")
+  }
+}
+
+class ApproxSpec extends SparkSpec {
+  test("approx_count_distinct within 5% of exact") {
+    val l = spark.read.parquet(sf("lineitem"))
+    val exact = l.select(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
+    val approx = l.select(approx_count_distinct(col("l_orderkey"), 0.01)).collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("language id picks the stopword-dominant language; CJK override wins") {
+    val df = Seq(
+      ("the cat is in the house and it is happy", "en"),
+      ("der hund ist in den haus und das ist gut", "de"),
+      ("el perro que esta en la casa y el gato", "es"),
+      ("le chat et les chiens est une du jardin", "fr"),
+      ("你好世界 some latin too", "zh"),
+      ("zzz qqq xxx", "und")
+    ).toDF("text", "expected")
+    val out = df.withColumn("got", TextAnalysis.languageId($"text")).collect()
+    out.foreach(r => assert(r.getAs[String]("got") == r.getAs[String]("expected"),
+      s"text '${r.getString(0)}'"))
+  }
+
+  test("quality score penalizes junk") {
+    val df = Seq(
+      "this is a perfectly reasonable sentence with normal words",
+      "a b",
+      "12345 67890 11111 22222 33333").toDF("text")
+    val q = df.select(TextAnalysis.qualityMetrics($"text").getField("quality")).as[Double].collect()
+    assert(q(0) > 0.9)
+    assert(q(1) < q(0)) // too short + short tokens
+    assert(q(2) < 0.5)  // digit-heavy
+  }
+
+  test("bpe-ish token count splits punctuation and contractions") {
+    val df = Seq("don't stop, it's 2024!").toDF("text")
+    val n = df.select(TextAnalysis.bpeishTokenCount($"text")).collect()(0).getInt(0)
+    // don | 't | stop | , | it | 's | 2024 | !
+    assert(n == 8, s"got $n")
+  }
+
+  test("rolling fingerprint is stable and order-sensitive") {
+    val df = Seq("a b c", "a b c", "c b a").toDF("text")
+    val fps = df.select(TextAnalysis.rollingFingerprint($"text")).as[Long].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+    assert(fps.forall(f => f >= 0 && f < 2147483647L))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("feature extraction is deterministic and digest-correct") {
+    val media = Seq(
+      (1L, "image", "hello".getBytes("UTF-8")),
+      (2L, "audio", "world".getBytes("UTF-8")),
+      (3L, "video", "!".getBytes("UTF-8")),
+      (4L, "image", Array.empty[Byte])
+    ).toDF("id", "kind", "payload")
+    val out = Multimodal.extractFeatures(media, "id", "kind", "payload")
+      .orderBy($"id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[String]("digest") ==
+      "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824") // sha256("hello")
+    assert(r1.getAs[Int]("width") > 0 && r1.getAs[Int]("height") > 0)
+    assert(r1.getAs[Long]("duration_ms") == 0L)
+    assert(out(1).getAs[Int]("width") == 0 && out(1).getAs[Long]("duration_ms") >= 0)
+    assert(out(2).getAs[Long]("duration_ms") >= 0)
+    assert(out(3).getAs[Long]("n_bytes") == 0L)
+    // determinism: second run identical
+    val again = Multimodal.extractFeatures(media, "id", "kind", "payload")
+      .orderBy($"id").collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+}
