@@ -25,10 +25,24 @@ object Dedup {
         concat_ws(" ", (0 until n).map(j => element_at(toks, (i + j + 1).cast("int"))): _*))))
   }
 
-  /** MinHash signature: `sig[h] = min over shingles of xxhash64(s, h)`. */
-  def minHashSignature(text: Column, numHashes: Int): Column =
+  /** Base 64-bit hash of each shingle — computed ONCE per row; the
+    * per-plane minhashes are derived from these longs with cheap integer
+    * re-hashing (xxhash64 on a long is codegen'd), never re-touching the
+    * strings. This is the difference between O(shingles) and
+    * O(shingles × numHashes) string work per row. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    transform(shingles(text, n), sh => xxhash64(sh))
+
+  /** MinHash signature over pre-hashed shingles:
+    * `sig[h] = min over x of xxhash64(x, h)`. */
+  def minHashSignatureFromHashes(hashes: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)), h =>
-      array_min(transform(shingles(text), sh => xxhash64(sh, h))))
+      array_min(transform(hashes, x => xxhash64(x, h))))
+
+  /** MinHash signature straight from text (convenience; prefer
+    * materializing [[shingleHashes]] once when banding follows). */
+  def minHashSignature(text: Column, numHashes: Int): Column =
+    minHashSignatureFromHashes(shingleHashes(text), numHashes)
 
   /** LSH banding: candidate pairs (d1 < d2) that collide in ≥1 band.
     * Output: (d1, d2, n_bands) where n_bands counts colliding bands. */
@@ -40,8 +54,17 @@ object Dedup {
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = df.select(col(idCol).as("id"),
-      minHashSignature(col(textCol), numHashes).as("sig"))
+    // Two jobs done by one exchange: (1) a small parquet input arrives
+    // as one split — spread the CPU-heavy signature stage across cores
+    // (on a real cluster this is a cheap round-robin of already-
+    // distributed data); (2) the shuffle is a projection barrier, so the
+    // string-shingle hashes below it are computed exactly ONCE per row —
+    // CollapseProject would otherwise re-inline them into the 64-way
+    // signature lambda (HOF lambdas re-evaluate per element, no CSE).
+    val sig = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), minHashSignatureFromHashes(col("sh"), numHashes).as("sig"))
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(slice(col("sig"), b * r + 1, lit(r)), lit(42)))))
@@ -67,26 +90,37 @@ object Dedup {
     * (Per-bit independent hashes rather than bit-slicing one hash — the
     * Column API has no variable-shift, and independent hashes are the
     * statistically cleaner variant anyway.) */
-  def simHashBits(text: Column): Column = {
-    val toks = array_distinct(split(text, " "))
+  /** Per-bit signs from PRE-HASHED tokens (longs). Callers must
+    * materialize the hash array as its own column first — a Column
+    * subexpression referenced inside the 64-iteration lambda would be
+    * re-evaluated per bit (HOF lambdas don't CSE). */
+  def simHashBitsFromHashes(tokHashes: Column): Column =
     transform(sequence(lit(0), lit(63)), j =>
-      when(aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(xxhash64(t, j) > 0, 1L).otherwise(-1L)
+      when(aggregate(tokHashes, lit(0L), (acc, x) =>
+        acc + when(xxhash64(x, j) > 0, 1L).otherwise(-1L)
       ) > 0, 1L).otherwise(0L))
-  }
+
+  def simHashBits(text: Column): Column =
+    simHashBitsFromHashes(transform(array_distinct(split(text, " ")), t => xxhash64(t)))
 
   private val pow2: Array[Long] = Array.tabulate(64)(j => 1L << j)
 
   /** Fold SimHash bits into a single signed 64-bit fingerprint
     * (bit-weights via a literal power-of-two table + bitwise OR — no
     * overflow, ANSI-safe). */
-  def simHashFingerprint(text: Column): Column =
-    aggregate(
-      zip_with(simHashBits(text), typedlit(pow2), (b, p) => b * p),
+  private def foldBits(bits: Column): Column =
+    aggregate(zip_with(bits, typedlit(pow2), (b, p) => b * p),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
 
+  def simHashFingerprint(text: Column): Column = foldBits(simHashBits(text))
+
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), simHashFingerprint(col(textCol)).as("simhash"))
+    // same shuffle-as-projection-barrier trick as minHashLshPairs: token
+    // hashes are computed once below the exchange, not 64× per row
+    df.select(col(idCol),
+        transform(array_distinct(split(col(textCol), " ")), t => xxhash64(t)).as("__th"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), foldBits(simHashBitsFromHashes(col("__th"))).as("simhash"))
 
   /** Hamming distance between two SimHash fingerprints. */
   def hamming(f1: Column, f2: Column): Column = bit_count(f1.bitwiseXOR(f2))
