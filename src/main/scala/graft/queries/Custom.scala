@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sources.AvroIO
+
+/** Custom extension points (SURVEY §2B U1/U3, S4): scalar UDF (with the
+  * native-rewrite cross-check as the oracle), typed flatMap generator
+  * (UDTF shape), Avro scan.
+  */
+object Custom extends QGroup {
+
+  def defs: Seq[QDef] = Seq(
+
+    // U1: scalar Scala UDF — semantically identical to a built-in
+    // composition, which is exactly what the oracle checks (and why
+    // production code should prefer the codegen'd built-in: same result,
+    // no serialization fence).
+    QDef("u1_scalar_udf",
+      (s, dir) => {
+        val revLower = udf((x: String) => if (x == null) null else x.toLowerCase.reverse)
+        Tables(s, dir, "part")
+          .select(col("p_partkey"), revLower(col("p_name")).as("rev_name"))
+          .orderBy(col("p_partkey").asc_nulls_first)
+      },
+      Some("""SELECT p_partkey, reverse(lower(p_name)) AS rev_name
+        |FROM part ORDER BY p_partkey ASC NULLS FIRST""".stripMargin)),
+
+    // U3: generator (1 row → N) via typed Dataset flatMap.
+    QDef("u3_flatmap_generator",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .flatMap { case (id, text) =>
+            text.split(" ").iterator.zipWithIndex.map { case (t, i) => (id, i + 1, t) }
+          }
+          .toDF("doc_id", "idx1", "tok")
+          .orderBy(col("doc_id").asc_nulls_first, col("idx1").asc_nulls_first)
+      },
+      Some("""SELECT doc_id, i AS idx1, string_split(text, ' ')[i] AS tok
+        |FROM documents, LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS i)
+        |ORDER BY doc_id ASC NULLS FIRST, idx1 ASC NULLS FIRST""".stripMargin)),
+
+    // S4: Avro container scan (reference R7 fixture; DuckDB has no Avro
+    // reader → rows-only, full value checks in AvroIOSpec).
+    QDef("s4_avro_scan",
+      (s, _) =>
+        AvroIO.read(s, "/root/reference/3records.1.AVRO")
+          .orderBy(col("id").asc_nulls_first),
+      None)
+  )
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries._
+
+/** Physical-plan audits (the 100 TB posture checks): filters reach the
+  * parquet scan, projections prune the read schema, dimension joins
+  * broadcast, fact-fact joins shuffle on keys, aggregates are two-phase
+  * (map-side partial). A plan regression here is a scale bug even when
+  * results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("a1: shipdate filter is pushed to the parquet scan") {
+    val p = planOf("a1_agg_q1")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("HashAggregate"), p)
+    // two-phase agg: partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial aggregation missing")
+  }
+
+  test("p1: read schema is pruned to selected columns") {
+    val p = planOf("p1_project_rename")
+    assert(p.contains("ReadSchema"), p)
+    val read = p.split("ReadSchema:")(1).split("\n")(0)
+    assert(read.contains("c_custkey") && read.contains("c_name") && read.contains("c_acctbal"))
+    assert(!read.contains("c_nationkey") && !read.contains("c_mktsegment"),
+      s"over-read: $read")
+  }
+
+  test("j1: dimension join is a broadcast hash join") {
+    assert(planOf("j1_broadcast_join").contains("BroadcastHashJoin"))
+  }
+
+  test("j2: fact-fact join shuffles on the key (no broadcast of a fact)") {
+    val p = planOf("j2_shuffle_join")
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("j5: bounded theta join plans as broadcast nested loop") {
+    assert(planOf("j5_theta_join").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("j7: star join broadcasts small dims and keeps facts shuffled") {
+    val p = planOf("j7_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, "nation+region should broadcast")
+    assert(p.contains("Exchange hashpartitioning"), "fact-fact side should shuffle")
+  }
+
+  test("l2: brute-force cosine broadcasts the query side only") {
+    val p = planOf("l2_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("j8: as-of join is one hash exchange + window, no range join blowup") {
+    val p = planOf("j8_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "as-of must not plan a cross/range product")
+  }
+
+  test("whole-stage codegen covers the scalar pipelines") {
+    // AQE reveals codegen spans only in the final (post-execution) plan,
+    // and only on the same QueryExecution the action ran on
+    val df = SparkEntry.queries("x4_conditional_scalars")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark WholeStageCodegen spans in simpleString
+    assert(p.contains("*(1)"), p)
+    assert(p.contains("*(1) Project") || p.contains("*(2) Project"),
+      "scalar projection must sit inside a codegen span")
+  }
+
+  test("count(*) over parquet compiles to a metadata-friendly scan") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet").groupBy().count()
+    val p = df.queryExecution.executedPlan.toString
+    // column-pruned empty schema scan — the reader serves row counts
+    // from row-group metadata without materializing columns
+    assert(p.contains("ReadSchema: struct<>"), p)
+  }
+}
