@@ -28,10 +28,23 @@ object Dedup {
   /** Base 64-bit hash of each shingle — computed ONCE per row; the
     * per-plane minhashes are derived from these longs with cheap integer
     * re-hashing (xxhash64 on a long is codegen'd), never re-touching the
-    * strings. This is the difference between O(shingles) and
-    * O(shingles × numHashes) string work per row. */
-  def shingleHashes(text: Column, n: Int = 3): Column =
-    transform(shingles(text, n), sh => xxhash64(sh))
+    * strings. Shingle hashes are themselves built from per-token hashes
+    * (`xxhash64(h[i], h[i+1], h[i+2])`), so each token's string is
+    * hashed exactly once regardless of shingle overlap — zero string
+    * concatenation, O(tokens) string work total. */
+  def shingleHashes(text: Column, n: Int = 3): Column = {
+    require(n == 3, "token-hash shingling is specialized to n=3")
+    // zip_with over shifted slices, NOT element_at inside a lambda: a
+    // lambda body re-evaluates referenced non-lambda expressions per
+    // element (no CSE), which would make this O(tokens²) per row. HOF
+    // *arguments* are evaluated once per row.
+    def th = transform(split(text, " "), t => xxhash64(t))
+    val m = size(th) - 2
+    val h12 = zip_with(slice(th, lit(1), m), slice(th, lit(2), m), (a, b) => xxhash64(a, b))
+    val h123 = zip_with(h12, slice(th, lit(3), m), (a, b) => xxhash64(a, b))
+    when(size(split(text, " ")) < n, array(xxhash64(text)))
+      .otherwise(array_distinct(h123))
+  }
 
   /** MinHash signature over pre-hashed shingles:
     * `sig[h] = min over x of xxhash64(x, h)`. */

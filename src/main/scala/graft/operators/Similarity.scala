@@ -21,11 +21,15 @@ object Similarity {
   /** Cosine similarity between two float-array columns, computed in
     * double with left-to-right accumulation (deterministic). */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => (x * y).cast("double")),
+    // cast each float to double BEFORE multiplying — matches both the
+    // native CosineSimilarity expression and DuckDB's ::DOUBLE[] oracle
+    // bit-for-bit (a float×float multiply rounds differently)
+    def d(x: Column) = x.cast("double")
+    val dot = aggregate(zip_with(a, b, (x, y) => d(x) * d(y)),
       lit(0.0), (acc, x) => acc + x)
-    val na = aggregate(transform(a, x => (x * x).cast("double")),
+    val na = aggregate(transform(a, x => d(x) * d(x)),
       lit(0.0), (acc, x) => acc + x)
-    val nb = aggregate(transform(b, x => (x * x).cast("double")),
+    val nb = aggregate(transform(b, x => d(x) * d(x)),
       lit(0.0), (acc, x) => acc + x)
     dot / (sqrt(na) * sqrt(nb))
   }
@@ -37,13 +41,21 @@ object Similarity {
       corpus: DataFrame,
       k: Int,
       idCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String,
+      useNativeExpr: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc_nulls_last, col("n_id").asc_nulls_first)
+    // native codegen'd expression by default (bit-identical to the HOF
+    // composition, ~no per-element lambda dispatch in the O(|q|·|c|·dim)
+    // hot loop); HOF kept as the cross-check path.
+    val simExpr =
+      if (useNativeExpr)
+        graft.GraftFunctions.cosineNative(queries.sparkSession, col("q_vec"), col("n_vec"))
+      else cosine(col("q_vec"), col("n_vec"))
     c.join(broadcast(q), col("n_id") =!= col("q_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("sim", simExpr)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))

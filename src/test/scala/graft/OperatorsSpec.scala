@@ -93,6 +93,39 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class NativeExprSpec extends SparkSpec {
+
+  test("native graft_cosine is bit-identical to the HOF composition") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val q = emb.filter(col("vec_id") < 5)
+    val native = Similarity.bruteForceTopK(q, emb, 10, "vec_id", "embedding", useNativeExpr = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val hof = Similarity.bruteForceTopK(q, emb, 10, "vec_id", "embedding", useNativeExpr = false)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(native.toSeq == hof.toSeq, "same order, same exact doubles")
+  }
+
+  test("graft_cosine registers via SparkSessionExtensions and via SQL") {
+    graft.GraftFunctions.ensureRegistered(spark)
+    val out = spark.sql(
+      s"SELECT graft_cosine(a.embedding, b.embedding) AS s " +
+        s"FROM parquet.`${sf("embeddings")}` a JOIN parquet.`${sf("embeddings")}` b " +
+        "ON a.vec_id = 1 AND b.vec_id = 1").collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12, "self-similarity = 1")
+  }
+
+  test("graft_cosine null and mismatched-length behavior") {
+    graft.GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                    array(CAST(1.0 AS FLOAT))) AS prefix,
+        |       graft_cosine(CAST(NULL AS ARRAY<FLOAT>),
+        |                    array(CAST(1.0 AS FLOAT))) AS nullin""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 1.0) // common prefix [1.0]·[1.0]
+    assert(r.isNullAt(1))
+  }
+}
+
 class ApproxSpec extends SparkSpec {
   test("approx_count_distinct within 5% of exact") {
     val l = spark.read.parquet(sf("lineitem"))
