@@ -39,6 +39,22 @@ object ParquetIO {
     w.parquet(path)
   }
 
+  /** Bucketed table write: pre-shuffles once at write time so every
+    * future equi-join/aggregation on `keys` is exchange-free (the
+    * co-located-join strategy for repeatedly-joined 100 TB fact tables;
+    * bucket counts should match across tables joined together). */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      buckets: Int,
+      keys: Seq[String],
+      mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("compression", "snappy")
+      .saveAsTable(table)
+
   /** Drill's corrupt-date shift: 2 × 2440588 days
     * (ParquetReaderUtility.java:39). */
   val CorrectCorruptDateShiftDays: Int = 2 * 2440588

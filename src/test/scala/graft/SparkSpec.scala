@@ -13,6 +13,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
     .getOrCreate()
 
   def sf(name: String): String = s"/root/testdata/sf0.001/$name.parquet"
