@@ -61,6 +61,56 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path (SURVEY L2):
+    * partition the corpus into `nList` cells by nearest centroid, search
+    * only the `nProbe` nearest cells per query. Centroids are
+    * deterministic hash-sampled corpus vectors (lowest xxhash64 of id) —
+    * a k-means pass would tighten cells but costs iterations and
+    * run-to-run drift; swap trained centroids in when available.
+    *
+    * Scale shape: assignment is corpus × nList broadcast similarity (a
+    * narrow map — nList vectors fit in every executor), then the
+    * candidate join is per-cell (shuffle on cell id), so each corpus row
+    * is compared against only the queries probing its cell.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nList: Int,
+      nProbe: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val cents = corpus
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .orderBy(xxhash64(col("c_id")).asc_nulls_first, col("c_id").asc_nulls_first)
+      .limit(nList)
+
+    def assign(df: DataFrame, idAs: String, vecAs: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idAs))
+        .orderBy(col("__csim").desc_nulls_last, col("c_id").asc_nulls_first)
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+        .crossJoin(broadcast(cents))
+        .withColumn("__csim", cosine(col(vecAs), col("c_vec")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= keep)
+        .select(col(idAs), col(vecAs), col("c_id").as("cell"))
+    }
+
+    val corpusCells = assign(corpus, "n_id", "n_vec", keep = 1)
+    val queryCells = assign(queries, "q_id", "q_vec", keep = nProbe)
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc_nulls_last, col("n_id").asc_nulls_first)
+    queryCells.join(corpusCells, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * uniform in [-1, 1), derived from xxhash64 — no rand(), so plans are
     * reproducible across runs and engines. */

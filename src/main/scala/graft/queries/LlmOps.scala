@@ -152,6 +152,19 @@ object LlmOps extends QGroup {
       },
       None),
 
+    // L2c: IVF ANN (deterministic hash-sampled centroids; recall vs
+    // brute force asserted in SimilaritySpec — rows-only here).
+    QDef("l2c_ann_ivf",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.ivfTopK(
+          emb.filter(col("vec_id") < 20), emb, k = 5, nList = 16, nProbe = 4,
+          idCol = "vec_id", vecCol = "embedding")
+          .select(col("q_id"), col("rank"), col("n_id"))
+          .orderBy(col("q_id").asc_nulls_first, col("rank").asc_nulls_first)
+      },
+      None),
+
     // L3: per-document text statistics (integer-only output).
     QDef("l3_text_stats",
       (s, dir) =>

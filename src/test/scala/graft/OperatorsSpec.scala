@@ -81,6 +81,20 @@ class SimilaritySpec extends SparkSpec {
     assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
   }
 
+  test("IVF ANN achieves reasonable recall and is deterministic") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5, "vec_id", "embedding")
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    def run() = Similarity.ivfTopK(queries, emb, 5, nList = 16, nProbe = 4,
+      "vec_id", "embedding")
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val ivf = run()
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall@5 was $recall")
+    assert(run() == ivf, "IVF must be run-to-run deterministic")
+  }
+
   test("LSH ANN achieves reasonable recall vs brute force") {
     val emb = spark.read.parquet(sf("embeddings"))
     val queries = emb.filter(col("vec_id") < 10)
