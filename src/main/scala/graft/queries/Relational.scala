@@ -53,6 +53,59 @@ object Relational extends QGroup {
   def defs: Seq[QDef] = Seq(
     QDef("a1_agg_q1", q1, Some(q1Sql), headline = true),
 
+    // A1b: TPC-H Q3 shape — selective filters on two tables, fact-fact
+    // join, aggregate, top-k by revenue.
+    QDef("a1b_q3_shape",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val l = Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+            .as("revenue"))
+          .orderBy(col("revenue").desc_nulls_last, col("o_orderkey").asc_nulls_first)
+          .limit(20)
+      },
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY o_orderkey, odate
+        |ORDER BY revenue DESC NULLS LAST, o_orderkey ASC NULLS FIRST
+        |LIMIT 20""".stripMargin),
+      headline = true),
+
+    // W1b: distribution windows — ntile, percent_rank, cume_dist (exact
+    // rational doubles: identical arithmetic on both engines).
+    QDef("w1b_distribution_window",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+        Tables(s, dir, "orders").select(
+          col("o_orderstatus"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"), // DuckDB NTILE → BIGINT
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+      },
+      Some("""SELECT o_orderstatus, o_orderkey,
+        |  NTILE(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin)),
+
     // S1: full scan incl. timestamp rendering — row/hash parity of the raw table.
     QDef("s1_scan_lineitem",
       (s, dir) =>

@@ -69,6 +69,84 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream: parquet dir → windowed agg → memory sink") {
+    // end-to-end with a real file source (not MemoryStream): files
+    // dropped into a directory are discovered, windowed, and aggregated
+    val srcDir = tmpDir("graft-stream-src")
+    val ckpt = tmpDir("graft-stream-ckpt")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+
+    def writeBatch(path: String, evs: Ev*): Unit =
+      spark.createDataFrame(
+        java.util.Arrays.asList(evs.map(e =>
+          org.apache.spark.sql.Row(e.event_id, e.ts, e.user_id, e.event_type, e.value)): _*),
+        schema).repartition(1).write.mode("overwrite").parquet(path)
+
+    writeBatch(s"$srcDir/b1", ev(1, 1), ev(2, 5))
+    val stream = spark.readStream.schema(schema).parquet(s"$srcDir/*")
+    val q = Streams.tumblingCounts(stream, "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("gfile").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      writeBatch(s"$srcDir/b2", ev(3, 25), ev(4, 45))
+      q.processAllAvailable()
+      writeBatch(s"$srcDir/b3", ev(5, 59))
+      q.processAllAvailable()
+      val rows = spark.table("gfile").collect()
+      val w0 = rows.filter(_.getAs[Timestamp]("wstart").toString.contains("00:00:00"))
+      assert(w0.length == 1 && w0.head.getAs[Long]("n") == 2)
+    } finally q.stop()
+  }
+
+  test("G5b: transformWithState (Spark 4 arbitrary-state API) running counters") {
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    class Counter extends StatefulProcessor[Long, Streams.UserEvent, Streams.UserCounter] {
+      @transient private var state: ValueState[Streams.UserCounter] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[Streams.UserCounter](
+          "counter", Encoders.product[Streams.UserCounter], TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[Streams.UserEvent],
+          timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Streams.UserCounter] = {
+        val prev = Option(state.get()).getOrElse(Streams.UserCounter(key, 0L, 0.0))
+        var n = prev.n_events
+        var tot = prev.total_value
+        rows.foreach { e => n += 1; tot += e.value }
+        val next = Streams.UserCounter(key, n, tot)
+        state.update(next)
+        Iterator(next)
+      }
+    }
+
+    // transformWithState needs the RocksDB state store (column families)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Streams.UserEvent](spark, 1)
+    val out = in.toDS()
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new Counter, org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())(Encoders.product[Streams.UserCounter])
+    val q = out.writeStream.format("memory").queryName("g5b").outputMode("update").start()
+    try {
+      in.addData(Streams.UserEvent(1, 1, 10.0), Streams.UserEvent(1, 2, 5.0))
+      q.processAllAvailable()
+      in.addData(Streams.UserEvent(1, 3, 1.0))
+      q.processAllAvailable()
+      val last = spark.table("g5b").collect()
+        .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).maxBy(_._1)
+      assert(last == ((3L, 16.0)))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("G2 streaming session windows merge within gap") {
     val in = MemoryStream[Ev](spark, 1)
     val q = Streams.sessionCounts(in.toDF(), "10 minutes", "5 minutes")
