@@ -97,6 +97,45 @@ object Aggregates extends QGroup {
         |FROM lineitem WHERE l_orderkey < 100
         |GROUP BY l_orderkey ORDER BY l_orderkey ASC NULLS FIRST""".stripMargin)),
 
+    // A7: pivot (wide aggregation) — oracle as FILTERed aggregates.
+    QDef("a7_pivot",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(sum(col("l_quantity").cast(dec)))
+          .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+          .orderBy(col("l_returnflag").asc_nulls_first),
+      Some("""SELECT l_returnflag,
+        |  SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (l_linestatus = 'F') AS qty_f,
+        |  SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (l_linestatus = 'O') AS qty_o
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
+
+    // A8: order-insensitive statistics — variance/stddev/covariance via
+    // explicit decimal moment sums (the built-in stddev's streaming
+    // accumulation is order-dependent across engines; moments are not).
+    QDef("a8_stats_moments",
+      (s, dir) => {
+        val x = col("l_quantity").cast(dec)
+        val x2 = (col("l_quantity") * col("l_quantity")).cast(dec)
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x2).as("sxx"))
+          .select(col("l_returnflag"), col("n"),
+            ((col("sxx").cast("double") - col("sx").cast("double") *
+              col("sx").cast("double") / col("n")) / (col("n") - 1)).as("var_samp"))
+          .orderBy(col("l_returnflag").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, n,
+        |  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS var_samp
+        |FROM (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sx,
+        |    SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag) t
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
+
     // U2: custom typed Aggregator — exact median vs DuckDB median.
     QDef("u2_median_udaf",
       (s, dir) => {

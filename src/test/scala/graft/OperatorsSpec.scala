@@ -141,6 +141,16 @@ class NativeExprSpec extends SparkSpec {
 }
 
 class ApproxSpec extends SparkSpec {
+  test("moment-based var_samp matches Spark's native var_samp") {
+    val got = SparkEntry.queries("a8_stats_moments")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val native = spark.read.parquet(sf("lineitem"))
+      .groupBy(col("l_returnflag")).agg(var_samp(col("l_quantity")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((k, v) <- native)
+      assert(math.abs(got(k) - v) / v < 1e-9, s"$k: moments=${got(k)} native=$v")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val l = spark.read.parquet(sf("lineitem"))
     val exact = l.select(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
