@@ -113,6 +113,63 @@ object LlmOps extends QGroup {
           .orderBy(col("doc_id").asc_nulls_first),
       None),
 
+    // L1f: embedding-cosine near-dup pairs (the vector-space dedup
+    // method; threshold applied on the 6dp-rounded sim on both sides).
+    QDef("l1f_embedding_dedup",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings").filter(col("vec_id") < 100)
+        val a = emb.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+        val b = emb.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+        a.join(broadcast(b), col("d1") < col("d2"))
+          .withColumn("sim6",
+            round(graft.GraftFunctions.cosineNative(s, col("e1"), col("e2")), 6))
+          .filter(col("sim6") >= 0.35)
+          .select(col("d1"), col("d2"), col("sim6"))
+          .orderBy(col("d1").asc_nulls_first, col("d2").asc_nulls_first)
+      },
+      Some("""SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim6
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 100 AND b.vec_id < 100
+        |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+        |ORDER BY d1 ASC NULLS FIRST, d2 ASC NULLS FIRST""".stripMargin)),
+
+    // L5: composed training-data-prep pipeline — exact dedup → quality +
+    // language gates → per-(lang, source) corpus statistics. The
+    // one-query version of what a 100 TB preprocessing job does.
+    QDef("l5_prep_pipeline",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val canonical = d.groupBy(sha2(col("text"), 256).as("digest"))
+          .agg(min(col("doc_id")).as("keep_id"))
+        val kept = d.join(canonical, col("doc_id") === col("keep_id"), "left_semi")
+        kept
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .filter(col("n_tokens") >= 20 && col("lang").isin("en", "de", "es"))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("total_tokens"),
+            min(col("n_tokens")).as("min_tokens"),
+            max(col("n_tokens")).as("max_tokens"))
+          .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+      },
+      Some("""WITH canonical AS (
+        |  SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY sha256(text)
+        |), kept AS (
+        |  SELECT * FROM documents WHERE doc_id IN (SELECT keep_id FROM canonical)
+        |), tok AS (
+        |  SELECT lang, source, len(string_split(text, ' ')) AS n_tokens FROM kept
+        |)
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
+        |  CAST(MIN(n_tokens) AS INTEGER) AS min_tokens,
+        |  CAST(MAX(n_tokens) AS INTEGER) AS max_tokens
+        |FROM tok
+        |WHERE n_tokens >= 20 AND lang IN ('en','de','es')
+        |GROUP BY lang, source
+        |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin),
+      headline = true),
+
     // L2: brute-force cosine top-k (query side broadcast; ranking-only
     // output — each engine computes its own double cosine, rankings agree
     // and raw sims are checked to 6 dp).
