@@ -35,12 +35,11 @@ object Engine {
 
   /** The driver's synthetic star schema (TESTDATA.md). */
   object tables {
-    val all: Seq[String] = Seq(
-      "region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
+    def all: Seq[String] = Tables.names
   }
 
-  /** Read one testdata table from an sf dir. */
+  /** Read one testdata table from an sf dir (delegates to [[Tables]],
+    * which owns the TIMESTAMP(NANOS) quirk handling). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    Tables(spark, sfDir, name)
 }

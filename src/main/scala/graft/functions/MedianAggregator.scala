@@ -14,16 +14,19 @@ import org.apache.spark.sql.expressions.Aggregator
   * in one place, so this aggregator's memory is O(group size), which is
   * the honest contract for an *exact* result.
   */
-object MedianAggregator extends Aggregator[Double, Array[Double], Double] {
-  def zero: Array[Double] = Array.empty
-  def reduce(b: Array[Double], a: Double): Array[Double] = b :+ a
-  def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = b1 ++ b2
-  def finish(b: Array[Double]): Double = {
+object MedianAggregator extends Aggregator[Double, List[Double], Double] {
+  // List prepend keeps reduce/merge O(1) per call (an Array `:+` would
+  // copy the whole buffer per row — O(n²) per group)
+  def zero: List[Double] = Nil
+  def reduce(b: List[Double], a: Double): List[Double] = a :: b
+  def merge(b1: List[Double], b2: List[Double]): List[Double] = b1 reverse_::: b2
+  def finish(b: List[Double]): Double = {
     if (b.isEmpty) return Double.NaN
-    val s = b.sorted
+    val s = b.toArray
+    java.util.Arrays.sort(s)
     val n = s.length
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
-  def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  def bufferEncoder: Encoder[List[Double]] = ExpressionEncoder[List[Double]]()
   def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }

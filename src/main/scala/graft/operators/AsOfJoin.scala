@@ -34,8 +34,15 @@ object AsOfJoin {
     // left row can see a same-instant right.
     val (lSide, rSide) = if (allowEqual) (1, 0) else (0, 1)
 
-    val rPrep = right.select(
-      (Seq(col(key), col(ts)) ++ rightPayload.map(c => col(c).as(s"r_$c"))): _*)
+    // The payload travels as ONE struct so `last(..., ignoreNulls)` picks
+    // every field from the SAME right row — per-column lasts would stitch
+    // fields from different rows when a payload column is NULL (DuckDB
+    // ASOF returns the matched row as-is, NULLs included). Right rows
+    // with NULL ts can never satisfy `r.ts <= l.ts` and are dropped.
+    val rPrep = right
+      .filter(col(ts).isNotNull)
+      .select(col(key), col(ts),
+        struct(rightPayload.map(c => col(c).as(c)): _*).as("__r_payload"))
       .withColumn("__side", lit(rSide))
     val lPrep = left.withColumn("__side", lit(lSide))
 
@@ -46,9 +53,11 @@ object AsOfJoin {
     val w = Window.partitionBy(col(key)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val withPayload = rightPayload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"r_$c", last(col(s"r_$c"), ignoreNulls = true).over(w))
-    }
-    withPayload.filter(col("__side") === lit(lSide)).drop("__side")
+    val matched = unioned
+      .withColumn("__match", last(col("__r_payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === lit(lSide))
+    rightPayload.foldLeft(matched) { (df, c) =>
+      df.withColumn(s"r_$c", col(s"__match.$c"))
+    }.drop("__side", "__r_payload", "__match")
   }
 }

@@ -34,7 +34,9 @@ object Custom extends QGroup {
         Tables(s, dir, "documents")
           .select(col("doc_id"), col("text")).as[(Long, String)]
           .flatMap { case (id, text) =>
-            text.split(" ").iterator.zipWithIndex.map { case (t, i) => (id, i + 1, t) }
+            // limit -1 keeps trailing empty tokens (matches DuckDB
+            // string_split and Spark SQL split; Java's default drops them)
+            text.split(" ", -1).iterator.zipWithIndex.map { case (t, i) => (id, i + 1, t) }
           }
           .toDF("doc_id", "idx1", "tok")
           .orderBy(col("doc_id").asc_nulls_first, col("idx1").asc_nulls_first)

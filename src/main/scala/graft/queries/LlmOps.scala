@@ -289,7 +289,7 @@ object LlmOps extends QGroup {
           .orderBy(col("doc_id").asc_nulls_first)
       },
       Some("""SELECT doc_id, md5(text) AS payload_md5,
-        |  CAST(length(text) AS INTEGER) AS payload_bytes,
+        |  CAST(strlen(text) AS INTEGER) AS payload_bytes,
         |  lang, n_chars
         |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
   )

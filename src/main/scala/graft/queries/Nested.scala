@@ -90,7 +90,10 @@ object Nested extends QGroup {
           round(aggregate(transform(col("embedding"), x => x.cast("double")),
             lit(0.0), (acc, x) => acc + x), 6).as("sum6"),
           round(aggregate(
-            zip_with(col("embedding"), col("embedding"), (a, b) => (a * b).cast("double")),
+            // cast BEFORE multiplying — float×float rounds differently
+            // than the oracle's CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+            zip_with(col("embedding"), col("embedding"),
+              (a, b) => a.cast("double") * b.cast("double")),
             lit(0.0), (acc, x) => acc + x), 6).as("norm_sq6"))
           .orderBy(col("vec_id").asc_nulls_first),
       Some("""SELECT vec_id,

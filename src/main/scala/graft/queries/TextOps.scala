@@ -60,7 +60,7 @@ object TextOps extends QGroup {
           .orderBy(col("doc_id").asc_nulls_first),
       Some("""SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,
-        |    '''(?:s|t|re|ve|m|ll|d)| ?[[:alpha:]]+| ?[[:digit:]]+| ?[^ [:alpha:][:digit:]]+')) AS INTEGER) AS n_bpeish
+        |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS INTEGER) AS n_bpeish
         |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
     // Language ID heuristic (rows-only; accuracy asserted in spec).

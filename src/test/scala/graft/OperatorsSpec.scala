@@ -24,6 +24,25 @@ class AsOfJoinSpec extends SparkSpec {
       .orderBy($"k", $"ts").collect()
     assert(out.head.getAs[Any]("r_v") == null) // (1,100) no longer matches
   }
+
+  test("asOf payload is atomic: NULL fields come from the matched row, not older rows") {
+    // right rows: (ts=10, sid=A, v=7.0) then (ts=20, sid=B, v=NULL) —
+    // a left row at ts=30 must see (B, NULL), never a stitched (B, 7.0)
+    val l = Seq((1L, 30L)).toDF("k", "ts")
+    val r = Seq((1L, 10L, "A", Some(7.0)), (1L, 20L, "B", None))
+      .toDF("k", "ts", "sid", "v")
+    val out = AsOfJoin.asOf(l, r, "k", "ts", Seq("sid", "v")).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("r_sid") == "B")
+    assert(out.head.getAs[Any]("r_v") == null, "NULL must come from row B")
+  }
+
+  test("asOf ignores right rows with NULL ts (never matches, like SQL <=)") {
+    val l = Seq((1L, 30L)).toDF("k", "ts")
+    val r = Seq((1L, Option.empty[Long], 9.0)).toDF("k", "ts", "v")
+    val out = AsOfJoin.asOf(l, r, "k", "ts", Seq("v")).collect()
+    assert(out.head.getAs[Any]("r_v") == null)
+  }
 }
 
 class DedupSpec extends SparkSpec {
