@@ -26,6 +26,20 @@ object Nested extends QGroup {
       },
       None),
 
+    // F1b: flatten over an all-string/integer table — oracle-checkable
+    // (no float→string rendering involved).
+    QDef("f1b_flatten_documents",
+      (s, dir) => {
+        val flat = Flatten.flattenToMultimap(Tables(s, dir, "documents"))
+        flat.orderBy(element_at(col("`doc_id`"), 1).cast("long").asc_nulls_first)
+      },
+      Some("""SELECT * FROM (
+        |  SELECT [CAST(doc_id AS VARCHAR)] AS doc_id, [text] AS text,
+        |    [lang] AS lang, [source] AS source,
+        |    [CAST(n_chars AS VARCHAR)] AS n_chars
+        |  FROM documents) t
+        |ORDER BY CAST(doc_id[1] AS BIGINT) ASC NULLS FIRST""".stripMargin)),
+
     // F2: deep-structure stringify (struct → JSON string).
     QDef("f2_stringify_deep",
       (s, dir) => {

@@ -124,6 +124,23 @@ object Scalars extends QGroup {
         |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
         |  qty_int ASC NULLS FIRST, price_dec ASC NULLS FIRST""".stripMargin)),
 
+    // X6b: VARIANT (Spark 4 semi-structured type) — parse once, extract
+    // typed fields; oracle via DuckDB JSON operators.
+    QDef("x6b_variant",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .withColumn("v", parse_json(col("props")))
+          .select(col("event_id"),
+            try_variant_get(col("v"), "$.k", "int").as("k_int"),
+            try_variant_get(col("v"), "$.k", "string").as("k_str"),
+            try_variant_get(col("v"), "$.missing", "int").as("k_missing"))
+          .orderBy(col("event_id").asc_nulls_first),
+      Some("""SELECT event_id,
+        |  CAST(props->>'$.k' AS INTEGER) AS k_int,
+        |  props->>'$.k' AS k_str,
+        |  CAST(NULL AS INTEGER) AS k_missing
+        |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin)),
+
     // X6: JSON extraction from the events.props string column.
     QDef("x6_json_scalars",
       (s, dir) =>
