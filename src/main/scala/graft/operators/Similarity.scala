@@ -91,7 +91,8 @@ object Similarity {
         .orderBy(col("__csim").desc_nulls_last, col("c_id").asc_nulls_first)
       df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
         .crossJoin(broadcast(cents))
-        .withColumn("__csim", cosine(col(vecAs), col("c_vec")))
+        .withColumn("__csim",
+          graft.GraftFunctions.cosineNative(df.sparkSession, col(vecAs), col("c_vec")))
         .withColumn("__r", row_number().over(w))
         .filter(col("__r") <= keep)
         .select(col(idAs), col(vecAs), col("c_id").as("cell"))
@@ -105,7 +106,8 @@ object Similarity {
     queryCells.join(corpusCells, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .dropDuplicates("q_id", "n_id")
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("sim",
+        graft.GraftFunctions.cosineNative(queries.sparkSession, col("q_vec"), col("n_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
@@ -140,6 +142,9 @@ object Similarity {
     def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
       df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
         lshSignature(col(vecCol), nPlanes).as("sig"))
+        // shuffle = projection barrier: the signature is computed once,
+        // not re-evaluated per band by the posexplode lambda (see Dedup)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(col(idAs), col(vecAs),
           posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
             xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), lit(7)))))
@@ -152,7 +157,8 @@ object Similarity {
       .dropDuplicates("q_id", "n_id")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc_nulls_last, col("n_id").asc_nulls_first)
-    cands.withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    cands.withColumn("sim",
+        graft.GraftFunctions.cosineNative(queries.sparkSession, col("q_vec"), col("n_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
