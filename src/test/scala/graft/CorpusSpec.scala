@@ -70,6 +70,21 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("alltypes_plain: exact primitive values (pyarrow golden)") {
+    val r = spark.read.parquet(s"$refDir/alltypes_plain.parquet")
+      .select(col("id"), col("bool_col"), col("int_col"), col("double_col"),
+        col("date_string_col").cast("string"))
+      .orderBy(col("id")).collect()
+    assert(r.length == 8)
+    assert((r(0).getInt(0), r(0).getBoolean(1), r(0).getInt(2), r(0).getDouble(3),
+      r(0).getString(4)) == ((0, true, 0, 0.0, "01/01/09")))
+    val four = r.find(_.getInt(0) == 4).get
+    assert((four.getBoolean(1), four.getInt(2), four.getDouble(3), four.getString(4)) ==
+      ((true, 0, 0.0, "03/01/09")))
+    val five = r.find(_.getInt(0) == 5).get
+    assert((five.getBoolean(1), five.getInt(2), five.getDouble(3)) == ((false, 1, 10.1)))
+  }
+
   test("INT96 impala timestamps decode to TimestampType") {
     val df = spark.read.parquet(s"$refDir/alltypes_plain.parquet")
     assert(df.schema("timestamp_col").dataType.typeName == "timestamp")

@@ -44,6 +44,23 @@ class FlattenSpec extends SparkSpec {
     assert(flat.count() == 7)
   }
 
+  test("nonnullable impala fixture: exact leaf values through maximum nesting") {
+    // the one-row file with struct→list→struct→list nesting; values
+    // cross-checked with pyarrow: nested_Struct.c.D = [[{e:-1, f:"nonnullable"}]]
+    val flat = Flatten.flattenToMultimap(
+      spark.read.parquet(s"$refDir/nonnullable.impala.parquet"))
+    val r = flat.collect()(0)
+    def get(c: String) = r.getSeq[String](r.fieldIndex(c))
+    assert(get("ID") == Seq("8"))
+    assert(get("Int_Array") == Seq("-1"))
+    assert(get("int_array_array") == Seq("-1", "-2")) // [[−1,−2],[]] flattens through
+    assert(get("Int_Map.key") == Seq("k1"))
+    assert(get("Int_Map.value") == Seq("-1"))
+    assert(get("nested_Struct.a") == Seq("-1"))
+    assert(get("nested_Struct.c.D.e") == Seq("-1"))
+    assert(get("nested_Struct.c.D.f") == Seq("nonnullable"))
+  }
+
   test("scalars become single-element arrays; missing stays null entry") {
     val flat = Flatten.flattenToMultimap(
       spark.read.parquet(s"$refDir/nulls.snappy.parquet"))

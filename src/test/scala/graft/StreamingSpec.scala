@@ -147,6 +147,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static join: streaming events enriched with a static dimension") {
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val in = MemoryStream[Ev](spark, 1)
+    val joined = in.toDF()
+      .join(dim, Seq("user_id"), "left_outer") // static side broadcast per micro-batch
+      .groupBy($"segment")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    val q = joined.writeStream.format("memory").queryName("gdim")
+      .outputMode("complete").start()
+    try {
+      in.addData(ev(1, 1, user = 1), ev(2, 2, user = 1), ev(3, 3, user = 2), ev(4, 4, user = 99))
+      q.processAllAvailable()
+      val m = spark.table("gdim").collect()
+        .map(r => Option(r.getString(0)).getOrElse("none") -> r.getLong(1)).toMap
+      assert(m == Map("gold" -> 2L, "silver" -> 1L, "none" -> 1L))
+    } finally q.stop()
+  }
+
   test("G2 streaming session windows merge within gap") {
     val in = MemoryStream[Ev](spark, 1)
     val q = Streams.sessionCounts(in.toDF(), "10 minutes", "5 minutes")
