@@ -28,6 +28,7 @@ object AsOfJoin {
       ts: String,
       rightPayload: Seq[String],
       tieCols: Seq[String] = Nil,
+      rightTieCols: Seq[String] = Nil,
       allowEqual: Boolean = true): DataFrame = {
 
     // side ordering at equal ts decides <= vs <: rights first (0) means a
@@ -39,17 +40,23 @@ object AsOfJoin {
     // fields from different rows when a payload column is NULL (DuckDB
     // ASOF returns the matched row as-is, NULLs included). Right rows
     // with NULL ts can never satisfy `r.ts <= l.ts` and are dropped.
+    // right-side ties need their own ordering columns: left tieCols are
+    // NULL on right rows (and vice versa), so each side contributes its
+    // own tie struct — together (ts, side, ltie, rtie) is a total order
+    // whenever each side's ties are keyed.
     val rPrep = right
       .filter(col(ts).isNotNull)
       .select(col(key), col(ts),
-        struct(rightPayload.map(c => col(c).as(c)): _*).as("__r_payload"))
+        struct(rightPayload.map(c => col(c).as(c)): _*).as("__r_payload"),
+        struct((if (rightTieCols.nonEmpty) rightTieCols else rightPayload)
+          .map(c => col(c).as(c)): _*).as("__rtie"))
       .withColumn("__side", lit(rSide))
     val lPrep = left.withColumn("__side", lit(lSide))
 
     val unioned = lPrep.unionByName(rPrep, allowMissingColumns = true)
 
     val ord = (Seq(col(ts).asc_nulls_first, col("__side").asc_nulls_first) ++
-      tieCols.map(c => col(c).asc_nulls_first))
+      tieCols.map(c => col(c).asc_nulls_first) :+ col("__rtie").asc_nulls_first)
     val w = Window.partitionBy(col(key)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -58,6 +65,6 @@ object AsOfJoin {
       .filter(col("__side") === lit(lSide))
     rightPayload.foldLeft(matched) { (df, c) =>
       df.withColumn(s"r_$c", col(s"__match.$c"))
-    }.drop("__side", "__r_payload", "__match")
+    }.drop("__side", "__r_payload", "__rtie", "__match")
   }
 }

@@ -16,7 +16,7 @@ import graft.functions.MedianAggregator
   */
 object Aggregates extends QGroup {
 
-  private val dec = DecimalType(38, 6)
+  private val dec = QShared.dec
 
   def defs: Seq[QDef] = Seq(
 
@@ -123,12 +123,15 @@ object Aggregates extends QGroup {
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x2).as("sxx"))
           .select(col("l_returnflag"), col("n"),
+            // nullif guard: a single-row group divides by 0 — ANSI Spark
+            // would throw where the DuckDB oracle yields NULL
             ((col("sxx").cast("double") - col("sx").cast("double") *
-              col("sx").cast("double") / col("n")) / (col("n") - 1)).as("var_samp"))
+              col("sx").cast("double") / col("n")) /
+              nullif(col("n") - 1, lit(0))).as("var_samp"))
           .orderBy(col("l_returnflag").asc_nulls_first)
       },
       Some("""SELECT l_returnflag, n,
-        |  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS var_samp
+        |  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / nullif(n - 1, 0) AS var_samp
         |FROM (
         |  SELECT l_returnflag, COUNT(*) AS n,
         |    SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sx,

@@ -19,7 +19,8 @@ object Custom extends QGroup {
     // no serialization fence).
     QDef("u1_scalar_udf",
       (s, dir) => {
-        val revLower = udf((x: String) => if (x == null) null else x.toLowerCase.reverse)
+        val revLower = udf((x: String) =>
+          if (x == null) null else x.toLowerCase(java.util.Locale.ROOT).reverse)
         Tables(s, dir, "part")
           .select(col("p_partkey"), revLower(col("p_name")).as("rev_name"))
           .orderBy(col("p_partkey").asc_nulls_first)

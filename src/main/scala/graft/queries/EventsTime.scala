@@ -15,7 +15,7 @@ import graft.Tables
   */
 object EventsTime extends QGroup {
 
-  private val dec = DecimalType(38, 6)
+  private val dec = QShared.dec
   private val tenMinNs = 600000000000L // 10 min in ns
   private val fiveMinNs = 300000000000L
   private val gapNs = 1800000000000L // 30 min session gap

@@ -18,7 +18,7 @@ import graft.operators.AsOfJoin
   */
 object Joins extends QGroup {
 
-  private val dec = DecimalType(38, 6)
+  private val dec = QShared.dec
 
   def defs: Seq[QDef] = Seq(
 
@@ -138,14 +138,18 @@ object Joins extends QGroup {
     // or before it (union+window operator; DuckDB ASOF JOIN oracle).
     QDef("j8_asof_join",
       (s, dir) => {
-        val ev = Tables(s, dir, "events")
+        // µs grain on both sides: DuckDB truncates TIMESTAMP_NS to µs on
+        // read, so a nanosecond comparison here could disagree with the
+        // oracle for same-µs pairs.
+        val ev = Tables(s, dir, "events").withColumn("tus", expr("ts div 1000"))
         val errors = ev.filter(col("event_type") === "error")
-          .select(col("event_id"), col("user_id"), col("ts"))
+          .select(col("event_id"), col("user_id"), col("tus"))
         val signups = ev.filter(col("event_type") === "signup")
-          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-        AsOfJoin.asOf(errors, signups.withColumnRenamed("event_id", "sid"),
-            key = "user_id", ts = "ts",
-            rightPayload = Seq("sid", "value"), tieCols = Seq("event_id"))
+          .select(col("event_id").as("sid"), col("user_id"), col("tus"), col("value"))
+        AsOfJoin.asOf(errors, signups,
+            key = "user_id", ts = "tus",
+            rightPayload = Seq("sid", "value"), tieCols = Seq("event_id"),
+            rightTieCols = Seq("sid"))
           .select(col("event_id"), col("user_id"),
             col("r_sid").as("signup_id"), col("r_value").as("signup_value"))
           .orderBy(col("event_id").asc_nulls_first)

@@ -20,7 +20,7 @@ import graft.operators.{Dedup, Similarity}
   */
 object LlmOps extends QGroup {
 
-  private val dec = DecimalType(38, 6)
+  private val dec = QShared.dec
 
   def defs: Seq[QDef] = Seq(
 
@@ -44,7 +44,6 @@ object LlmOps extends QGroup {
           .agg(count(lit(1)).as("family_size"),
             min(col("doc_id")).as("canonical_doc"),
             array_sort(collect_list(col("doc_id"))).as("members"))
-          .filter(col("family_size") >= 1)
           .orderBy(col("fp").asc_nulls_first),
       Some("""SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS fp,
         |  COUNT(*) AS family_size, MIN(doc_id) AS canonical_doc,
@@ -274,7 +273,7 @@ object LlmOps extends QGroup {
     // metadata struct, written and read back as parquet, digests compared.
     QDef("l4_binary_roundtrip",
       (s, dir) => {
-        val out = s"/tmp/graft_sink/l4_binary_${Integer.toHexString(dir.hashCode)}"
+        val out = QShared.sink(dir, "l4_binary")
         Tables(s, dir, "documents")
           .select(col("doc_id"),
             encode(col("text"), "UTF-8").as("payload"),

@@ -74,11 +74,13 @@ object Nested extends QGroup {
         Tables(s, dir, "embeddings").select(
           col("vec_id"),
           size(col("embedding")).as("dim"),
-          element_at(col("embedding"), 1).as("first_v"),
-          element_at(col("embedding"), -1).as("last_v"),
+          // try_element_at: ANSI mode throws on out-of-range indexes for
+          // short/empty vectors where the oracle's [i] returns NULL
+          try_element_at(col("embedding"), lit(1)).as("first_v"),
+          try_element_at(col("embedding"), lit(-1)).as("last_v"),
           slice(col("embedding"), 1, 3).as("head3"),
           array_sort(slice(col("embedding"), 1, 5)).as("sorted5"),
-          array_contains(col("embedding"), element_at(col("embedding"), 5)).as("has_5th"),
+          array_contains(col("embedding"), try_element_at(col("embedding"), lit(5))).as("has_5th"),
           array_max(col("embedding")).as("vmax"),
           array_min(col("embedding")).as("vmin"),
           size(array_distinct(col("embedding"))).as("n_distinct"))

@@ -22,3 +22,16 @@ final case class QDef(
 trait QGroup {
   def defs: Seq[QDef]
 }
+
+/** Suite-wide constants of the determinism contract. */
+object QShared {
+  /** All float/money aggregates are computed on this type so results are
+    * independent of partitioning and summation order (Q.scala contract). */
+  val dec: org.apache.spark.sql.types.DecimalType =
+    org.apache.spark.sql.types.DecimalType(38, 6)
+
+  /** Idempotent sink path for queries that exercise the write path:
+    * stable per (sf dir, query), overwritten on rerun. */
+  def sink(dir: String, name: String): String =
+    s"/tmp/graft_sink/${name}_${Integer.toHexString(dir.hashCode)}"
+}

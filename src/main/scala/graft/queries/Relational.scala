@@ -20,7 +20,7 @@ import graft.Tables
   */
 object Relational extends QGroup {
 
-  private val dec = DecimalType(38, 6)
+  private val dec = QShared.dec
 
   /** TPC-H Q1 shape — the flagship (SURVEY §7.1). */
   def q1(s: SparkSession, dir: String): DataFrame = {

@@ -113,9 +113,9 @@ object Scalars extends QGroup {
           .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first,
             col("qty_int").asc_nulls_first, col("price_dec").asc_nulls_first),
       Some("""SELECT l_orderkey, l_linenumber,
-        |  CAST(l_quantity AS INTEGER) AS qty_int,
-        |  CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) AS qty_str,
-        |  CAST(CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) AS DOUBLE) AS qty_back,
+        |  CAST(trunc(l_quantity) AS INTEGER) AS qty_int,
+        |  CAST(CAST(trunc(l_quantity) AS INTEGER) AS VARCHAR) AS qty_str,
+        |  CAST(CAST(CAST(trunc(l_quantity) AS INTEGER) AS VARCHAR) AS DOUBLE) AS qty_back,
         |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
         |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec_str,
         |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date_str,

@@ -8,7 +8,7 @@ import graft.Tables
 /** Set operations + dedup + null-safe comparison (SURVEY §2B T1–T3, P3). */
 object SetOps extends QGroup {
 
-  private val dec = DecimalType(38, 6)
+  private val dec = QShared.dec
 
   def defs: Seq[QDef] = Seq(
 

@@ -15,8 +15,7 @@ import graft.Tables
   */
 object SourcesSinks extends QGroup {
 
-  private def sink(dir: String, name: String): String =
-    s"/tmp/graft_sink/${name}_${Integer.toHexString(dir.hashCode)}"
+  private def sink(dir: String, name: String): String = QShared.sink(dir, name)
 
   /** lineitem's physical schema plus a phantom column absent from the
     * file — Spark fills it with NULLs (reference R4's missing-field
@@ -76,7 +75,7 @@ object SourcesSinks extends QGroup {
         s.read.parquet(out)
           .groupBy(col("l_linestatus"))
           .agg(count(lit(1)).as("cnt"),
-            sum(col("l_quantity").cast(DecimalType(38, 6))).as("sum_qty"))
+            sum(col("l_quantity").cast(QShared.dec)).as("sum_qty"))
           .orderBy(col("l_linestatus").asc_nulls_first)
       },
       Some("""SELECT l_linestatus, COUNT(*) AS cnt,
@@ -94,7 +93,7 @@ object SourcesSinks extends QGroup {
           .filter(col("o_orderstatus") === "F") // prunes to one directory
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("cnt"),
-            sum(col("o_totalprice").cast(DecimalType(38, 6))).as("sum_price"))
+            sum(col("o_totalprice").cast(QShared.dec)).as("sum_price"))
           .orderBy(col("o_orderpriority").asc_nulls_first)
       },
       Some("""SELECT o_orderpriority, COUNT(*) AS cnt,

@@ -17,7 +17,7 @@ import graft.Tables
   */
 object Windows extends QGroup {
 
-  private val dec = DecimalType(38, 6)
+  private val dec = QShared.dec
 
   def defs: Seq[QDef] = Seq(
 
