@@ -15,7 +15,9 @@ import org.apache.spark.sql.types._
   * accumulation → bit-identical results), but evaluates as a tight
   * primitive loop in generated Java — no per-element lambda dispatch, no
   * boxing, no intermediate arrays. Mismatched lengths use the common
-  * prefix; zero-norm inputs yield NaN (same as the HOF dot/0 division).
+  * prefix; zero-norm inputs and NULL elements yield NULL (never NaN —
+  * NaN sorts ABOVE every real similarity under descending order, which
+  * would rank a zero vector as everyone's nearest neighbor).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -35,6 +37,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_cosine"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -44,6 +48,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      // NULL element or zero norm → NULL result, matching the HOF path
+      // (Spark: null poisons the aggregate; x/0 is NULL, not NaN)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi
@@ -51,7 +58,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -66,14 +74,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |boolean ${n}_null = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${n}_null = true; break; }
          |  double $xi = $a.getFloat($i);
          |  double $yi = $b.getFloat($i);
          |  $dot += $xi * $yi;
          |  $na += $xi * $xi;
          |  $nb += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if (${n}_null || $na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

@@ -45,7 +45,10 @@ object AsOfJoin {
     // own tie struct — together (ts, side, ltie, rtie) is a total order
     // whenever each side's ties are keyed.
     val rPrep = right
-      .filter(col(ts).isNotNull)
+      // NULL ts can never satisfy r.ts <= l.ts, and a NULL key must match
+      // nothing (SQL join semantics) — window partitioning would otherwise
+      // group all NULL keys together and hand left rows a bogus payload.
+      .filter(col(ts).isNotNull && col(key).isNotNull)
       .select(col(key), col(ts),
         struct(rightPayload.map(c => col(c).as(c)): _*).as("__r_payload"),
         struct((if (rightTieCols.nonEmpty) rightTieCols else rightPayload)

@@ -65,14 +65,18 @@ object Multimodal {
   }
 
   /** DataFrame facade: (idCol: long, kindCol: string, payloadCol: binary)
-    * → feature frame. */
+    * → feature frame. Rows with a NULL id are dropped (media without an
+    * addressable id can't be joined back); NULL kind decodes as
+    * "unknown" (zero features). */
   def extractFeatures(df: DataFrame, idCol: String, kindCol: String,
       payloadCol: String): DataFrame = {
     implicit val enc = Encoders.product[MediaRow]
-    val typed = df.select(
-      col(idCol).cast("long").as("id"),
-      col(kindCol).cast("string").as("kind"),
-      col(payloadCol).cast("binary").as("payload")).as[MediaRow]
+    val typed = df
+      .filter(col(idCol).isNotNull)
+      .select(
+        col(idCol).cast("long").as("id"),
+        coalesce(col(kindCol).cast("string"), lit("unknown")).as("kind"),
+        col(payloadCol).cast("binary").as("payload")).as[MediaRow]
     extractFeatures(typed).toDF()
   }
 }

@@ -24,19 +24,20 @@ object Skew {
     */
   def saltedSum(
       df: DataFrame,
-      key: Column,
+      keyCol: String,
       saltSource: Column,
       aggs: Seq[(String, Column)],
       saltBuckets: Int = 16): DataFrame = {
+    require(!aggs.exists(_._1 == keyCol) && !aggs.exists(_._1 == "n_rows"),
+      "agg output names must not collide with the key column or n_rows")
     val salted = df.withColumn("__salt", pmod(xxhash64(saltSource), lit(saltBuckets)))
     val partial = salted
-      .groupBy(key.as("__k"), col("__salt"))
+      .groupBy(col(keyCol), col("__salt"))
       .agg(count(lit(1)).as("__cnt"),
         aggs.map { case (n, c) => sum(c).as(s"__sum_$n") }: _*)
     partial
-      .groupBy(col("__k"))
+      .groupBy(col(keyCol)) // output keeps the caller's key column name
       .agg(sum(col("__cnt")).as("n_rows"),
         aggs.map { case (n, _) => sum(col(s"__sum_$n")).as(n) }: _*)
-      .withColumnRenamed("__k", "key")
   }
 }

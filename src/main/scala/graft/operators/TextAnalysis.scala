@@ -39,7 +39,12 @@ object TextAnalysis {
   }
 
   /** Quality metrics as a struct of integer-safe components plus a
-    * composite score in [0,1] (rounded to 4 dp). */
+    * composite score in [0,1] (rounded to 4 dp).
+    *
+    * Token counting here is single-space-delimited (spaces+1) by design:
+    * it matches the SQL-oracle formula exactly and the corpus contract
+    * (documents are single-space tokenized). Mixed-whitespace corpora
+    * should pre-normalize with `regexp_replace(text, "\\s+", " ")`. */
   def qualityMetrics(text: Column): Column = {
     val len = length(text)
     val nSpaces = len - length(regexp_replace(text, " ", ""))

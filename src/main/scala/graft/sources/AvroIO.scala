@@ -114,16 +114,27 @@ object AvroIO {
     spark.createDataFrame(rows.asJava, sparkSchema)
   }
 
+  /** Writer schema parsed from container-file bytes. */
+  def schemaOfBytes(bytes: Array[Byte]): Schema = {
+    val r = new DataFileStream[GenericRecord](
+      new ByteArrayInputStream(bytes), new GenericDatumReader[GenericRecord]())
+    try r.getSchema finally r.close()
+  }
+
   /** Distributed read over many container files: one task per file via
-    * the binaryFile source, decode with flatMap on executors. */
+    * the binaryFile source, decode with flatMap on executors. The first
+    * file's writer schema is the read schema (filesystem-agnostic: the
+    * header comes from the already-fetched bytes, so s3a://hdfs:// paths
+    * work like local ones); files written with a DIFFERENT schema are
+    * decoded through Avro's resolution against it and fail loudly on
+    * incompatibility rather than silently drifting. */
   def readDistributed(spark: SparkSession, globPath: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val files = spark.read.format("binaryFile").load(globPath)
       .select(col("path"), col("content"))
-    val first = files.select(col("path")).limit(1).collect()
+    val first = files.select(col("content")).limit(1).collect()
     require(first.nonEmpty, s"no files match $globPath")
-    val schemaJson = writerSchema(
-      first.head.getString(0).stripPrefix("file:")).toString
+    val schemaJson = schemaOfBytes(first.head.getAs[Array[Byte]](0)).toString
     val sparkSchema = toSparkSchema(new Schema.Parser().parse(schemaJson))
     val rowRdd = files.select(col("content")).rdd
       .flatMap(r => decodeBytes(r.getAs[Array[Byte]](0), schemaJson))

@@ -71,7 +71,8 @@ object ParquetIO {
     *    `is.date.correct`/`parquet-writer.version` absent while DATE
     *    column stats exceed the year-5000 threshold ⇒ shift.
     * The fix itself is a conditional `date_sub` projection — scan-speed,
-    * no shuffle, applied per-file-batch at plan time. */
+    * no shuffle. Every part footer is sniffed in auto mode; a directory
+    * mixing corrupt and sane writers is rejected loudly. */
   def readCorruptDateAware(
       spark: SparkSession,
       path: String,
@@ -83,15 +84,25 @@ object ParquetIO {
     val needsFix = corruptDateRebase match {
       case "on" => true
       case "auto" =>
-        val ft = ParquetMeta.footer(path)
-        val created = Option(ft.getFileMetaData.getCreatedBy).getOrElse("").toLowerCase
-        val kv = ft.getFileMetaData.getKeyValueMetaData.asScala
-        val declaredCorrect = kv.get("is.date.correct").contains("true") ||
-          kv.contains("parquet-writer.version")
-        val drillish = created.contains("drill")
-        if (declaredCorrect) false
-        else if (!drillish && created.nonEmpty && !created.contains("parquet-mr")) false
-        else statsProbeCorrupt(ft, dateCols.toSet)
+        // sniff EVERY part footer: applying one file's verdict to a
+        // mixed-provenance directory would silently shift correct dates
+        // by ~13k years (or leave corrupt ones unfixed). Uniform verdict
+        // → apply; mixed → refuse loudly.
+        val verdicts = ParquetMeta.footers(path).map { ft =>
+          val created = Option(ft.getFileMetaData.getCreatedBy).getOrElse("").toLowerCase
+          val kv = ft.getFileMetaData.getKeyValueMetaData.asScala
+          val declaredCorrect = kv.get("is.date.correct").contains("true") ||
+            kv.contains("parquet-writer.version")
+          val drillish = created.contains("drill")
+          if (declaredCorrect) false
+          else if (!drillish && created.nonEmpty && !created.contains("parquet-mr")) false
+          else statsProbeCorrupt(ft, dateCols.toSet)
+        }
+        if (verdicts.distinct.size > 1)
+          throw new IllegalStateException(
+            s"$path mixes corrupt-date and sane-date files; split the read " +
+              "or pass corruptDateRebase=on/off per file group")
+        verdicts.head
       case other =>
         throw new IllegalArgumentException(s"corruptDateRebase=$other")
     }

@@ -15,20 +15,34 @@ import scala.jdk.CollectionConverters._
   */
 object ParquetMeta {
 
-  /** Footer of `path`; a directory (Spark write output) resolves to its
-    * first part file. */
-  def footer(path: String, conf: Configuration = new Configuration()): ParquetMetadata = {
-    val f = new java.io.File(path)
-    val target =
-      if (f.isDirectory)
-        f.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-          .headOption.map(_.getPath)
-          .getOrElse(throw new IllegalArgumentException(s"no parquet files in $path"))
-      else path
-    val in = HadoopInputFile.fromPath(new Path(target), conf)
-    val r = ParquetFileReader.open(in)
+  /** The parquet part files under `path` (itself, if a plain file) — via
+    * the Hadoop FileSystem API so URI-style and remote paths (file:/,
+    * hdfs://, s3a://) resolve like local ones. */
+  def partFiles(path: String, conf: Configuration = new Configuration()): Seq[Path] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (fs.getFileStatus(p).isDirectory) {
+      val parts = fs.listStatus(p).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName).map(_.getPath)
+      if (parts.isEmpty) throw new IllegalArgumentException(s"no parquet files in $path")
+      parts
+    } else Seq(p)
+  }
+
+  private def footerOf(p: Path, conf: Configuration): ParquetMetadata = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
     try r.getFooter finally r.close()
   }
+
+  /** Footer of `path`; a directory (Spark write output) resolves to its
+    * first part file. Use [[footers]] when per-file provenance matters. */
+  def footer(path: String, conf: Configuration = new Configuration()): ParquetMetadata =
+    footerOf(partFiles(path, conf).head, conf)
+
+  /** All part-file footers of a file-or-directory path. */
+  def footers(path: String, conf: Configuration = new Configuration()): Seq[ParquetMetadata] =
+    partFiles(path, conf).map(footerOf(_, conf))
 
   /** R15: row count from footer only. */
   def rowCount(path: String): Long =

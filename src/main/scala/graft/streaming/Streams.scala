@@ -47,20 +47,39 @@ object Streams {
   case class UserCounter(user_id: Long, n_events: Long, total_value: Double)
 
   /** G5: arbitrary per-key running state via flatMapGroupsWithState —
-    * emits the updated counter on every batch (Update mode). */
-  def runningUserCounters(events: Dataset[UserEvent]): Dataset[UserCounter] = {
+    * emits the updated counter on every batch (Update mode).
+    *
+    * State for this operator has no event-time horizon (it's a lifetime
+    * counter), so boundedness must come from a processing-time TTL: pass
+    * `idleTtl=Some(...)` to evict keys idle longer than that (for
+    * unbounded key populations this is mandatory — one state entry per
+    * ever-seen user otherwise grows the store forever). `None` keeps
+    * state for the life of the query (bounded key domains only); it is
+    * the default because processing-time timers keep scheduling batches,
+    * which test harnesses using `processAllAvailable` never see settle. */
+  def runningUserCounters(
+      events: Dataset[UserEvent],
+      idleTtl: Option[String] = None): Dataset[UserCounter] = {
     implicit val counterEnc = Encoders.product[UserCounter]
+    val timeout = if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[UserCounter, UserCounter](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeout) {
         (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserCounter]) =>
-          val prev = state.getOption.getOrElse(UserCounter(userId, 0L, 0.0))
-          var n = prev.n_events
-          var tot = prev.total_value
-          rows.foreach { e => n += 1; tot += e.value }
-          val next = UserCounter(userId, n, tot)
-          state.update(next)
-          Iterator(next)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserCounter(userId, 0L, 0.0))
+            var n = prev.n_events
+            var tot = prev.total_value
+            rows.foreach { e => n += 1; tot += e.value }
+            val next = UserCounter(userId, n, tot)
+            state.update(next)
+            idleTtl.foreach(state.setTimeoutDuration)
+            Iterator(next)
+          }
       }
   }
 }

@@ -147,6 +147,16 @@ class NativeExprSpec extends SparkSpec {
     assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12, "self-similarity = 1")
   }
 
+  test("graft_cosine: zero-norm and null-element inputs yield NULL, not NaN") {
+    graft.GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(array(CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS zero_norm,
+        |       graft_cosine(array(CAST(NULL AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS null_elem""".stripMargin)
+      .collect()(0)
+    assert(r.isNullAt(0), "zero-norm must be NULL (NaN would rank first under desc)")
+    assert(r.isNullAt(1))
+  }
+
   test("graft_cosine null and mismatched-length behavior") {
     graft.GraftFunctions.ensureRegistered(spark)
     val r = spark.sql(

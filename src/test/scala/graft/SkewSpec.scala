@@ -14,9 +14,9 @@ class SkewSpec extends SparkSpec {
     val df = hot.toDF("k", "v")
       .withColumn("vd", $"v".cast(DecimalType(38, 6)))
 
-    val salted = Skew.saltedSum(df, $"k", $"v", Seq("total" -> $"vd"), saltBuckets = 16)
-      .orderBy($"key").collect()
-      .map(r => (r.getAs[String]("key"), r.getAs[Long]("n_rows"),
+    val salted = Skew.saltedSum(df, "k", $"v", Seq("total" -> $"vd"), saltBuckets = 16)
+      .orderBy($"k").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("n_rows"),
         r.getAs[java.math.BigDecimal]("total")))
 
     val direct = df.groupBy($"k").agg(count(lit(1)).as("n"), sum($"vd").as("t"))
