@@ -46,6 +46,32 @@ object Scalars extends QGroup {
         |  trim('  x  ') AS trimmed
         |FROM part ORDER BY p_partkey ASC NULLS FIRST""".stripMargin)),
 
+    // X1b: more string functions — reverse, repeat, position, left/right,
+    // contains/starts/ends predicates.
+    QDef("x1b_string_scalars2",
+      (s, dir) =>
+        Tables(s, dir, "part").select(
+          col("p_partkey"),
+          reverse(col("p_name")).as("rev"),
+          repeat(col("p_brand"), 2).as("brand2"),
+          instr(col("p_name"), "e").as("pos_e"),
+          substring(col("p_name"), 1, 3).as("left3"),
+          col("p_name").substr(length(col("p_name")) - 2, lit(3)).as("right3"),
+          col("p_name").contains("ring").cast("int").as("has_ring"),
+          col("p_name").startsWith("red").cast("int").as("starts_red"),
+          col("p_type").endsWith("ED").cast("int").as("ends_ed"))
+          .orderBy(col("p_partkey").asc_nulls_first),
+      Some("""SELECT p_partkey,
+        |  reverse(p_name) AS rev,
+        |  repeat(p_brand, 2) AS brand2,
+        |  CAST(strpos(p_name, 'e') AS INTEGER) AS pos_e,
+        |  left(p_name, 3) AS left3,
+        |  right(p_name, 3) AS right3,
+        |  CAST(contains(p_name, 'ring') AS INTEGER) AS has_ring,
+        |  CAST(starts_with(p_name, 'red') AS INTEGER) AS starts_red,
+        |  CAST(ends_with(p_type, 'ED') AS INTEGER) AS ends_ed
+        |FROM part ORDER BY p_partkey ASC NULLS FIRST""".stripMargin)),
+
     // X3: math functions (floor/ceil as BIGINT on both sides; ln/pow
     // rounded; sqrt is IEEE-exact; integer modulo).
     QDef("x3_math_scalars",
