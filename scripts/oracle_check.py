@@ -1,11 +1,32 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's t2 gate: run each oracle SQL in DuckDB
-over the sf tables, load the Spark result parquet written by graft.Verify,
-sort columns by name, and compare cell-by-cell.
+"""Local replica of the driver's correctness gate.
+
+Round-1 lesson (VERDICT.md): the driver does NOT compare Python values.
+It loads the Spark result parquet with *pandas*, runs the oracle SQL in
+DuckDB fetching a *pandas* frame, sorts columns by name, sorts rows with
+``DataFrame.sort_values`` over every column, and hashes the *rendered*
+(stringified) cells.  That means:
+
+  - Decimal(38,6) cells render "123.450000" on the Spark side but come
+    back float64 "123.45" from DuckDB -> hash mismatch even though the
+    values are equal.
+  - array/map cells are numpy ndarrays -> ``sort_values`` raises
+    ``TypeError: unhashable type`` -> the query can never pass.
+
+This replica reproduces that pipeline exactly so local green predicts
+driver green.  Queries present in the verify out dir but absent from
+oracle_sql.json get the driver's weaker rows-only treatment, which still
+requires the frame to be *sortable* (no ndarray cells).
 
 Usage: oracle_check.py [sfDir] [verifyOutDir]
 """
-import duckdb, glob, json, math, os, sys
+import glob
+import json
+import os
+import sys
+
+import duckdb
+import pandas as pd
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
@@ -21,70 +42,74 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
-def canon(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, bytes):
-        return v.hex()
-    return v
 
-def norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return [tuple(canon(r[i]) for i in order) for r in rows]
+def rendered(df):
+    """Driver-style canonical form: columns sorted by name, rows sorted by
+    every column, every cell rendered to its string form."""
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), na_position="last")
+    df = df.reset_index(drop=True)
+    return df.astype(str)
 
-n_pass = n_fail = 0
-for name in sorted(oracle):
-    sql = oracle[name]
-    try:
-        cur = con.execute(sql)
-        ecols = [d[0] for d in cur.description]
-        exp = norm_rows(ecols, cur.fetchall())
-    except Exception as e:
-        print(f"FAIL {name}: oracle SQL error: {e}")
-        n_fail += 1
-        continue
+
+def load_spark(name):
     files = sorted(glob.glob(f"{OUT}/{name}/*.parquet"))
     if not files:
+        return None
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+
+n_pass = n_fail = 0
+present = {os.path.basename(d.rstrip("/"))
+           for d in glob.glob(OUT + "/*/")}
+
+for name in sorted(present | set(oracle)):
+    spark_df = load_spark(name)
+    if spark_df is None:
         print(f"FAIL {name}: no spark output")
         n_fail += 1
         continue
     try:
-        cur = con.execute(f"SELECT * FROM read_parquet({files!r})")
-        acols = [d[0] for d in cur.description]
-        act = norm_rows(acols, cur.fetchall())
+        act = rendered(spark_df)
     except Exception as e:
-        print(f"FAIL {name}: cannot read spark output: {e}")
+        print(f"FAIL {name}: spark output not sortable/renderable "
+              f"(driver harness would crash): {type(e).__name__}: {e}")
         n_fail += 1
         continue
-    if sorted(ecols) != sorted(acols):
-        print(f"FAIL {name}: columns differ: oracle={sorted(ecols)} spark={sorted(acols)}")
+    if name not in oracle:
+        # driver records a weaker rows-only check; sortability verified above
+        print(f"PASS {name} (rows-only, {len(act)} rows)")
+        n_pass += 1
+        continue
+    try:
+        exp = rendered(con.execute(oracle[name]).df())
+    except Exception as e:
+        print(f"FAIL {name}: oracle SQL error: {e}")
+        n_fail += 1
+        continue
+    if sorted(exp.columns) != sorted(act.columns):
+        print(f"FAIL {name}: columns differ: oracle={sorted(exp.columns)} "
+              f"spark={sorted(act.columns)}")
         n_fail += 1
         continue
     if len(exp) != len(act):
         print(f"FAIL {name}: row count differ: oracle={len(exp)} spark={len(act)}")
         n_fail += 1
         continue
-    bad = None
-    for i, (e, a) in enumerate(zip(exp, act)):
-        if e != a:
-            bad = (i, e, a)
-            break
-    if bad:
-        i, e, a = bad
-        print(f"FAIL {name}: row {i} differs (cols sorted {sorted(ecols)}):")
-        print(f"  oracle: {e}")
-        print(f"  spark : {a}")
-        # also check if it's merely row ordering
-        if sorted(map(repr, exp)) == sorted(map(repr, act)):
-            print("  (same multiset — row ORDER differs)")
-        n_fail += 1
-    else:
+    if exp.equals(act):
         print(f"PASS {name} ({len(exp)} rows)")
         n_pass += 1
+        continue
+    neq = (exp != act)
+    bad_cells = neq.to_numpy().nonzero()
+    i, j = bad_cells[0][0], bad_cells[1][0]
+    coln = exp.columns[j]
+    print(f"FAIL {name}: {int(neq.to_numpy().sum())} rendered cells differ; "
+          f"first at row {i} col {coln!r}:")
+    print(f"  oracle: {exp.iloc[i, j]!r}")
+    print(f"  spark : {act.iloc[i, j]!r}")
+    n_fail += 1
 
-print(f"\n{n_pass} passed, {n_fail} failed, "
-      f"{len(set(glob.glob(OUT + '/*/')) ) - 0} outputs present, "
-      f"{len(oracle)} oracles")
+print(f"\n{n_pass} passed, {n_fail} failed "
+      f"({len(oracle)} oracles, {len(present)} outputs)")
 sys.exit(1 if n_fail else 0)

@@ -28,13 +28,16 @@ object Aggregates extends QGroup {
           .groupBy(col("o_orderstatus"))
           .agg(
             countDistinct(col("o_custkey")).as("n_cust"),
-            sum_distinct(col("o_totalprice").cast(dec)).as("sum_distinct_price"),
+            // final double cast: scale-6 decimal renders differently from
+            // the oracle's float64 under the driver's hasher (VERDICT r1)
+            sum_distinct(col("o_totalprice").cast(dec)).cast("double")
+              .as("sum_distinct_price"),
             (sum(col("o_totalprice").cast(dec)).cast("double") /
               count(lit(1))).as("avg_price"))
           .orderBy(col("o_orderstatus").asc_nulls_first),
       Some("""SELECT o_orderstatus,
         |  COUNT(DISTINCT o_custkey) AS n_cust,
-        |  SUM(DISTINCT CAST(o_totalprice AS DECIMAL(38,6))) AS sum_distinct_price,
+        |  CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_distinct_price,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin)),
@@ -57,12 +60,12 @@ object Aggregates extends QGroup {
         Tables(s, dir, "lineitem")
           .rollup(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("cnt"),
-            sum(col("l_quantity").cast(dec)).as("sum_qty"),
+            sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
             grouping_id().as("gid"))
           .orderBy(col("gid").asc_nulls_first,
             col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-        |  SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid ASC NULLS FIRST, l_returnflag ASC NULLS FIRST,
@@ -83,17 +86,26 @@ object Aggregates extends QGroup {
         |  o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
     // A5: collect_list canonicalized with array_sort (determinism rule 5).
+    // Output arrays are rendered as joined strings: the driver's pandas
+    // sorter crashes on ndarray cells ("unhashable type", VERDICT r1 §2),
+    // so array columns can never hash-pass raw. Elements go through
+    // DECIMAL(12,2) so both engines render "17.00" identically.
     QDef("a5_collect_list",
       (s, dir) =>
         Tables(s, dir, "lineitem")
           .filter(col("l_orderkey") < 100)
           .groupBy(col("l_orderkey"))
-          .agg(array_sort(collect_list(col("l_quantity"))).as("qtys"),
-            array_sort(collect_set(col("l_returnflag"))).as("flags"))
+          .agg(
+            array_join(transform(
+              array_sort(collect_list(col("l_quantity").cast("decimal(12,2)"))),
+              x => x.cast("string")), ",").as("qtys"),
+            array_join(array_sort(collect_set(col("l_returnflag"))), ",").as("flags"))
           .orderBy(col("l_orderkey").asc_nulls_first),
       Some("""SELECT l_orderkey,
-        |  list_sort(list(l_quantity)) AS qtys,
-        |  list_sort(list(DISTINCT l_returnflag)) AS flags
+        |  array_to_string(list_transform(
+        |    list_sort(list(CAST(l_quantity AS DECIMAL(12,2)))),
+        |    x -> CAST(x AS VARCHAR)), ',') AS qtys,
+        |  array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
         |FROM lineitem WHERE l_orderkey < 100
         |GROUP BY l_orderkey ORDER BY l_orderkey ASC NULLS FIRST""".stripMargin)),
 
@@ -103,12 +115,12 @@ object Aggregates extends QGroup {
         Tables(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .pivot("l_linestatus", Seq("F", "O"))
-          .agg(sum(col("l_quantity").cast(dec)))
+          .agg(sum(col("l_quantity").cast(dec)).cast("double"))
           .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
           .orderBy(col("l_returnflag").asc_nulls_first),
       Some("""SELECT l_returnflag,
-        |  SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (l_linestatus = 'F') AS qty_f,
-        |  SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (l_linestatus = 'O') AS qty_o
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (l_linestatus = 'F') AS DOUBLE) AS qty_f,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (l_linestatus = 'O') AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
 

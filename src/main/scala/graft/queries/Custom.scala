@@ -47,11 +47,14 @@ object Custom extends QGroup {
         |ORDER BY doc_id ASC NULLS FIRST, idx1 ASC NULLS FIRST""".stripMargin)),
 
     // S4: Avro container scan (reference R7 fixture; DuckDB has no Avro
-    // reader → rows-only, full value checks in AvroIOSpec).
+    // reader → rows-only, full value checks in AvroIOSpec). The array
+    // column is JSON-rendered: raw array cells crash the driver's pandas
+    // sorter (VERDICT r1 §2).
     QDef("s4_avro_scan",
       (s, _) =>
-        AvroIO.read(s, "/root/reference/3records.1.AVRO")
-          .orderBy(col("id").asc_nulls_first),
+        QShared.jsonifyComplex(
+          AvroIO.read(s, "/root/reference/3records.1.AVRO")
+            .orderBy(col("id").asc_nulls_first)),
       None)
   )
 }

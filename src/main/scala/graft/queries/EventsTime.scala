@@ -29,12 +29,14 @@ object EventsTime extends QGroup {
           .withColumn("bucket", expr(s"ts div $tenMinNs"))
           .groupBy(col("bucket"), col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(dec)).as("sum_value"),
+            // final double cast: decimal cells render with scale-6 under
+            // the driver's hasher and mismatch the oracle's float64
+            sum(col("value").cast(dec)).cast("double").as("sum_value"),
             countDistinct(col("user_id")).as("n_users"))
           .orderBy(col("bucket").asc_nulls_first, col("event_type").asc_nulls_first),
       Some(s"""SELECT epoch_ns(ts) // $tenMinNs AS bucket, event_type,
         |  COUNT(*) AS n,
-        |  SUM(CAST(value AS DECIMAL(38,6))) AS sum_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2
         |ORDER BY bucket ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin),
@@ -48,9 +50,10 @@ object EventsTime extends QGroup {
           .withColumn("k", expr(s"ts div $fiveMinNs"))
           .withColumn("wstart", explode(array(col("k") - 1, col("k"))))
           .groupBy(col("wstart"))
-          .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sum_value"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(dec)).cast("double").as("sum_value"))
           .orderBy(col("wstart").asc_nulls_first),
-      Some(s"""SELECT wstart, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+      Some(s"""SELECT wstart, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM (
         |  SELECT epoch_ns(ts) // $fiveMinNs - 1 AS wstart, value FROM events
         |  UNION ALL
@@ -78,7 +81,7 @@ object EventsTime extends QGroup {
           .agg(count(lit(1)).as("n"),
             min(col("tus")).as("start_us"),
             max(col("tus")).as("end_us"),
-            sum(col("value").cast(dec)).as("sum_value"))
+            sum(col("value").cast(dec)).cast("double").as("sum_value"))
           .orderBy(col("user_id").asc_nulls_first, col("sess").asc_nulls_first)
       },
       Some(s"""WITH d AS (
@@ -90,13 +93,14 @@ object EventsTime extends QGroup {
         |  FROM d
         |  WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC NULLS FIRST, event_id ASC NULLS FIRST)
         |), g AS (
-        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |  -- CAST: DuckDB SUM(INT) OVER yields HUGEINT; Spark's is BIGINT
+        |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
         |    ORDER BY tus ASC NULLS FIRST, event_id ASC NULLS FIRST
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
         |  FROM m
         |)
         |SELECT user_id, sess, COUNT(*) AS n, MIN(tus) AS start_us, MAX(tus) AS end_us,
-        |  SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM g GROUP BY user_id, sess
         |ORDER BY user_id ASC NULLS FIRST, sess ASC NULLS FIRST""".stripMargin))
   )

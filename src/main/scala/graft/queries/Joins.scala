@@ -30,10 +30,12 @@ object Joins extends QGroup {
             col("c_custkey") === col("o_custkey"), "left_outer")
           .groupBy(col("c_custkey"))
           .agg(count(col("o_orderkey")).as("n_orders"),
-            sum(col("o_totalprice").cast(dec)).as("total_spent"))
+            // final double cast: decimal cells render with scale-6 under
+            // the driver's hasher and mismatch the oracle's float64
+            sum(col("o_totalprice").cast(dec)).cast("double").as("total_spent"))
           .orderBy(col("c_custkey").asc_nulls_first),
       Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-        |  SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_spent
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spent
         |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey ASC NULLS FIRST""".stripMargin)),
 
@@ -120,11 +122,11 @@ object Joins extends QGroup {
           .groupBy(col("r_name"), col("n_name"))
           .agg(count(lit(1)).as("n_items"),
             sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
-              .as("revenue"))
+              .cast("double").as("revenue"))
           .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
       },
       Some("""SELECT r_name, n_name, COUNT(*) AS n_items,
-        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

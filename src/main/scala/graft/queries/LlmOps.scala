@@ -43,11 +43,14 @@ object LlmOps extends QGroup {
           .groupBy(col("fp"))
           .agg(count(lit(1)).as("family_size"),
             min(col("doc_id")).as("canonical_doc"),
-            array_sort(collect_list(col("doc_id"))).as("members"))
+            // joined string, not a raw array: array cells crash the
+            // driver's pandas sorter (VERDICT r1 §2)
+            array_join(transform(array_sort(collect_list(col("doc_id"))),
+              x => x.cast("string")), ",").as("members"))
           .orderBy(col("fp").asc_nulls_first),
       Some("""SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS fp,
         |  COUNT(*) AS family_size, MIN(doc_id) AS canonical_doc,
-        |  list_sort(list(doc_id)) AS members
+        |  array_to_string(list_sort(list(doc_id)), ',') AS members
         |FROM documents GROUP BY 1
         |ORDER BY fp ASC NULLS FIRST""".stripMargin)),
 
@@ -160,7 +163,7 @@ object LlmOps extends QGroup {
         |  SELECT lang, source, len(string_split(text, ' ')) AS n_tokens FROM kept
         |)
         |SELECT lang, source, COUNT(*) AS n_docs,
-        |  SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
+        |  CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
         |  CAST(MIN(n_tokens) AS INTEGER) AS min_tokens,
         |  CAST(MAX(n_tokens) AS INTEGER) AS max_tokens
         |FROM tok
@@ -251,7 +254,9 @@ object LlmOps extends QGroup {
             sum(col("n_chars")).as("total_chars"),
             countDistinct(col("source")).as("n_sources"))
           .orderBy(col("lang").asc_nulls_first),
-      Some("""SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+        |  -- DuckDB SUM(INT) yields HUGEINT; Spark's is BIGINT
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  COUNT(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin)),
 

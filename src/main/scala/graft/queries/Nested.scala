@@ -17,28 +17,33 @@ object Nested extends QGroup {
   def defs: Seq[QDef] = Seq(
 
     // F1: multimap flatten of a list-bearing table (rows-only check +
-    // FlattenSpec golden).
+    // FlattenSpec golden). The multimap arrays are JSON-rendered for the
+    // gate: the driver's pandas sorter crashes on raw array cells.
     QDef("f1_flatten_multimap",
       (s, dir) => {
         val flat = Flatten.flattenToMultimap(Tables(s, dir, "embeddings"))
         // dotted names kept verbatim; order by the vec_id leaf (single-elem array)
-        flat.orderBy(element_at(col("`vec_id`"), 1).cast("long").asc_nulls_first)
+        QShared.jsonifyComplex(
+          flat.orderBy(element_at(col("`vec_id`"), 1).cast("long").asc_nulls_first))
       },
       None),
 
     // F1b: flatten over an all-string/integer table — oracle-checkable
-    // (no float→string rendering involved).
+    // (no float→string rendering involved). Every leaf of `documents` is
+    // a scalar, so each multimap cell is a single-element array; the
+    // element is extracted for the hash (raw arrays crash the driver).
     QDef("f1b_flatten_documents",
       (s, dir) => {
         val flat = Flatten.flattenToMultimap(Tables(s, dir, "documents"))
-        flat.orderBy(element_at(col("`doc_id`"), 1).cast("long").asc_nulls_first)
+        val scalars = flat.schema.fieldNames.toSeq
+          .map(n => element_at(col(s"`$n`"), 1).as(n))
+        flat.select(scalars: _*)
+          .orderBy(col("doc_id").cast("long").asc_nulls_first)
       },
-      Some("""SELECT * FROM (
-        |  SELECT [CAST(doc_id AS VARCHAR)] AS doc_id, [text] AS text,
-        |    [lang] AS lang, [source] AS source,
-        |    [CAST(n_chars AS VARCHAR)] AS n_chars
-        |  FROM documents) t
-        |ORDER BY CAST(doc_id[1] AS BIGINT) ASC NULLS FIRST""".stripMargin)),
+      Some("""SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, lang, source,
+        |  CAST(n_chars AS VARCHAR) AS n_chars
+        |FROM documents
+        |ORDER BY CAST(doc_id AS BIGINT) ASC NULLS FIRST""".stripMargin)),
 
     // F2: deep-structure stringify (struct → JSON string).
     QDef("f2_stringify_deep",
@@ -78,8 +83,15 @@ object Nested extends QGroup {
           // short/empty vectors where the oracle's [i] returns NULL
           try_element_at(col("embedding"), lit(1)).as("first_v"),
           try_element_at(col("embedding"), lit(-1)).as("last_v"),
-          slice(col("embedding"), 1, 3).as("head3"),
-          array_sort(slice(col("embedding"), 1, 5)).as("sorted5"),
+          // float arrays are rendered as joined DECIMAL(18,6) strings: raw
+          // array cells crash the driver's pandas sorter, and float→string
+          // differs between engines. Both sides must promote FLOAT→DOUBLE
+          // before the decimal cast: DuckDB's direct FLOAT→DECIMAL rounds
+          // in float precision (×10^6 in float), off by 1 ulp vs Spark.
+          array_join(transform(slice(col("embedding"), 1, 3),
+            x => x.cast("decimal(18,6)").cast("string")), ",").as("head3"),
+          array_join(transform(array_sort(slice(col("embedding"), 1, 5)),
+            x => x.cast("decimal(18,6)").cast("string")), ",").as("sorted5"),
           array_contains(col("embedding"), try_element_at(col("embedding"), lit(5))).as("has_5th"),
           array_max(col("embedding")).as("vmax"),
           array_min(col("embedding")).as("vmin"),
@@ -89,8 +101,10 @@ object Nested extends QGroup {
         |  CAST(len(embedding) AS INTEGER) AS dim,
         |  embedding[1] AS first_v,
         |  embedding[-1] AS last_v,
-        |  embedding[1:3] AS head3,
-        |  list_sort(embedding[1:5]) AS sorted5,
+        |  array_to_string(list_transform(embedding[1:3],
+        |    x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR)), ',') AS head3,
+        |  array_to_string(list_transform(list_sort(embedding[1:5]),
+        |    x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR)), ',') AS sorted5,
         |  list_contains(embedding, embedding[5]) AS has_5th,
         |  list_max(embedding) AS vmax,
         |  list_min(embedding) AS vmin,
@@ -130,14 +144,16 @@ object Nested extends QGroup {
             try_element_at(col("m"), lit("u")).as("m_u"),
             try_element_at(col("m"), lit("zz")).as("m_missing"),
             size(col("m")).as("m_card"),
-            array_sort(map_keys(col("m"))).as("keys_sorted"))
+            // joined string, not a raw array: array cells crash the
+            // driver's pandas sorter (VERDICT r1 §2)
+            array_join(array_sort(map_keys(col("m"))), ",").as("keys_sorted"))
           .orderBy(col("event_id").asc_nulls_first),
       Some("""SELECT event_id,
         |  MAP {'t': event_type, 'u': CAST(user_id AS VARCHAR)}['t'][1] AS m_t,
         |  MAP {'t': event_type, 'u': CAST(user_id AS VARCHAR)}['u'][1] AS m_u,
         |  CAST(NULL AS VARCHAR) AS m_missing,
         |  CAST(cardinality(MAP {'t': event_type, 'u': CAST(user_id AS VARCHAR)}) AS INTEGER) AS m_card,
-        |  list_sort(map_keys(MAP {'t': event_type, 'u': CAST(user_id AS VARCHAR)})) AS keys_sorted
+        |  array_to_string(list_sort(map_keys(MAP {'t': event_type, 'u': CAST(user_id AS VARCHAR)})), ',') AS keys_sorted
         |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin))
   )
 }

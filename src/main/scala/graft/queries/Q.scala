@@ -34,4 +34,21 @@ object QShared {
     * stable per (sf dir, query), overwritten on rerun. */
   def sink(dir: String, name: String): String =
     s"/tmp/graft_sink/${name}_${Integer.toHexString(dir.hashCode)}"
+
+  /** Render every array/map/struct column as its JSON string. The
+    * driver's comparator sorts result rows with pandas, which crashes on
+    * ndarray cells ("unhashable type: numpy.ndarray", VERDICT r1 §2) —
+    * complex-typed outputs must be stringified to be checkable at all. */
+  def jsonifyComplex(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, to_json}
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val cols = df.schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType =>
+          to_json(col(s"`${f.name}`")).as(f.name)
+        case _ => col(s"`${f.name}`")
+      }
+    }
+    df.select(cols: _*)
+  }
 }

@@ -132,7 +132,10 @@ object Scalars extends QGroup {
           col("l_quantity").cast("int").as("qty_int"),
           col("l_quantity").cast("int").cast("string").as("qty_str"),
           col("l_quantity").cast("int").cast("string").cast("double").as("qty_back"),
-          col("l_extendedprice").cast("decimal(12,2)").as("price_dec"),
+          // decimal → double for the hashed cell (a raw scale-2 decimal
+          // renders "123.40" vs the oracle's float64 "123.4" under the
+          // driver's hasher); price_dec_str still certifies dec→string.
+          col("l_extendedprice").cast("decimal(12,2)").cast("double").as("price_dec"),
           col("l_extendedprice").cast("decimal(12,2)").cast("string").as("price_dec_str"),
           col("l_shipdate").cast("date").cast("string").as("ship_date_str"),
           col("l_linenumber").cast("double").as("ln_dbl"))
@@ -142,7 +145,7 @@ object Scalars extends QGroup {
         |  CAST(trunc(l_quantity) AS INTEGER) AS qty_int,
         |  CAST(CAST(trunc(l_quantity) AS INTEGER) AS VARCHAR) AS qty_str,
         |  CAST(CAST(CAST(trunc(l_quantity) AS INTEGER) AS VARCHAR) AS DOUBLE) AS qty_back,
-        |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
         |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec_str,
         |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date_str,
         |  CAST(l_linenumber AS DOUBLE) AS ln_dbl

@@ -22,11 +22,13 @@ object SetOps extends QGroup {
         a.unionAll(rest)
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("cnt"),
-            sum(col("l_quantity").cast(dec)).as("sum_qty"))
+            // final double cast: decimal cells render with scale-6 under
+            // the driver's hasher and mismatch the oracle's float64
+            sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
           .orderBy(col("l_returnflag").asc_nulls_first)
       },
       Some("""SELECT l_returnflag, COUNT(*) AS cnt,
-        |  SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
         |FROM (SELECT * FROM lineitem WHERE l_returnflag = 'A'
         |      UNION ALL
         |      SELECT * FROM lineitem WHERE l_returnflag <> 'A') u

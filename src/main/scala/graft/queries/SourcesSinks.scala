@@ -75,11 +75,13 @@ object SourcesSinks extends QGroup {
         s.read.parquet(out)
           .groupBy(col("l_linestatus"))
           .agg(count(lit(1)).as("cnt"),
-            sum(col("l_quantity").cast(QShared.dec)).as("sum_qty"))
+            // final double cast: decimal cells render with scale-6 under
+            // the driver's hasher and mismatch the oracle's float64
+            sum(col("l_quantity").cast(QShared.dec)).cast("double").as("sum_qty"))
           .orderBy(col("l_linestatus").asc_nulls_first)
       },
       Some("""SELECT l_linestatus, COUNT(*) AS cnt,
-        |  SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_returnflag = 'R'
         |GROUP BY l_linestatus ORDER BY l_linestatus ASC NULLS FIRST""".stripMargin)),
 
@@ -93,11 +95,11 @@ object SourcesSinks extends QGroup {
           .filter(col("o_orderstatus") === "F") // prunes to one directory
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("cnt"),
-            sum(col("o_totalprice").cast(QShared.dec)).as("sum_price"))
+            sum(col("o_totalprice").cast(QShared.dec)).cast("double").as("sum_price"))
           .orderBy(col("o_orderpriority").asc_nulls_first)
       },
       Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
-        |  SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin))
   )

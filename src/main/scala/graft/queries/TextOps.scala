@@ -88,8 +88,11 @@ object TextOps extends QGroup {
           element_at(typedlit(Array("image", "audio", "video")),
             (col("doc_id") % 3 + 1).cast("int")).as("kind"),
           encode(col("text"), "UTF-8").as("payload"))
-        Multimodal.extractFeatures(media, "id", "kind", "payload")
-          .orderBy(col("id").asc_nulls_first)
+        // complex feature columns JSON-rendered: raw array/struct cells
+        // crash the driver's pandas sorter (VERDICT r1 §2)
+        QShared.jsonifyComplex(
+          Multimodal.extractFeatures(media, "id", "kind", "payload")
+            .orderBy(col("id").asc_nulls_first))
       },
       None)
   )

@@ -58,12 +58,14 @@ object Windows extends QGroup {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables(s, dir, "orders").select(
           col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast(dec)).over(w).as("running_spent"),
+          // final double cast: decimal cells render with scale-6 under the
+          // driver's hasher and mismatch the oracle's float64 (VERDICT r1)
+          sum(col("o_totalprice").cast(dec)).over(w).cast("double").as("running_spent"),
           count(lit(1)).over(w).as("running_n"))
           .orderBy(col("o_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
       },
       Some("""SELECT o_custkey, o_orderkey,
-        |  SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS running_spent,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) AS running_spent,
         |  COUNT(*) OVER w AS running_n
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
@@ -89,7 +91,8 @@ object Windows extends QGroup {
       Some("""SELECT o_orderstatus, o_orderkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
         |  COUNT(*) OVER w AS n_within_1000,
-        |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS cents_within_1000
+        |  -- DuckDB SUM(BIGINT) yields HUGEINT; Spark's is BIGINT
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_within_1000
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus
         |  ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) ASC NULLS FIRST
