@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times every SparkEntry query at
-  * SPARK_GRAFT_SF_DIR, printing ONE JSON line.
+  * SPARK_GRAFT_SF_DIR. Prints the full per-query JSON line, then a short
+  * parse-safe summary line last (the driver tail-captures stdout).
   *
   * Method: one warmup execution of the flagship query (JIT + codegen
   * caches), then each query executed once against a `noop` sink — full
@@ -50,7 +51,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only a tail window of stdout, so a single ~2 KB
+    // line gets its head truncated and fails to parse. Full per-query
+    // detail goes to a file; the LAST stdout line is a short JSON summary
+    // with the slowest 5 queries inlined.
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val out = java.nio.file.Paths.get("bench_detail.json")
+    java.nio.file.Files.write(out, detail.getBytes("UTF-8"))
+    val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(detail)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${names.size},"slowest":$top5,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -14,10 +14,11 @@ import org.apache.spark.sql.types._
   * [[graft.operators.Similarity.cosine]] (same left-to-right double
   * accumulation → bit-identical results), but evaluates as a tight
   * primitive loop in generated Java — no per-element lambda dispatch, no
-  * boxing, no intermediate arrays. Mismatched lengths use the common
-  * prefix; zero-norm inputs and NULL elements yield NULL (never NaN —
-  * NaN sorts ABOVE every real similarity under descending order, which
-  * would rank a zero vector as everyone's nearest neighbor).
+  * boxing, no intermediate arrays. Mismatched lengths, zero-norm inputs
+  * and NULL elements all yield NULL on BOTH paths (never NaN — NaN sorts
+  * ABOVE every real similarity under descending order, which would rank
+  * a zero vector as everyone's nearest neighbor; mismatched lengths are
+  * malformed input, not a comparable pair).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -42,7 +43,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -72,16 +74,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |boolean ${n}_null = false;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${n}_null = true; break; }
-         |  double $xi = $a.getFloat($i);
-         |  double $yi = $b.getFloat($i);
-         |  $dot += $xi * $yi;
-         |  $na += $xi * $xi;
-         |  $nb += $yi * $yi;
+         |boolean ${n}_null = $n != $b.numElements();
+         |if (!${n}_null) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${n}_null = true; break; }
+         |    double $xi = $a.getFloat($i);
+         |    double $yi = $b.getFloat($i);
+         |    $dot += $xi * $yi;
+         |    $na += $xi * $xi;
+         |    $nb += $yi * $yi;
+         |  }
          |}
          |if (${n}_null || $na == 0.0 || $nb == 0.0) {
          |  ${ev.isNull} = true;

@@ -31,6 +31,17 @@ object AsOfJoin {
       rightTieCols: Seq[String] = Nil,
       allowEqual: Boolean = true): DataFrame = {
 
+    // The union+window plumbing reserves internal names and emits
+    // r_<payload> outputs; a left frame already carrying any of them
+    // would be silently merged by unionByName (or mis-sorted by the
+    // window ordering) instead of failing — refuse up front.
+    val reserved = Set("__side", "__r_payload", "__rtie", "__match") ++
+      rightPayload.map(c => s"r_$c")
+    val clashes = (left.columns ++ right.columns).filter(reserved)
+    require(clashes.isEmpty,
+      s"asOf reserves column names ${clashes.distinct.mkString(", ")}; " +
+        "rename them on the input frames first")
+
     // side ordering at equal ts decides <= vs <: rights first (0) means a
     // left row can see a same-instant right.
     val (lSide, rSide) = if (allowEqual) (1, 0) else (0, 1)

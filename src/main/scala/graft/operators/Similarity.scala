@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity between two float-array columns, computed in
-    * double with left-to-right accumulation (deterministic). */
+    * double with left-to-right accumulation (deterministic). Mismatched
+    * lengths yield NULL (zip_with pads with null, which poisons the
+    * aggregate) and zero-norm vectors yield NULL via the explicit
+    * denominator guard — both aligned with the native
+    * [[graft.functions.CosineSimilarity]] expression, and the guard keeps
+    * ANSI mode from raising DIVIDE_BY_ZERO on zero vectors. */
   def cosine(a: Column, b: Column): Column = {
     // cast each float to double BEFORE multiplying — matches both the
     // native CosineSimilarity expression and DuckDB's ::DOUBLE[] oracle
@@ -31,7 +36,8 @@ object Similarity {
       lit(0.0), (acc, x) => acc + x)
     val nb = aggregate(transform(b, x => d(x) * d(x)),
       lit(0.0), (acc, x) => acc + x)
-    dot / (sqrt(na) * sqrt(nb))
+    val denom = sqrt(na) * sqrt(nb)
+    when(denom === 0.0, lit(null).cast("double")).otherwise(dot / denom)
   }
 
   /** Exact top-k neighbors per query (excluding self-matches on id).
@@ -119,13 +125,38 @@ object Similarity {
   private def planeWeight(p: Column, d: Column): Column =
     (pmod(xxhash64(lit("graft-lsh"), p, d), lit(2000001L)) - 1000000L) / 1000000.0
 
-  /** Sign-bit signature of a vector against `nPlanes` hyperplanes. */
-  def lshSignature(vec: Column, nPlanes: Int): Column =
-    transform(sequence(lit(0), lit(nPlanes - 1)), p =>
-      when(aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x.cast("double") * planeWeight(p, d)),
-        lit(0.0), (acc, x) => acc + x) > 0, 1L).otherwise(0L))
+  /** The same weight computed once on the driver at plan time — Spark's
+    * own XxHash64 evaluated over literals, so it is bit-identical to
+    * [[planeWeight]]'s per-row derivation. */
+  private def hostPlaneWeight(p: Int, d: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    // seed 42 = the default the SQL xxhash64() function uses
+    val h = XxHash64(Seq(Literal("graft-lsh"), Literal(p), Literal(d)), 42L)
+      .eval(null).asInstanceOf[Long]
+    val m = ((h % 2000001L) + 2000001L) % 2000001L
+    (m - 1000000L) / 1000000.0
+  }
+
+  /** Sign-bit signature of a vector against `nPlanes` hyperplanes.
+    * When `dim` is known (> 0), the weight matrix is embedded as plan
+    * literals: nPlanes×dim fewer hash evaluations per ROW, same bits as
+    * the generic path (weights come from the same derivation, evaluated
+    * once at plan time). Keep the generic path for unknown/huge dims —
+    * the literal matrix grows the plan by nPlanes×dim constants. */
+  def lshSignature(vec: Column, nPlanes: Int, dim: Int = -1): Column =
+    if (dim > 0)
+      array((0 until nPlanes).map { p =>
+        val wts = array((0 until dim).map(d => lit(hostPlaneWeight(p, d))): _*)
+        when(aggregate(
+          zip_with(vec, wts, (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, x) => acc + x) > 0, 1L).otherwise(0L)
+      }: _*)
+    else
+      transform(sequence(lit(0), lit(nPlanes - 1)), p =>
+        when(aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, d) => x.cast("double") * planeWeight(p, d)),
+          lit(0.0), (acc, x) => acc + x) > 0, 1L).otherwise(0L))
 
   /** Approximate top-k: bucket on banded hyperplane signs (bands of 4
     * planes, OR-amplified), then exact cosine within candidate buckets.
@@ -136,12 +167,13 @@ object Similarity {
       k: Int,
       nPlanes: Int,
       idCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String,
+      dim: Int = -1): DataFrame = {
     require(nPlanes % 4 == 0, "nPlanes must be a multiple of 4")
     val bands = nPlanes / 4
     def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
       df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
-        lshSignature(col(vecCol), nPlanes).as("sig"))
+        lshSignature(col(vecCol), nPlanes, dim).as("sig"))
         // shuffle = projection barrier: the signature is computed once,
         // not re-evaluated per band by the posexplode lambda (see Dedup)
         .repartition(df.sparkSession.sparkContext.defaultParallelism)

@@ -162,6 +162,22 @@ object Aggregates extends QGroup {
       },
       Some("""SELECT user_id, median(value) AS median_value, COUNT(*) AS n
         |FROM events GROUP BY user_id
-        |ORDER BY user_id ASC NULLS FIRST""".stripMargin))
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin)),
+
+    // U2b: the 100 TB median path. U2's exact Aggregator buffers every
+    // group value in memory — O(n) per group, so one hot key can OOM an
+    // executor. percentile_approx keeps a bounded mergeable sketch
+    // (state size scales with `accuracy`, not group size) and combines
+    // map-side. Sketch internals differ across engines → rows-only here;
+    // ApproxSpec asserts its error against the exact aggregator.
+    QDef("u2b_median_approx",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(
+            percentile_approx(col("value"), lit(0.5), lit(10000)).as("median_approx"),
+            count(lit(1)).as("n"))
+          .orderBy(col("user_id").asc_nulls_first),
+      None)
   )
 }

@@ -205,7 +205,7 @@ object LlmOps extends QGroup {
         val emb = Tables(s, dir, "embeddings")
         Similarity.lshTopK(
           emb.filter(col("vec_id") < 20), emb, k = 5, nPlanes = 12,
-          idCol = "vec_id", vecCol = "embedding")
+          idCol = "vec_id", vecCol = "embedding", dim = 64)
           .select(col("q_id"), col("rank"), col("n_id"))
           .orderBy(col("q_id").asc_nulls_first, col("rank").asc_nulls_first)
       },

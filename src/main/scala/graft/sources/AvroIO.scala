@@ -86,15 +86,20 @@ object AvroIO {
     }
   }
 
-  /** Decode one container file's bytes into Rows (runs on executors). */
+  /** Decode one container file's bytes into Rows (runs on executors).
+    * Decodes eagerly — the file is already fully in memory, and an eager
+    * loop closes the reader even when the downstream consumer stops
+    * early (limit/take/task failure), where a lazy close-on-drain
+    * iterator would leak it and risk next() on a closed reader. */
   def decodeBytes(bytes: Array[Byte], schemaJson: String): Iterator[Row] = {
     val schema = new Schema.Parser().parse(schemaJson)
     val reader = new DataFileStream[GenericRecord](
       new ByteArrayInputStream(bytes), new GenericDatumReader[GenericRecord](schema))
-    new Iterator[Row] {
-      def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
-      def next(): Row = convert(reader.next(), schema).asInstanceOf[Row]
-    }
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      while (reader.hasNext) buf += convert(reader.next(), schema).asInstanceOf[Row]
+      buf.iterator
+    } finally reader.close()
   }
 
   /** Writer schema from a container file header. */

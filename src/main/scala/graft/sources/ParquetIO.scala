@@ -27,14 +27,26 @@ object ParquetIO {
     r.parquet(paths: _*)
   }
 
-  /** R8/R10 semantics: default errorifexists + snappy. */
+  /** R8/R10 semantics: default errorifexists + snappy. `bloomFilterCols`
+    * writes a split-block bloom filter per named column (the reference
+    * corpus's `bloom_filter.bin` artifact) so readers can prove a row
+    * group free of an equality-probe value without touching its pages —
+    * the point-lookup skip index for 100 TB append-only fact tables. */
   def write(
       df: DataFrame,
       path: String,
       mode: String = "errorifexists",
       compression: String = "snappy",
-      partitionCols: Seq[String] = Nil): Unit = {
+      partitionCols: Seq[String] = Nil,
+      bloomFilterCols: Seq[String] = Nil,
+      bloomNdv: Long = 100000L,
+      extraOptions: Map[String, String] = Map.empty): Unit = {
     var w = df.write.mode(mode).option("compression", compression)
+    bloomFilterCols.foreach { c =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", bloomNdv.toString)
+    }
+    extraOptions.foreach { case (k, v) => w = w.option(k, v) }
     if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
     w.parquet(path)
   }
@@ -67,9 +79,20 @@ object ParquetIO {
   /** R18–R20: read with `corruptDateRebase` ∈ auto|on|off.
     *  - on:   unconditionally shift all DATE columns back
     *  - off:  plain read
-    *  - auto: footer sniff — created_by mentioning drill, or
-    *    `is.date.correct`/`parquet-writer.version` absent while DATE
-    *    column stats exceed the year-5000 threshold ⇒ shift.
+    *  - auto: per-footer DRILL-4203 detection with the reference's exact
+    *    decision tree (ParquetReaderUtility.java:91-155):
+    *      1. `drill.version`/`dremio.version` key present ⇒ corrupt UNLESS
+    *         `parquet-writer.version` parses to an int ≥ 2 or
+    *         `is.date.correct` = true;
+    *      2. otherwise created_by null or bare "parquet-mr" ⇒ stats probe;
+    *      3. otherwise parse created_by: semver 1.8.1 with "drill" in the
+    *         pre-release tag (migrated Drill file) ⇒ corrupt; any other
+    *         parseable writer ⇒ sane; unparseable ⇒ stats probe.
+    *    The stats probe walks EVERY row group; a DATE max beyond the
+    *    year-5000 threshold ⇒ corrupt, a DATE chunk with no stats ⇒
+    *    unclear (reference: META_UNCLEAR_TEST_VALUES, java:224) and the
+    *    actual column values of that file are probed with a scan —
+    *    missing stats must not silently pass as "sane".
     * The fix itself is a conditional `date_sub` projection — scan-speed,
     * no shuffle. Every part footer is sniffed in auto mode; a directory
     * mixing corrupt and sane writers is rejected loudly. */
@@ -88,15 +111,8 @@ object ParquetIO {
         // mixed-provenance directory would silently shift correct dates
         // by ~13k years (or leave corrupt ones unfixed). Uniform verdict
         // → apply; mixed → refuse loudly.
-        val verdicts = ParquetMeta.footers(path).map { ft =>
-          val created = Option(ft.getFileMetaData.getCreatedBy).getOrElse("").toLowerCase
-          val kv = ft.getFileMetaData.getKeyValueMetaData.asScala
-          val declaredCorrect = kv.get("is.date.correct").contains("true") ||
-            kv.contains("parquet-writer.version")
-          val drillish = created.contains("drill")
-          if (declaredCorrect) false
-          else if (!drillish && created.nonEmpty && !created.contains("parquet-mr")) false
-          else statsProbeCorrupt(ft, dateCols.toSet)
+        val verdicts = ParquetMeta.partFiles(path).map { file =>
+          footerVerdict(spark, file.toString, dateCols.toSet)
         }
         if (verdicts.distinct.size > 1)
           throw new IllegalStateException(
@@ -111,20 +127,71 @@ object ParquetIO {
       d.withColumn(c, date_sub(col(s"`$c`"), CorrectCorruptDateShiftDays)))
   }
 
-  /** R19: min/max stats of DATE columns beyond the year-5000 threshold. */
-  private def statsProbeCorrupt(
+  /** Reference decision tree (ParquetReaderUtility.java:91-155) for one
+    * part file; true = dates corrupt. */
+  private def footerVerdict(
+      spark: SparkSession,
+      file: String,
+      dateCols: Set[String]): Boolean = {
+    val ft = ParquetMeta.footer(file)
+    val meta = ft.getFileMetaData
+    val kv = meta.getKeyValueMetaData.asScala
+    if (kv.contains("drill.version") || kv.contains("dremio.version")) {
+      // Drill >= 1.3.0 or any Dremio. Writer version >= 2 (DRILL-4980) or
+      // the is.date.correct flag (Drill 1.9.0, all Dremio) mean sane;
+      // anything else in this family wrote shifted dates.
+      val writerOk = kv.get("parquet-writer.version")
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption).exists(_ >= 2)
+      val declaredCorrect = kv.get("is.date.correct").exists(_.trim.equalsIgnoreCase("true"))
+      !(writerOk || declaredCorrect)
+    } else Option(meta.getCreatedBy) match {
+      case None => statsThenValueProbe(spark, file, ft, dateCols)
+      case Some("parquet-mr") => statsThenValueProbe(spark, file, ft, dateCols)
+      case Some(created) =>
+        // created_by format: "writer version M.m.p[-pre] (build sha)"
+        val semver = raw"version\s+(\d+)\.(\d+)\.(\d+)(?:-([^\s(]+))?".r
+        semver.findFirstMatchIn(created) match {
+          case Some(m) =>
+            // migrated Drill files: parquet-mr 1.8.1 with drill-r0 in the
+            // pre-release slot (ParquetReaderUtility.java:143)
+            m.group(1) == "1" && m.group(2) == "8" && m.group(3) == "1" &&
+              Option(m.group(4)).exists(_.toLowerCase.contains("drill"))
+          case None => statsThenValueProbe(spark, file, ft, dateCols)
+        }
+    }
+  }
+
+  /** R19: min/max stats of DATE columns beyond the year-5000 threshold,
+    * over every row group. A DATE chunk lacking stats makes the footer
+    * inconclusive (reference META_UNCLEAR_TEST_VALUES) → scan that file's
+    * date columns and test the actual max day value. */
+  private def statsThenValueProbe(
+      spark: SparkSession,
+      file: String,
       ft: org.apache.parquet.hadoop.metadata.ParquetMetadata,
       dateCols: Set[String]): Boolean = {
-    val blocks = ft.getBlocks.asScala
-    if (blocks.isEmpty) return false
-    blocks.head.getColumns.asScala.exists { cc =>
-      dateCols.contains(cc.getPath.toDotString) && {
-        val st = cc.getStatistics
-        st != null && st.hasNonNullValue && (st.genericGetMax match {
-          case i: java.lang.Integer => i > CorruptThresholdDays
-          case _ => false
-        })
+    var unclear = false
+    val corrupt = ft.getBlocks.asScala.exists { block =>
+      block.getColumns.asScala.exists { cc =>
+        dateCols.contains(cc.getPath.toDotString) && {
+          val st = cc.getStatistics
+          if (st == null || (!st.hasNonNullValue && st.getNumNulls < block.getRowCount)) {
+            unclear = true; false
+          } else st.hasNonNullValue && (st.genericGetMax match {
+            case i: java.lang.Integer => i > CorruptThresholdDays
+            case _ => false
+          })
+        }
       }
+    }
+    if (corrupt) true
+    else if (!unclear) false
+    else {
+      // value probe: one pruned single-column-set scan of this part file
+      val probe = spark.read.parquet(file)
+        .select(dateCols.toSeq.map(c => max(col(s"`$c`").cast("int")).as(c)): _*)
+        .head()
+      (0 until probe.length).exists(i => !probe.isNullAt(i) && probe.getInt(i) > CorruptThresholdDays)
     }
   }
 }

@@ -66,4 +66,43 @@ object ParquetMeta {
       case (b, i) if b.getStartingPos >= splitStart &&
         b.getStartingPos < splitStart + splitLen => i
     }
+
+  /** Columns that carry a bloom filter in any row group (reference
+    * corpus artifact `bloom_filter.bin`: a footer-referenced SBBF). */
+  def bloomFilterColumns(path: String, conf: Configuration = new Configuration()): Seq[String] =
+    footer(path, conf).getBlocks.asScala
+      .flatMap(_.getColumns.asScala)
+      .filter(_.getBloomFilterOffset >= 0)
+      .map(_.getPath.toDotString)
+      .distinct.toSeq
+
+  /** Row-group indexes whose bloom filter for `column` might contain
+    * `value` — the skip primitive a reader uses on equality predicates:
+    * a row group absent from the result is PROVABLY value-free and its
+    * pages are never fetched. Row groups with no bloom filter are kept
+    * (can't prove absence). */
+  def bloomCandidateRowGroups(path: String, column: String, value: Any,
+      conf: Configuration = new Configuration()): Seq[Int] = {
+    val file = partFiles(path, conf).head
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      r.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap { case (block, i) =>
+        block.getColumns.asScala.find(_.getPath.toDotString == column) match {
+          case Some(cc) if cc.getBloomFilterOffset >= 0 =>
+            val bloom = r.getBloomFilterDataReader(block).readBloomFilter(cc)
+            val hash = value match {
+              case l: Long => bloom.hash(l)
+              case iv: Int => bloom.hash(iv)
+              case d: Double => bloom.hash(d)
+              case f: Float => bloom.hash(f)
+              case s: String => bloom.hash(org.apache.parquet.io.api.Binary.fromString(s))
+              case b: Array[Byte] => bloom.hash(org.apache.parquet.io.api.Binary.fromConstantByteArray(b))
+              case other => throw new IllegalArgumentException(s"unsupported bloom probe type: $other")
+            }
+            if (bloom.findHash(hash)) Some(i) else None
+          case _ => Some(i) // no filter → must read
+        }
+      }
+    } finally r.close()
+  }
 }

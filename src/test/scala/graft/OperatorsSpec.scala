@@ -124,6 +124,14 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.3, s"recall@5 was $recall — LSH banding is broken if this is near 0")
   }
+
+  test("literal-weight LSH signature is bit-identical to the generic path") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val both = emb.select(
+      Similarity.lshSignature(col("embedding"), 12).as("generic"),
+      Similarity.lshSignature(col("embedding"), 12, dim = 64).as("literal"))
+    assert(both.filter(col("generic") =!= col("literal")).count() == 0)
+  }
 }
 
 class NativeExprSpec extends SparkSpec {
@@ -161,15 +169,48 @@ class NativeExprSpec extends SparkSpec {
     graft.GraftFunctions.ensureRegistered(spark)
     val r = spark.sql(
       """SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
-        |                    array(CAST(1.0 AS FLOAT))) AS prefix,
+        |                    array(CAST(1.0 AS FLOAT))) AS mismatched,
         |       graft_cosine(CAST(NULL AS ARRAY<FLOAT>),
         |                    array(CAST(1.0 AS FLOAT))) AS nullin""".stripMargin).collect()(0)
-    assert(r.getDouble(0) == 1.0) // common prefix [1.0]·[1.0]
+    // mismatched lengths are malformed input → NULL, same as the HOF path
+    // (zip_with pads with null, poisoning the aggregate)
+    assert(r.isNullAt(0))
     assert(r.isNullAt(1))
+  }
+
+  test("HOF cosine matches native on mismatched lengths and zero norms") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f)),      // mismatched
+      (Seq(0.0f, 0.0f), Seq(1.0f, 1.0f)) // zero norm (ANSI: no DIVIDE_BY_ZERO)
+    ).toDF("a", "b")
+    val rows = df.select(
+      graft.operators.Similarity.cosine(col("a"), col("b")).as("hof"),
+      graft.GraftFunctions.cosineNative(spark, col("a"), col("b")).as("native")
+    ).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1), s"expected NULL/NULL, got $r")
+    }
   }
 }
 
 class ApproxSpec extends SparkSpec {
+  test("percentile_approx median tracks the exact median aggregator") {
+    val exact = SparkEntry.queries("u2_median_udaf")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val approx = SparkEntry.queries("u2b_median_approx")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    // accuracy=10000 with per-user groups far smaller than that: the
+    // sketch holds every value, so it must land on a real group element
+    // at most one order-statistic away from the exact midpoint
+    for ((k, ex) <- exact) {
+      val ap = approx(k)
+      assert(math.abs(ap - ex) <= math.abs(ex) * 0.05 + 1.0,
+        s"user $k: approx=$ap exact=$ex")
+    }
+  }
+
   test("moment-based var_samp matches Spark's native var_samp") {
     val got = SparkEntry.queries("a8_stats_moments")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap

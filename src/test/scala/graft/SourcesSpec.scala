@@ -67,10 +67,14 @@ class ParquetIOSpec extends SparkSpec {
       .orderBy($"id").collect().map(_.getDate(1).toString)
     assert(off.head != "1995-06-17")
 
-    // auto: stats probe sees year-7000ish dates from a parquet-mr writer → fix
+    // auto, reference decision tree (ParquetReaderUtility.java:91-155):
+    // Spark's created_by ("parquet-mr version X.Y.Z (build …)") parses to
+    // a non-drill semver → sane writer → wild future dates are trusted,
+    // NOT rewritten (DRILL-4203 explicitly allows intentional far-future
+    // dates from non-Drill tools).
     val auto = ParquetIO.readCorruptDateAware(spark, dir, "auto")
       .orderBy($"id").collect().map(_.getDate(1).toString)
-    assert(auto.toSeq == Seq("1995-06-17", "2001-01-01"))
+    assert(auto.head != "1995-06-17")
 
     // auto on a sane file: untouched
     val sane = tmpDir("graft-dates2") + "/t"
@@ -78,6 +82,90 @@ class ParquetIOSpec extends SparkSpec {
     val kept = ParquetIO.readCorruptDateAware(spark, sane, "auto")
       .orderBy($"id").collect().map(_.getDate(1).toString)
     assert(kept.toSeq == Seq("1995-06-17", "2001-01-01"))
+  }
+
+  test("corrupt-date auto: drill.version metadata decides like the reference") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.MessageTypeParser
+    import scala.jdk.CollectionConverters._
+
+    val schema = MessageTypeParser.parseMessageType(
+      "message t { required int32 id; required int32 d (DATE); }")
+    val f = new SimpleGroupFactory(schema)
+    val goodDays = java.time.LocalDate.of(1995, 6, 17).toEpochDay.toInt
+    val corruptDays = goodDays + ParquetIO.CorrectCorruptDateShiftDays
+
+    def writeWithKv(file: String, days: Int, kv: Map[String, String]): Unit = {
+      val w = ExampleParquetWriter.builder(new Path(file))
+        .withType(schema).withExtraMetaData(kv.asJava).build()
+      try w.write(f.newGroup().append("id", 1).append("d", days))
+      finally w.close()
+    }
+
+    // Drill 1.3–1.9 (drill.version, no writer version, no is.date.correct)
+    // ⇒ META_SHOWS_CORRUPTION: fixed from metadata alone
+    val drillOld = tmpDir("graft-drill-old") + "/f.parquet"
+    writeWithKv(drillOld, corruptDays, Map("drill.version" -> "1.8.0"))
+    val fixedAuto = ParquetIO.readCorruptDateAware(spark, drillOld, "auto")
+      .collect().map(_.getDate(1).toString)
+    assert(fixedAuto.toSeq == Seq("1995-06-17"))
+
+    // Drill ≥ 1.10 (parquet-writer.version = 2) ⇒ sane even with a
+    // far-future date value
+    val drillNew = tmpDir("graft-drill-new") + "/f.parquet"
+    writeWithKv(drillNew, corruptDays,
+      Map("drill.version" -> "1.10.0", "parquet-writer.version" -> "2"))
+    val keptNew = ParquetIO.readCorruptDateAware(spark, drillNew, "auto")
+      .collect().map(_.getDate(1).toString)
+    assert(keptNew.head != "1995-06-17")
+
+    // Dremio flavor: is.date.correct = true ⇒ sane
+    val dremio = tmpDir("graft-dremio") + "/f.parquet"
+    writeWithKv(dremio, goodDays,
+      Map("dremio.version" -> "4.0.0", "is.date.correct" -> "true"))
+    val keptDremio = ParquetIO.readCorruptDateAware(spark, dremio, "auto")
+      .collect().map(_.getDate(1).toString)
+    assert(keptDremio.toSeq == Seq("1995-06-17"))
+  }
+
+  test("bloom filter write: footer carries the filter and equality probes skip row groups") {
+    val dir = tmpDir("graft-bloom") + "/t"
+    val df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select($"l_orderkey", $"l_suppkey")
+      .repartition(1).sortWithinPartitions($"l_orderkey")
+    // tiny row groups force several per file so skipping is observable;
+    // dictionary encoding must be off — parquet-mr skips the bloom
+    // filter when every page is dictionary-encoded (the dictionary is
+    // already an exact membership index)
+    ParquetIO.write(df, dir,
+      bloomFilterCols = Seq("l_orderkey"), bloomNdv = 20000,
+      extraOptions = Map(
+        "parquet.enable.dictionary" -> "false",
+        "parquet.block.size" -> "65536",
+        "parquet.page.size" -> "8192"))
+
+    assert(ParquetMeta.bloomFilterColumns(dir) == Seq("l_orderkey"))
+    val nGroups = ParquetMeta.rowGroupStats(dir).size
+    assert(nGroups >= 2, s"need multiple row groups to observe skipping, got $nGroups")
+
+    // a real key lives in few row groups (sorted write) — the bloom probe
+    // must keep at least one and prove most of the rest value-free
+    val someKey = df.select($"l_orderkey").head().getLong(0)
+    val hits = ParquetMeta.bloomCandidateRowGroups(dir, "l_orderkey", someKey)
+    assert(hits.nonEmpty && hits.size < nGroups,
+      s"key $someKey: ${hits.size} of $nGroups row groups kept")
+
+    // an absent key should be provably absent from every row group
+    // (false positives possible but wildly unlikely at ndv=2000)
+    val misses = ParquetMeta.bloomCandidateRowGroups(dir, "l_orderkey", -12345L)
+    assert(misses.isEmpty, s"absent key matched row groups $misses")
+
+    // and the data itself still reads correctly through the filter
+    val expect = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .filter($"l_orderkey" === someKey).count()
+    assert(spark.read.parquet(dir).filter($"l_orderkey" === someKey).count() == expect)
   }
 }
 
