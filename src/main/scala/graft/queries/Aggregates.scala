@@ -85,6 +85,70 @@ object Aggregates extends QGroup {
         |ORDER BY gid ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST,
         |  o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    // A4c: explicit GROUPING SETS (the general form rollup/cube sugar
+    // over; Spark 4 Dataset.groupingSets).
+    QDef("a4c_grouping_sets",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderstatus")), Seq()),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"),
+            grouping_id().as("gid"))
+          .orderBy(col("gid").asc_nulls_first,
+            col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // A9: correlation + sample covariance from decimal moment sums — the
+    // same order-independence recipe as A8: native corr/covar merge
+    // partial float states in partition order (nondeterministic at
+    // scale), while decimal SUMs are exact, so the final double formula
+    // is bit-identical on both engines.
+    QDef("a9_corr_covar",
+      (s, dir) => {
+        val x = col("l_quantity").cast(dec)
+        val y = col("l_extendedprice").cast(dec)
+        val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum((col("l_quantity") * col("l_extendedprice")).cast(dec)).as("sxy"),
+            sum((col("l_quantity") * col("l_quantity")).cast(dec)).as("sxx"),
+            sum((col("l_extendedprice") * col("l_extendedprice")).cast(dec)).as("syy"))
+          .select(col("l_returnflag"), col("n"),
+            round(((d(col("sxy")) - d(col("sx")) * d(col("sy")) / col("n")) /
+              nullif(col("n") - 1, lit(0))), 4).as("covar_samp"),
+            round(((col("n") * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+              nullif(sqrt(col("n") * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+                sqrt(col("n") * d(col("syy")) - d(col("sy")) * d(col("sy"))), lit(0.0))), 6)
+              .as("corr"))
+          .orderBy(col("l_returnflag").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, n,
+        |  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |        / nullif(n - 1, 0), 4) AS covar_samp,
+        |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / nullif(sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                 * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0), 6) AS corr
+        |FROM (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sy,
+        |    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS sxy,
+        |    SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS sxx,
+        |    SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag) t
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
+
     // A5: collect_list canonicalized with array_sort (determinism rule 5).
     // Output arrays are rendered as joined strings: the driver's pandas
     // sorter crashes on ndarray cells ("unhashable type", VERDICT r1 §2),

@@ -63,13 +63,35 @@ object TextOps extends QGroup {
         |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS INTEGER) AS n_bpeish
         |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
-    // Language ID heuristic (rows-only; accuracy asserted in spec).
+    // Language ID heuristic — oracle mirrors the stopword-intersection
+    // argmax exactly: DuckDB list_intersect has the same set semantics
+    // as Spark array_intersect, and row_number(score DESC, ord ASC)
+    // reproduces array_max's (score, -langIndex) struct tie-break.
     QDef("l3f_language_id",
       (s, dir) =>
         Tables(s, dir, "documents")
           .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_id"))
           .orderBy(col("doc_id").asc_nulls_first),
-      None),
+      Some("""WITH langs(lang, ord, words) AS (VALUES
+        |  ('de', 0, ['der','die','und','das','ist','von','zu','den','ein','nicht']),
+        |  ('en', 1, ['the','and','of','to','in','is','a','that','it','for']),
+        |  ('es', 2, ['el','la','de','que','y','en','los','se','del','un']),
+        |  ('fr', 3, ['le','la','et','les','des','de','un','une','du','est']),
+        |  ('it', 4, ['il','la','di','che','e','un','per','una','del','non'])),
+        |scored AS (
+        |  SELECT d.doc_id, d.text, l.lang, l.ord,
+        |    len(list_intersect(string_split(lower(d.text), ' '), l.words)) AS score
+        |  FROM documents d CROSS JOIN langs l),
+        |best AS (
+        |  SELECT doc_id, text, lang, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, ord ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       WHEN score > 0 THEN lang
+        |       ELSE 'und' END AS lang_id
+        |FROM best WHERE rn = 1
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
     // Rolling-hash document fingerprint (rows-only; stability asserted in spec).
     QDef("l3g_fingerprint",
