@@ -56,8 +56,11 @@ object Bench {
     // detail goes to a file; the LAST stdout line is a short JSON summary
     // with the slowest 5 queries inlined.
     val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    val out = java.nio.file.Paths.get("bench_detail.json")
-    java.nio.file.Files.write(out, detail.getBytes("UTF-8"))
+    // best-effort: an unwritable CWD must not lose the stdout lines the
+    // driver parses after the whole benchmark already ran
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"), detail.getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] detail file not written: $e") }
     val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     println(detail)

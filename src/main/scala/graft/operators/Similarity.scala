@@ -141,22 +141,29 @@ object Similarity {
     * When `dim` is known (> 0), the weight matrix is embedded as plan
     * literals: nPlanes×dim fewer hash evaluations per ROW, same bits as
     * the generic path (weights come from the same derivation, evaluated
-    * once at plan time). Keep the generic path for unknown/huge dims —
-    * the literal matrix grows the plan by nPlanes×dim constants. */
-  def lshSignature(vec: Column, nPlanes: Int, dim: Int = -1): Column =
-    if (dim > 0)
-      array((0 until nPlanes).map { p =>
-        val wts = array((0 until dim).map(d => lit(hostPlaneWeight(p, d))): _*)
-        when(aggregate(
-          zip_with(vec, wts, (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, x) => acc + x) > 0, 1L).otherwise(0L)
-      }: _*)
-    else
+    * once at plan time). Rows whose actual vector length differs from
+    * `dim` fall back to the generic path per-row — zip_with against a
+    * wrong-length literal array would null-poison the aggregate and
+    * silently emit an all-zero signature (one giant LSH bucket). Keep
+    * the generic path for unknown/huge dims — the literal matrix grows
+    * the plan by nPlanes×dim constants. */
+  def lshSignature(vec: Column, nPlanes: Int, dim: Int = -1): Column = {
+    val generic =
       transform(sequence(lit(0), lit(nPlanes - 1)), p =>
         when(aggregate(
           zip_with(vec, sequence(lit(0), size(vec) - 1),
             (x, d) => x.cast("double") * planeWeight(p, d)),
           lit(0.0), (acc, x) => acc + x) > 0, 1L).otherwise(0L))
+    if (dim > 0) {
+      val literal = array((0 until nPlanes).map { p =>
+        val wts = array((0 until dim).map(d => lit(hostPlaneWeight(p, d))): _*)
+        when(aggregate(
+          zip_with(vec, wts, (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, x) => acc + x) > 0, 1L).otherwise(0L)
+      }: _*)
+      when(size(vec) === dim, literal).otherwise(generic)
+    } else generic
+  }
 
   /** Approximate top-k: bucket on banded hyperplane signs (bands of 4
     * planes, OR-amplified), then exact cosine within candidate buckets.

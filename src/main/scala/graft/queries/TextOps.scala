@@ -65,8 +65,10 @@ object TextOps extends QGroup {
 
     // Language ID heuristic — oracle mirrors the stopword-intersection
     // argmax exactly: DuckDB list_intersect has the same set semantics
-    // as Spark array_intersect, and row_number(score DESC, ord ASC)
-    // reproduces array_max's (score, -langIndex) struct tie-break.
+    // as Spark array_intersect, regexp_split_to_array('\s+') matches
+    // Spark's split(\s+) tokenizer on any whitespace, and
+    // row_number(score DESC, ord ASC) reproduces array_max's
+    // (score, -langIndex) struct tie-break.
     QDef("l3f_language_id",
       (s, dir) =>
         Tables(s, dir, "documents")
@@ -80,7 +82,7 @@ object TextOps extends QGroup {
         |  ('it', 4, ['il','la','di','che','e','un','per','una','del','non'])),
         |scored AS (
         |  SELECT d.doc_id, d.text, l.lang, l.ord,
-        |    len(list_intersect(string_split(lower(d.text), ' '), l.words)) AS score
+        |    len(list_intersect(regexp_split_to_array(lower(d.text), '\s+'), l.words)) AS score
         |  FROM documents d CROSS JOIN langs l),
         |best AS (
         |  SELECT doc_id, text, lang, score,

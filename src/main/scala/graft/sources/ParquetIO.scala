@@ -148,8 +148,13 @@ object ParquetIO {
       case None => statsThenValueProbe(spark, file, ft, dateCols)
       case Some("parquet-mr") => statsThenValueProbe(spark, file, ft, dateCols)
       case Some(created) =>
-        // created_by format: "writer version M.m.p[-pre] (build sha)"
-        val semver = raw"version\s+(\d+)\.(\d+)\.(\d+)(?:-([^\s(]+))?".r
+        // created_by format: "writer version M.m.p[-pre] (build sha)".
+        // STRICT like the reference's SemanticVersion parse: the patch
+        // number must be followed by end/space/paren/pre-release dash —
+        // "1.6.0rc3-drill-r0.3" (pre-1.3 Drill) must NOT parse, so those
+        // files fall through to the stats probe that catches their
+        // shifted dates (VersionParseException branch, java:149-151).
+        val semver = raw"version\s+(\d+)\.(\d+)\.(\d+)(?:-([^\s(]+))?(?=[\s(]|$$)".r
         semver.findFirstMatchIn(created) match {
           case Some(m) =>
             // migrated Drill files: parquet-mr 1.8.1 with drill-r0 in the
@@ -188,8 +193,9 @@ object ParquetIO {
     else if (!unclear) false
     else {
       // value probe: one pruned single-column-set scan of this part file
+      // (unix_date = days since epoch; DATE doesn't cast to INT directly)
       val probe = spark.read.parquet(file)
-        .select(dateCols.toSeq.map(c => max(col(s"`$c`").cast("int")).as(c)): _*)
+        .select(dateCols.toSeq.map(c => max(unix_date(col(s"`$c`"))).as(c)): _*)
         .head()
       (0 until probe.length).exists(i => !probe.isNullAt(i) && probe.getInt(i) > CorruptThresholdDays)
     }

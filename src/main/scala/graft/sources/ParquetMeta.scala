@@ -76,33 +76,40 @@ object ParquetMeta {
       .map(_.getPath.toDotString)
       .distinct.toSeq
 
-  /** Row-group indexes whose bloom filter for `column` might contain
-    * `value` — the skip primitive a reader uses on equality predicates:
-    * a row group absent from the result is PROVABLY value-free and its
-    * pages are never fetched. Row groups with no bloom filter are kept
-    * (can't prove absence). */
+  /** (part file, row-group index) pairs whose bloom filter for `column`
+    * might contain `value` — the skip primitive a reader uses on
+    * equality predicates: a pair absent from the result is PROVABLY
+    * value-free and its pages are never fetched. Walks EVERY part file
+    * of a directory. Row groups with no (or unreadable) bloom filter
+    * are kept — absence can't be proven without a filter. */
   def bloomCandidateRowGroups(path: String, column: String, value: Any,
-      conf: Configuration = new Configuration()): Seq[Int] = {
-    val file = partFiles(path, conf).head
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-    try {
-      r.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap { case (block, i) =>
-        block.getColumns.asScala.find(_.getPath.toDotString == column) match {
-          case Some(cc) if cc.getBloomFilterOffset >= 0 =>
-            val bloom = r.getBloomFilterDataReader(block).readBloomFilter(cc)
-            val hash = value match {
-              case l: Long => bloom.hash(l)
-              case iv: Int => bloom.hash(iv)
-              case d: Double => bloom.hash(d)
-              case f: Float => bloom.hash(f)
-              case s: String => bloom.hash(org.apache.parquet.io.api.Binary.fromString(s))
-              case b: Array[Byte] => bloom.hash(org.apache.parquet.io.api.Binary.fromConstantByteArray(b))
-              case other => throw new IllegalArgumentException(s"unsupported bloom probe type: $other")
-            }
-            if (bloom.findHash(hash)) Some(i) else None
-          case _ => Some(i) // no filter → must read
+      conf: Configuration = new Configuration()): Seq[(String, Int)] =
+    partFiles(path, conf).flatMap { file =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        r.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap { case (block, i) =>
+          val keep = block.getColumns.asScala.find(_.getPath.toDotString == column) match {
+            case Some(cc) if cc.getBloomFilterOffset >= 0 =>
+              // readBloomFilter returns null when the filter can't be
+              // decoded (IO error, encrypted column) → must read
+              Option(r.getBloomFilterDataReader(block).readBloomFilter(cc)) match {
+                case Some(bloom) =>
+                  val hash = value match {
+                    case l: Long => bloom.hash(l)
+                    case iv: Int => bloom.hash(iv)
+                    case d: Double => bloom.hash(d)
+                    case f: Float => bloom.hash(f)
+                    case s: String => bloom.hash(org.apache.parquet.io.api.Binary.fromString(s))
+                    case b: Array[Byte] => bloom.hash(org.apache.parquet.io.api.Binary.fromConstantByteArray(b))
+                    case other => throw new IllegalArgumentException(s"unsupported bloom probe type: $other")
+                  }
+                  bloom.findHash(hash)
+                case None => true
+              }
+            case _ => true // no filter → must read
+          }
+          if (keep) Some(file.getName -> i) else None
         }
-      }
-    } finally r.close()
-  }
+      } finally r.close()
+    }
 }

@@ -132,6 +132,18 @@ class SimilaritySpec extends SparkSpec {
       Similarity.lshSignature(col("embedding"), 12, dim = 64).as("literal"))
     assert(both.filter(col("generic") =!= col("literal")).count() == 0)
   }
+
+  test("literal-weight LSH falls back per-row when vector length differs from dim") {
+    val emb = spark.read.parquet(sf("embeddings"))
+      .withColumn("short_vec", slice(col("embedding"), 1, 32))
+    // dim=64 against 32-long vectors: must match the generic signature,
+    // not collapse to an all-zero signature via null-poisoned zip_with
+    val both = emb.select(
+      Similarity.lshSignature(col("short_vec"), 12).as("generic"),
+      Similarity.lshSignature(col("short_vec"), 12, dim = 64).as("literal"))
+    assert(both.filter(col("generic") =!= col("literal")).count() == 0)
+    assert(both.filter(col("literal") =!= array_repeat(lit(0L), 12)).count() > 0)
+  }
 }
 
 class NativeExprSpec extends SparkSpec {
