@@ -162,6 +162,34 @@ object Joins extends QGroup {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON e.user_id = s.user_id AND s.ts <= e.ts
         |ORDER BY e.event_id ASC NULLS FIRST""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // J9: event-time range join (impression→click attribution, the batch
+    // analog of Streams.clickAttribution). The user_id equality makes
+    // this a hash/sort-merge join with the time range as a post-join
+    // filter — NOT a nested-loop over the cross product, so it survives
+    // the 100 TB case; µs grain on both sides like J8.
+    QDef("j9_range_join",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+        val imp = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("imp_id"), col("user_id"), col("tus").as("imp_us"))
+        val clk = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("clk_id"), col("user_id").as("clk_user"),
+            col("tus").as("clk_us"))
+        imp.join(clk, col("user_id") === col("clk_user") &&
+            col("clk_us") >= col("imp_us") &&
+            col("clk_us") <= col("imp_us") + lit(43200000000L)) // 12 h in µs
+          .select(col("imp_id"), col("clk_id"), col("user_id"),
+            (col("clk_us") - col("imp_us")).as("delay_us"))
+          .orderBy(col("imp_id").asc_nulls_first, col("clk_id").asc_nulls_first)
+      },
+      Some("""SELECT i.event_id AS imp_id, c.event_id AS clk_id, i.user_id,
+        |  epoch_us(c.ts) - epoch_us(i.ts) AS delay_us
+        |FROM (SELECT * FROM events WHERE event_type = 'view') i
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON i.user_id = c.user_id
+        | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 12 HOUR
+        |ORDER BY imp_id ASC NULLS FIRST, clk_id ASC NULLS FIRST""".stripMargin))
   )
 }

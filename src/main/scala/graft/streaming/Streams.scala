@@ -43,6 +43,28 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** G6: stream-stream inner join (impression→click attribution shape).
+    * BOTH the watermarks and the event-time range bound are load-bearing
+    * at scale: they are what lets Spark age out buffered join state —
+    * without the `clk_ts BETWEEN imp_ts AND imp_ts + horizon` constraint
+    * the state store buffers both streams forever. Output columns:
+    * impression + click ids and the click delay in seconds. */
+  def clickAttribution(
+      impressions: DataFrame,
+      clicks: DataFrame,
+      horizon: String = "15 minutes",
+      impWatermark: String = "10 minutes",
+      clkWatermark: String = "20 minutes"): DataFrame = {
+    val imp = impressions.withWatermark("imp_ts", impWatermark)
+    val clk = clicks.withWatermark("clk_ts", clkWatermark)
+    imp.join(clk,
+      expr(s"""imp_user = clk_user
+              |AND clk_ts >= imp_ts
+              |AND clk_ts <= imp_ts + interval $horizon""".stripMargin))
+      .select(col("imp_id"), col("clk_id"), col("imp_user").as("user_id"),
+        (unix_timestamp(col("clk_ts")) - unix_timestamp(col("imp_ts"))).as("delay_s"))
+  }
+
   case class UserEvent(user_id: Long, event_id: Long, value: Double)
   case class UserCounter(user_id: Long, n_events: Long, total_value: Double)
 

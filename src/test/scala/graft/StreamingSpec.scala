@@ -13,6 +13,8 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class Imp(imp_id: Long, imp_user: Long, imp_ts: Timestamp)
+  case class Clk(clk_id: Long, clk_user: Long, clk_ts: Timestamp)
   private def ev(id: Long, minute: Int, user: Long = 1L, typ: String = "click", v: Double = 1.0) =
     Ev(id, Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00"), user, typ, v)
 
@@ -162,6 +164,31 @@ class StreamingSpec extends SparkSpec {
       val m = spark.table("gdim").collect()
         .map(r => Option(r.getString(0)).getOrElse("none") -> r.getLong(1)).toMap
       assert(m == Map("gold" -> 2L, "silver" -> 1L, "none" -> 1L))
+    } finally q.stop()
+  }
+
+  test("G6: stream-stream join attributes clicks within the horizon only") {
+    def t(minute: Int) = Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+    val imps = MemoryStream[Imp](spark, 1)
+    val clks = MemoryStream[Clk](spark, 1)
+    val q = Streams.clickAttribution(imps.toDF(), clks.toDF())
+      .writeStream.format("memory").queryName("g6").outputMode("append").start()
+    try {
+      imps.addData(Imp(1, 1, t(0)), Imp(2, 2, t(1)))
+      clks.addData(
+        Clk(10, 1, t(5)),  // user 1: within 15 min → attributed
+        Clk(11, 2, t(30)), // user 2: past the horizon → no match
+        Clk(12, 3, t(6)))  // user 3: no impression → no match
+      q.processAllAvailable()
+      // advance both watermarks so joinable state closes and results emit
+      // (distinct users so the advancing rows cannot join each other)
+      imps.addData(Imp(99, 8, t(50)))
+      clks.addData(Clk(99, 9, t(50)))
+      q.processAllAvailable()
+      val rows = spark.table("g6").collect()
+        .map(r => (r.getAs[Long]("imp_id"), r.getAs[Long]("clk_id"), r.getAs[Long]("delay_s")))
+      assert(rows.toSet == Set((1L, 10L, 300L)),
+        s"only the in-horizon click attributes, got ${rows.toSeq}")
     } finally q.stop()
   }
 
