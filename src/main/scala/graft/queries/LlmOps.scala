@@ -172,6 +172,88 @@ object LlmOps extends QGroup {
         |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin),
       headline = true),
 
+    // L6: sequence packing for pretraining batches — greedy cumulative
+    // token count per shard, bin = floor(tokens-before / ctx). Shard-
+    // partitioned window (one shuffle, no global sort) so it scales:
+    // at 100 TB each shard packs independently; the bin ids are
+    // deterministic because (shard, doc_id) is a total order.
+    QDef("l6_sequence_packing",
+      (s, dir) => {
+        val ctx = 2048L
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % 32).as("shard"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("doc_id").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs
+          .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("bin", expr(s"cum_before div $ctx"))
+          .groupBy(col("shard"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+          .orderBy(col("shard").asc_nulls_first, col("bin").asc_nulls_first)
+      },
+      Some("""WITH docs AS (
+        |  SELECT doc_id, doc_id % 32 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT shard, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin
+        |  FROM docs)
+        |SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM packed GROUP BY shard, bin
+        |ORDER BY shard ASC NULLS FIRST, bin ASC NULLS FIRST""".stripMargin)),
+
+    // L7: deterministic train/val/test split by key modulo — stable
+    // across runs and engines (no rand()), the property a reproducible
+    // data pipeline needs.
+    QDef("l7_dataset_split",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .withColumn("part",
+            when(col("doc_id") % 10 <= 7, "train")
+              .when(col("doc_id") % 10 === 8, "val")
+              .otherwise("test"))
+          .groupBy(col("part"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+            countDistinct(col("lang")).as("n_langs"))
+          .orderBy(col("part").asc_nulls_first),
+      Some("""SELECT CASE WHEN doc_id % 10 <= 7 THEN 'train'
+        |            WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS part,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+        |  COUNT(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY 1
+        |ORDER BY part ASC NULLS FIRST""".stripMargin)),
+
+    // L7b: stratified deterministic take — first K docs per language by
+    // doc_id (window top-k per stratum, one shuffle on the stratum key);
+    // the balanced-subset primitive for eval-set construction.
+    QDef("l7b_stratified_take",
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc_nulls_first)
+        Tables(s, dir, "documents")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 50)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+            max(col("doc_id")).as("max_doc_id"))
+          .orderBy(col("lang").asc_nulls_first)
+      },
+      Some("""WITH ranked AS (
+        |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id ASC NULLS FIRST) AS rn
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  MAX(doc_id) AS max_doc_id
+        |FROM ranked WHERE rn <= 50 GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin)),
+
     // L2: brute-force cosine top-k (query side broadcast; ranking-only
     // output — each engine computes its own double cosine, rankings agree
     // and raw sims are checked to 6 dp).
