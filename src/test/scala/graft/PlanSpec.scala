@@ -63,6 +63,28 @@ class PlanSpec extends SparkSpec {
       "as-of must not plan a cross/range product")
   }
 
+  test("j9: range join plans as an equi-join on the user key, not a nested loop") {
+    val p = planOf("j9_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the user_id equality must drive the join; the time range is a post-filter\n" + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("l6: sequence packing is one shard exchange, no global sort below the window") {
+    val p = planOf("l6_sequence_packing")
+    assert(p.contains("Window"), p)
+    // partitionBy(shard) hash-partitions; a range partitioning below the
+    // window would mean a global sort that can't scale
+    assert(!p.contains("rangepartitioning(doc_id"), p)
+  }
+
+  test("u2b: approx median aggregates partially on the map side") {
+    val p = planOf("u2b_median_approx")
+    assert(p.contains("partial_percentile_approx") || p.contains("partial_approx_percentile"),
+      "percentile sketch must combine map-side before the exchange\n" + p)
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // AQE reveals codegen spans only in the final (post-execution) plan,
     // and only on the same QueryExecution the action ran on
