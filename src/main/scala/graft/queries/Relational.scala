@@ -263,6 +263,31 @@ object Relational extends QGroup {
         |  CAST(day(o_orderdate) AS INTEGER) AS d,
         |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
         |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER) AS days_to_1999
+        |FROM orders ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin)),
+
+    // X2b: calendar arithmetic — add_months (end-of-month clamped on
+    // both engines), last_day, day-of-week (DuckDB Sunday=0 vs Spark
+    // Sunday=1), ISO week, quarter, make_date.
+    QDef("x2b_calendar_scalars",
+      (s, dir) =>
+        Tables(s, dir, "orders").select(
+          col("o_orderkey"),
+          date_format(add_months(col("o_orderdate").cast("date"), 3), "yyyy-MM-dd").as("plus3m"),
+          date_format(last_day(col("o_orderdate").cast("date")), "yyyy-MM-dd").as("eom"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          weekofyear(col("o_orderdate")).as("woy"),
+          quarter(col("o_orderdate")).as("qtr"),
+          date_format(make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)),
+            "yyyy-MM-dd").as("month_first"))
+          .orderBy(col("o_orderkey").asc_nulls_first),
+      Some("""SELECT o_orderkey,
+        |  strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus3m,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(weekofyear(o_orderdate) AS INTEGER) AS woy,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  strftime(make_date(CAST(year(o_orderdate) AS INTEGER),
+        |    CAST(month(o_orderdate) AS INTEGER), 1), '%Y-%m-%d') AS month_first
         |FROM orders ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin))
   )
 }

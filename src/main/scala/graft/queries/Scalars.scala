@@ -183,6 +183,28 @@ object Scalars extends QGroup {
         |  json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
         |  json_extract_string(props, '$.missing') AS k_missing
-        |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin))
+        |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin)),
+
+    // X7: digest + binary-encoding scalars — the content-addressing
+    // primitives dedup pipelines key on (md5/sha256 hex, hex/base64
+    // encode, base64 round-trip). Both engines emit lowercase digest
+    // hex and uppercase byte hex.
+    QDef("x7_digest_scalars",
+      (s, dir) =>
+        Tables(s, dir, "part").select(
+          col("p_partkey"),
+          md5(col("p_name")).as("md5_hex"),
+          sha2(col("p_name"), 256).as("sha256_hex"),
+          hex(col("p_name")).as("name_hex"),
+          base64(col("p_name").cast("binary")).as("name_b64"),
+          length(unbase64(base64(col("p_name").cast("binary")))).as("b64_roundtrip_len"))
+          .orderBy(col("p_partkey").asc_nulls_first),
+      Some("""SELECT p_partkey,
+        |  md5(p_name) AS md5_hex,
+        |  sha256(p_name) AS sha256_hex,
+        |  hex(p_name) AS name_hex,
+        |  base64(p_name::BLOB) AS name_b64,
+        |  CAST(octet_length(from_base64(base64(p_name::BLOB))) AS INTEGER) AS b64_roundtrip_len
+        |FROM part ORDER BY p_partkey ASC NULLS FIRST""".stripMargin))
   )
 }
