@@ -54,13 +54,18 @@ object Streams {
       clicks: DataFrame,
       horizon: String = "15 minutes",
       impWatermark: String = "10 minutes",
-      clkWatermark: String = "20 minutes"): DataFrame = {
+      clkWatermark: String = "20 minutes",
+      joinType: String = "inner"): DataFrame = {
     val imp = impressions.withWatermark("imp_ts", impWatermark)
     val clk = clicks.withWatermark("clk_ts", clkWatermark)
+    // leftOuter: unmatched impressions emit null-padded ONLY once the
+    // watermark proves no in-horizon click can still arrive — the
+    // streaming-correct version of "count unconverted impressions"
     imp.join(clk,
       expr(s"""imp_user = clk_user
               |AND clk_ts >= imp_ts
-              |AND clk_ts <= imp_ts + interval $horizon""".stripMargin))
+              |AND clk_ts <= imp_ts + interval $horizon""".stripMargin),
+      joinType)
       .select(col("imp_id"), col("clk_id"), col("imp_user").as("user_id"),
         (unix_timestamp(col("clk_ts")) - unix_timestamp(col("imp_ts"))).as("delay_s"))
   }

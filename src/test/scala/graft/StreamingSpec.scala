@@ -192,6 +192,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G6b: outer stream-stream join emits unmatched impressions after watermark") {
+    def t(minute: Int) = Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+    val imps = MemoryStream[Imp](spark, 1)
+    val clks = MemoryStream[Clk](spark, 1)
+    val q = Streams.clickAttribution(imps.toDF(), clks.toDF(), joinType = "leftOuter")
+      .writeStream.format("memory").queryName("g6b").outputMode("append").start()
+    try {
+      imps.addData(Imp(1, 1, t(0)), Imp(2, 2, t(1)))
+      clks.addData(Clk(10, 1, t(5))) // user 1 converts; user 2 never does
+      q.processAllAvailable()
+      // push both watermarks far past imp 2's horizon so its state expires
+      imps.addData(Imp(99, 8, t(55)))
+      clks.addData(Clk(99, 9, t(55)))
+      q.processAllAvailable()
+      imps.addData(Imp(98, 8, t(59)))
+      clks.addData(Clk(98, 9, t(59)))
+      q.processAllAvailable()
+      val rows = spark.table("g6b").collect()
+        .map(r => (r.getAs[Long]("imp_id"), Option(r.getAs[java.lang.Long]("clk_id"))))
+        .toSet
+      assert(rows.contains((1L, Some(10L))), s"matched pair missing: $rows")
+      assert(rows.contains((2L, None)),
+        s"unmatched impression must emit null-padded after watermark: $rows")
+    } finally q.stop()
+  }
+
   test("G2 streaming session windows merge within gap") {
     val in = MemoryStream[Ev](spark, 1)
     val q = Streams.sessionCounts(in.toDF(), "10 minutes", "5 minutes")
