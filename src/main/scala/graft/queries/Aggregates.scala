@@ -188,6 +188,48 @@ object Aggregates extends QGroup {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
 
+    // A7b: unpivot (melt) — the inverse reshape of A7's pivot; Spark 4
+    // Dataset.unpivot vs DuckDB UNPIVOT.
+    QDef("a7b_unpivot",
+      (s, dir) => {
+        val wide = Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity").cast(dec)).cast("double").as("qty"),
+            sum(col("l_extendedprice").cast(dec)).cast("double").as("price"),
+            count(lit(1)).cast("double").as("cnt"))
+        wide.unpivot(Array(col("l_returnflag")),
+            Array(col("qty"), col("price"), col("cnt")), "metric", "val")
+          .orderBy(col("l_returnflag").asc_nulls_first, col("metric").asc_nulls_first)
+      },
+      Some("""WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS price,
+        |    CAST(COUNT(*) AS DOUBLE) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, val
+        |FROM (UNPIVOT wide ON qty, price, cnt INTO NAME metric VALUE val)
+        |ORDER BY l_returnflag ASC NULLS FIRST, metric ASC NULLS FIRST""".stripMargin)),
+
+    // A10: exact interpolated percentiles — Spark's percentile() sorts
+    // each group exactly (deterministic, unlike streaming accumulators);
+    // DuckDB quantile_cont uses the same R-7 interpolation.
+    QDef("a10_percentile_exact",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+            round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+            round(expr("percentile(l_extendedprice, 0.25)"), 6).as("price_p25"))
+          .orderBy(col("l_returnflag").asc_nulls_first),
+      Some("""SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
+
     // A8: order-insensitive statistics — variance/stddev/covariance via
     // explicit decimal moment sums (the built-in stddev's streaming
     // accumulation is order-dependent across engines; moments are not).
