@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.call_function
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, MinHashSignature}
 
 /** Session extension registering graft's native expressions, for use via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -14,6 +14,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(CosineSimilarity.name), CosineSimilarity.info,
         CosineSimilarity.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(MinHashSignature.name), MinHashSignature.info,
+        MinHashSignature.builder))
   }
 }
 
@@ -22,14 +25,24 @@ object GraftFunctions {
     * that were built without the extensions conf. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier(CosineSimilarity.name)
-    if (!reg.functionExists(id))
-      reg.registerFunction(id, CosineSimilarity.info, CosineSimilarity.builder)
+    val cos = FunctionIdentifier(CosineSimilarity.name)
+    if (!reg.functionExists(cos))
+      reg.registerFunction(cos, CosineSimilarity.info, CosineSimilarity.builder)
+    val mh = FunctionIdentifier(MinHashSignature.name)
+    if (!reg.functionExists(mh))
+      reg.registerFunction(mh, MinHashSignature.info, MinHashSignature.builder)
   }
 
   /** Column API for the native cosine (registers on first use). */
   def cosineNative(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function(CosineSimilarity.name, a, b)
+  }
+
+  /** Column API for the native one-pass MinHash signature. */
+  def minhashNative(spark: SparkSession, hashes: Column, numHashes: Int): Column = {
+    ensureRegistered(spark)
+    call_function(MinHashSignature.name, hashes,
+      org.apache.spark.sql.functions.lit(numHashes))
   }
 }

@@ -64,9 +64,17 @@ object Dedup {
       idCol: String,
       textCol: String,
       numHashes: Int = 64,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16,
+      useNativeExpr: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // native one-pass signature by default (same bits as the HOF path,
+    // verified in DedupSpec; no per-plane intermediate arrays); HOF kept
+    // as the cross-check path.
+    def signatureOf(hashes: Column): Column =
+      if (useNativeExpr)
+        graft.GraftFunctions.minhashNative(df.sparkSession, hashes, numHashes)
+      else minHashSignatureFromHashes(hashes, numHashes)
     // Two jobs done by one exchange: (1) a small parquet input arrives
     // as one split — spread the CPU-heavy signature stage across cores
     // (on a real cluster this is a cheap round-robin of already-
@@ -77,7 +85,7 @@ object Dedup {
     val sig = df
       .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col("id"), minHashSignatureFromHashes(col("sh"), numHashes).as("sig"))
+      .select(col("id"), signatureOf(col("sh")).as("sig"))
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(slice(col("sig"), b * r + 1, lit(r)), lit(42)))))

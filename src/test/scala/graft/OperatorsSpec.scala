@@ -65,6 +65,22 @@ class DedupSpec extends SparkSpec {
       "unrelated doc must not pair")
   }
 
+  test("native graft_minhash signature is bit-identical to the HOF composition") {
+    val real = spark.read.parquet(sf("documents"))
+    val both = real.select(
+      Dedup.minHashSignatureFromHashes(
+        Dedup.shingleHashes(col("text")), 64).as("hof"),
+      graft.GraftFunctions.minhashNative(spark,
+        Dedup.shingleHashes(col("text")), 64).as("native"))
+    assert(both.filter(col("hof") =!= col("native")).count() == 0)
+    // candidate pairs must also be identical end-to-end
+    val hofPairs = Dedup.minHashLshPairs(docs, "doc_id", "text", useNativeExpr = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val natPairs = Dedup.minHashLshPairs(docs, "doc_id", "text", useNativeExpr = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hofPairs == natPairs)
+  }
+
   test("exact jaccard ranks near-dup above unrelated") {
     val j = docs.as("a").crossJoin(docs.as("b"))
       .filter($"a.doc_id" < $"b.doc_id")
