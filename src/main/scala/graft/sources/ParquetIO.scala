@@ -51,6 +51,33 @@ object ParquetIO {
     w.parquet(path)
   }
 
+  /** Point lookup with bloom-filter file skipping: probe every part
+    * file's bloom filters driver-side (footer + filter bytes only, no
+    * data pages) and scan ONLY the files where some row group might
+    * contain `value`. On a 100 TB append-only table keyed for point
+    * lookups this turns "open every file" into "open the handful the
+    * filters can't rule out" before Spark's own row-group pruning takes
+    * over inside each file. Falls back to scanning a file when it has no
+    * (or an unreadable) filter — absence can only be proven, never
+    * assumed. */
+  def readPointLookup(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      value: Any): DataFrame = {
+    val schema = spark.read.parquet(path).schema // footer-only
+    val candidateFiles = ParquetMeta.bloomCandidateRowGroups(path, column, value)
+      .map(_._1).distinct
+    val eq = col(s"`$column`") === lit(value)
+    if (candidateFiles.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val full = ParquetMeta.partFiles(path).map(_.toString)
+      val keep = full.filter(f => candidateFiles.exists(f.endsWith))
+      spark.read.schema(schema).parquet(keep: _*).filter(eq)
+    }
+  }
+
   /** Bucketed table write: pre-shuffles once at write time so every
     * future equi-join/aggregation on `keys` is exchange-free (the
     * co-located-join strategy for repeatedly-joined 100 TB fact tables;

@@ -167,6 +167,37 @@ class ParquetIOSpec extends SparkSpec {
       .filter($"l_orderkey" === someKey).count()
     assert(spark.read.parquet(dir).filter($"l_orderkey" === someKey).count() == expect)
   }
+
+  test("point lookup scans only the part files the bloom filters keep") {
+    val dir = tmpDir("graft-bloom-pl") + "/t"
+    // two part files with DISJOINT key ranges (repartitionByRange), each
+    // carrying a bloom filter on the key
+    val df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select($"l_orderkey", $"l_suppkey")
+      .repartitionByRange(2, $"l_orderkey")
+      .sortWithinPartitions($"l_orderkey")
+    ParquetIO.write(df, dir,
+      bloomFilterCols = Seq("l_orderkey"), bloomNdv = 20000,
+      extraOptions = Map("parquet.enable.dictionary" -> "false"))
+    assert(ParquetMeta.partFiles(dir).size == 2)
+
+    val (loKey, hiKey) = {
+      val r = df.agg(min($"l_orderkey"), max($"l_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // a key from the low range must read exactly one file
+    val lookup = ParquetIO.readPointLookup(spark, dir, "l_orderkey", loKey)
+    assert(lookup.inputFiles.length == 1,
+      s"expected 1 file scanned, got ${lookup.inputFiles.length}")
+    val expect = spark.read.parquet(dir).filter($"l_orderkey" === loKey).count()
+    assert(lookup.count() == expect && expect > 0)
+    // both range extremes resolve to different single files
+    val hiFiles = ParquetIO.readPointLookup(spark, dir, "l_orderkey", hiKey).inputFiles
+    assert(hiFiles.length == 1 && hiFiles.toSet != lookup.inputFiles.toSet)
+    // an absent key scans nothing and returns an empty, correctly-typed frame
+    val none = ParquetIO.readPointLookup(spark, dir, "l_orderkey", -999L)
+    assert(none.count() == 0 && none.schema.fieldNames.contains("l_suppkey"))
+  }
 }
 
 class AvroIOSpec extends SparkSpec {
