@@ -11,14 +11,18 @@ import org.apache.spark.sql.types._
   * the shingle-hash array.
   *
   * Bit-identical to the HOF composition in
-  * `graft.operators.Dedup.minHashSignatureFromHashes`
-  * (`sig[h] = min over x of xxhash64(x, h)`, where xxhash64 folds seed
-  * 42 → long x → int h), but with the loop order inverted: one traversal
-  * of the data array updating all `numHashes` minima, no per-plane
-  * intermediate arrays, no lambda dispatch. NULL input array → NULL;
-  * NULL elements contribute the seed-only fold exactly like Spark's
-  * xxhash64 (null children leave the running hash unchanged); an empty
-  * array → NULL (array_min over empty is NULL on the HOF path).
+  * `graft.operators.Dedup.minHashSignatureFromHashes` on every
+  * NON-DEGENERATE input (`sig[h] = min over x of xxhash64(x, h)`, where
+  * xxhash64 folds seed 42 → long x → int h), but with the loop order
+  * inverted: one traversal of the data array updating all `numHashes`
+  * minima, no per-plane intermediate arrays, no lambda dispatch. NULL
+  * elements contribute the seed-only fold exactly like Spark's xxhash64
+  * (null children leave the running hash unchanged). Degenerate inputs
+  * DIVERGE deliberately: a NULL or empty hashes array yields NULL here,
+  * where the HOF composition yields an array of `numHashes` NULL
+  * elements (its outer transform runs over the plane sequence) — a
+  * whole-signature NULL is the saner "no shingles" answer and cheaper
+  * to filter on.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression {

@@ -67,15 +67,12 @@ object ParquetIO {
       value: Any): DataFrame = {
     val schema = spark.read.parquet(path).schema // footer-only
     val candidateFiles = ParquetMeta.bloomCandidateRowGroups(path, column, value)
-      .map(_._1).distinct
+      .map(_._1).distinct // full paths — one directory walk, no re-listing
     val eq = col(s"`$column`") === lit(value)
     if (candidateFiles.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else {
-      val full = ParquetMeta.partFiles(path).map(_.toString)
-      val keep = full.filter(f => candidateFiles.exists(f.endsWith))
-      spark.read.schema(schema).parquet(keep: _*).filter(eq)
-    }
+    else
+      spark.read.schema(schema).parquet(candidateFiles: _*).filter(eq)
   }
 
   /** Bucketed table write: pre-shuffles once at write time so every

@@ -17,14 +17,22 @@ object ParquetMeta {
 
   /** The parquet part files under `path` (itself, if a plain file) — via
     * the Hadoop FileSystem API so URI-style and remote paths (file:/,
-    * hdfs://, s3a://) resolve like local ones. */
+    * hdfs://, s3a://) resolve like local ones. Recurses into
+    * subdirectories (skipping _temporary/_SUCCESS/hidden entries) so
+    * partitioned layouts (`p=.../part-*.parquet`) resolve too. */
   def partFiles(path: String, conf: Configuration = new Configuration()): Seq[Path] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    def walk(d: Path): Seq[Path] = fs.listStatus(d).toSeq
+      .filterNot(st => hidden(st.getPath.getName))
+      .flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+        else Nil
+      }
     if (fs.getFileStatus(p).isDirectory) {
-      val parts = fs.listStatus(p).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getPath.getName).map(_.getPath)
+      val parts = walk(p).sortBy(_.toString)
       if (parts.isEmpty) throw new IllegalArgumentException(s"no parquet files in $path")
       parts
     } else Seq(p)
@@ -76,12 +84,16 @@ object ParquetMeta {
       .map(_.getPath.toDotString)
       .distinct.toSeq
 
-  /** (part file, row-group index) pairs whose bloom filter for `column`
-    * might contain `value` — the skip primitive a reader uses on
-    * equality predicates: a pair absent from the result is PROVABLY
+  /** (part-file path, row-group index) pairs whose bloom filter for
+    * `column` might contain `value` — the skip primitive a reader uses
+    * on equality predicates: a pair absent from the result is PROVABLY
     * value-free and its pages are never fetched. Walks EVERY part file
-    * of a directory. Row groups with no (or unreadable) bloom filter
-    * are kept — absence can't be proven without a filter. */
+    * of a directory. A row group is kept (must-read) when it has no
+    * filter, the filter can't be decoded, or the probe value can't be
+    * coerced to the column's parquet PHYSICAL type — the filter hashed
+    * physical encodings at write time, so probing with the wrong width
+    * (e.g. a Long against an INT32 column) would silently miss every
+    * file; coercion, not runtime-class dispatch, keeps that sound. */
   def bloomCandidateRowGroups(path: String, column: String, value: Any,
       conf: Configuration = new Configuration()): Seq[(String, Int)] =
     partFiles(path, conf).flatMap { file =>
@@ -94,21 +106,42 @@ object ParquetMeta {
               // decoded (IO error, encrypted column) → must read
               Option(r.getBloomFilterDataReader(block).readBloomFilter(cc)) match {
                 case Some(bloom) =>
-                  val hash = value match {
-                    case l: Long => bloom.hash(l)
-                    case iv: Int => bloom.hash(iv)
-                    case d: Double => bloom.hash(d)
-                    case f: Float => bloom.hash(f)
-                    case s: String => bloom.hash(org.apache.parquet.io.api.Binary.fromString(s))
-                    case b: Array[Byte] => bloom.hash(org.apache.parquet.io.api.Binary.fromConstantByteArray(b))
-                    case other => throw new IllegalArgumentException(s"unsupported bloom probe type: $other")
+                  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+                  val hash: Option[Long] = cc.getPrimitiveType.getPrimitiveTypeName match {
+                    case INT64 => value match {
+                      case l: Long => Some(bloom.hash(l))
+                      case iv: Int => Some(bloom.hash(iv.toLong))
+                      case _ => None
+                    }
+                    case INT32 => value match {
+                      case iv: Int => Some(bloom.hash(iv))
+                      case l: Long if l.isValidInt => Some(bloom.hash(l.toInt))
+                      case _ => None
+                    }
+                    case DOUBLE => value match {
+                      case d: Double => Some(bloom.hash(d))
+                      case f: Float => Some(bloom.hash(f.toDouble))
+                      case _ => None
+                    }
+                    case FLOAT => value match {
+                      case f: Float => Some(bloom.hash(f))
+                      case _ => None
+                    }
+                    case BINARY => value match {
+                      case s: String =>
+                        Some(bloom.hash(org.apache.parquet.io.api.Binary.fromString(s)))
+                      case b: Array[Byte] =>
+                        Some(bloom.hash(org.apache.parquet.io.api.Binary.fromConstantByteArray(b)))
+                      case _ => None
+                    }
+                    case _ => None
                   }
-                  bloom.findHash(hash)
+                  hash.forall(bloom.findHash)
                 case None => true
               }
             case _ => true // no filter → must read
           }
-          if (keep) Some(file.getName -> i) else None
+          if (keep) Some(file.toString -> i) else None
         }
       } finally r.close()
     }

@@ -198,6 +198,36 @@ class ParquetIOSpec extends SparkSpec {
     val none = ParquetIO.readPointLookup(spark, dir, "l_orderkey", -999L)
     assert(none.count() == 0 && none.schema.fieldNames.contains("l_suppkey"))
   }
+
+  test("bloom probe coerces to the column's physical type (Long probe on INT32)") {
+    val dir = tmpDir("graft-bloom-int32") + "/t"
+    // INT32 physical key: the filter hashed 4-byte encodings, so an
+    // uncoerced 8-byte Long probe would miss every row group silently
+    val df = (1 to 5000).map(i => (i, i % 7)).toDF("k", "v").repartition(1)
+    ParquetIO.write(df, dir, bloomFilterCols = Seq("k"), bloomNdv = 5000,
+      extraOptions = Map("parquet.enable.dictionary" -> "false"))
+    assert(ParquetMeta.bloomFilterColumns(dir) == Seq("k"))
+    assert(ParquetMeta.bloomCandidateRowGroups(dir, "k", 42L).nonEmpty,
+      "Long probe against INT32 column must coerce, not miss")
+    assert(ParquetMeta.bloomCandidateRowGroups(dir, "k", 42).nonEmpty)
+    assert(ParquetMeta.bloomCandidateRowGroups(dir, "k", 999999L).isEmpty)
+    assert(ParquetIO.readPointLookup(spark, dir, "k", 42L).count() == 1)
+  }
+
+  test("point lookup composes with the module's own partitioned write") {
+    val dir = tmpDir("graft-bloom-part") + "/t"
+    val df = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+    ParquetIO.write(df, dir, partitionCols = Seq("o_orderstatus"),
+      bloomFilterCols = Seq("o_orderkey"), bloomNdv = 20000,
+      extraOptions = Map("parquet.enable.dictionary" -> "false"))
+    val someKey = df.select($"o_orderkey").head().getLong(0)
+    val got = ParquetIO.readPointLookup(spark, dir, "o_orderkey", someKey)
+    val expect = df.filter($"o_orderkey" === someKey).count()
+    assert(got.count() == expect && expect > 0)
+    // partition subdirectories resolve; absent key still proves empty
+    assert(ParquetIO.readPointLookup(spark, dir, "o_orderkey", -1L).count() == 0)
+  }
 }
 
 class AvroIOSpec extends SparkSpec {
