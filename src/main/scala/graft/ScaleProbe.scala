@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-behavior probe (not a driver gate): multiplies the sf0.1
+  * documents/embeddings tables N× with id remapping, times the heavy
+  * near-dup / ANN operators at 1×, 4×, 16×, and prints sec + ratio per
+  * step. Near-linear ratios (≈4 per step) are the evidence that the
+  * banded-LSH designs stay candidate-bounded instead of going O(n²) —
+  * the property that matters at 100 TB where n grows 1000×.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${math.min(32, Runtime.getRuntime.availableProcessors())}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = "/root/testdata/sf0.1"
+
+    def amplify(df: DataFrame, idCol: String, times: Int): DataFrame =
+      df.crossJoin(spark.range(times).toDF("__rep"))
+        .withColumn(idCol, col(idCol) * times + col("__rep"))
+        .drop("__rep")
+
+    def time(what: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scale] $what%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$n)")
+    }
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+    for (mult <- Seq(1, 4, 16)) {
+      val d = amplify(docs, "doc_id", mult).cache(); d.count()
+      val e = amplify(emb, "vec_id", mult).cache(); e.count()
+      time(s"minhash_lsh_pairs x$mult") {
+        operators.Dedup.minHashLshPairs(d, "doc_id", "text").count()
+      }
+      time(s"minhash_lsh_clusters x$mult") {
+        operators.Dedup.minHashLshClusters(d, "doc_id", "text").count()
+      }
+      time(s"lsh_ann_topk x$mult") {
+        operators.Similarity.lshTopK(
+          e.filter(col("vec_id") % lit(mult.toLong * 500) < 20), e,
+          k = 5, nPlanes = 12, idCol = "vec_id", vecCol = "embedding", dim = 64).count()
+      }
+      time(s"exact_dedup x$mult") {
+        d.groupBy(sha2(col("text"), 256)).agg(min(col("doc_id"))).count()
+      }
+      d.unpersist(); e.unpersist()
+    }
+    spark.stop()
+  }
+}

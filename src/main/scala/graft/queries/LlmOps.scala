@@ -172,6 +172,19 @@ object LlmOps extends QGroup {
         |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin),
       headline = true),
 
+    // L1g: near-dup clusters (rows-only — minhash isn't oracle-able;
+    // semantics pinned in DedupSpec). The O(n) output shape for
+    // heavy-duplication corpora where pair materialization is O(c²)
+    // per clique.
+    QDef("l1g_lsh_clusters",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Dedup.minHashLshClusters(d, "doc_id", "text")
+          .groupBy(col("cluster")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("cluster").asc_nulls_first)
+      },
+      None),
+
     // L6: sequence packing for pretraining batches — greedy cumulative
     // token count per shard, bin = floor(tokens-before / ctx). Shard-
     // partitioned window (one shuffle, no global sort) so it scales:

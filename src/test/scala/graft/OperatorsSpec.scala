@@ -65,6 +65,15 @@ class DedupSpec extends SparkSpec {
       "unrelated doc must not pair")
   }
 
+  test("minhash LSH clustering groups near/exact dups under one representative") {
+    val cl = Dedup.minHashLshClusters(docs, "doc_id", "text", numHashes = 64, bands = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.keySet == Set(1L, 2L, 3L, 4L))
+    assert(cl(1L) == 1L && cl(4L) == 1L, "exact dups share min-id representative")
+    assert(cl(2L) == 1L, "near-dup joins the cluster through a shared band")
+    assert(cl(3L) == 3L, "unrelated doc stays its own cluster")
+  }
+
   test("native graft_minhash signature is bit-identical to the HOF composition") {
     val real = spark.read.parquet(sf("documents"))
     val both = real.select(
