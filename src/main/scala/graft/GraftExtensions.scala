@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(MinHashSignature.name), MinHashSignature.info,
         MinHashSignature.builder))
+    ext.injectOptimizerRule(graft.plans.CorruptDateRebaseRule.apply)
   }
 }
 
@@ -31,6 +32,12 @@ object GraftFunctions {
     val mh = FunctionIdentifier(MinHashSignature.name)
     if (!reg.functionExists(mh))
       reg.registerFunction(mh, MinHashSignature.info, MinHashSignature.builder)
+    // sessions built without withExtensions still get the transparent
+    // corrupt-date rebase via the user-provided optimizer batch
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.CorruptDateRebaseRule]))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.CorruptDateRebaseRule(spark))
   }
 
   /** Column API for the native cosine (registers on first use). */

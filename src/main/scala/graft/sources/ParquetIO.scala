@@ -128,27 +128,38 @@ object ParquetIO {
     val dateCols = df.schema.fields.filter(_.dataType == DateType).map(_.name)
     if (dateCols.isEmpty || corruptDateRebase == "off") return df
 
-    val needsFix = corruptDateRebase match {
-      case "on" => true
-      case "auto" =>
-        // sniff EVERY part footer: applying one file's verdict to a
-        // mixed-provenance directory would silently shift correct dates
-        // by ~13k years (or leave corrupt ones unfixed). Uniform verdict
-        // → apply; mixed → refuse loudly.
-        val verdicts = ParquetMeta.partFiles(path).map { file =>
-          footerVerdict(spark, file.toString, dateCols.toSet)
-        }
-        if (verdicts.distinct.size > 1)
-          throw new IllegalStateException(
-            s"$path mixes corrupt-date and sane-date files; split the read " +
-              "or pass corruptDateRebase=on/off per file group")
-        verdicts.head
-      case other =>
-        throw new IllegalArgumentException(s"corruptDateRebase=$other")
-    }
+    val needsFix = rebaseNeeded(spark, Seq(path), dateCols.toSet, corruptDateRebase)
     if (!needsFix) df
     else dateCols.foldLeft(df)((d, c) =>
       d.withColumn(c, date_sub(col(s"`$c`"), CorrectCorruptDateShiftDays)))
+  }
+
+  /** Shared verdict for a read: does `mode` require shifting DATE
+    * columns for the part files under `paths`? Used by both
+    * [[readCorruptDateAware]] and the transparent
+    * [[graft.plans.CorruptDateRebaseRule]] optimizer rule. */
+  def rebaseNeeded(
+      spark: SparkSession,
+      paths: Seq[String],
+      dateCols: Set[String],
+      mode: String): Boolean = mode match {
+    case "off" => false
+    case "on" => true
+    case "auto" =>
+      // sniff EVERY part footer: applying one file's verdict to a
+      // mixed-provenance directory would silently shift correct dates
+      // by ~13k years (or leave corrupt ones unfixed). Uniform verdict
+      // → apply; mixed → refuse loudly.
+      val verdicts = paths.flatMap(p => ParquetMeta.partFiles(p)).map { file =>
+        footerVerdict(spark, file.toString, dateCols)
+      }
+      if (verdicts.distinct.size > 1)
+        throw new IllegalStateException(
+          s"${paths.mkString(",")} mixes corrupt-date and sane-date files; " +
+            "split the read or pass corruptDateRebase=on/off per file group")
+      verdicts.head
+    case other =>
+      throw new IllegalArgumentException(s"corruptDateRebase=$other")
   }
 
   /** Reference decision tree (ParquetReaderUtility.java:91-155) for one

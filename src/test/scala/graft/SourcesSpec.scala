@@ -84,26 +84,24 @@ class ParquetIOSpec extends SparkSpec {
     assert(kept.toSeq == Seq("1995-06-17", "2001-01-01"))
   }
 
-  test("corrupt-date auto: drill.version metadata decides like the reference") {
-    import org.apache.hadoop.fs.Path
-    import org.apache.parquet.example.data.simple.SimpleGroupFactory
-    import org.apache.parquet.hadoop.example.ExampleParquetWriter
-    import org.apache.parquet.schema.MessageTypeParser
+  private val drillSchema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+    "message t { required int32 id; required int32 d (DATE); }")
+  private val goodDays = java.time.LocalDate.of(1995, 6, 17).toEpochDay.toInt
+  private val corruptDays = goodDays + ParquetIO.CorrectCorruptDateShiftDays
+
+  /** Write a one-row parquet DATE file with custom key-value metadata
+    * (simulating Drill/Dremio writer provenance). */
+  private def writeWithKv(file: String, days: Int, kv: Map[String, String]): Unit = {
     import scala.jdk.CollectionConverters._
+    val f = new org.apache.parquet.example.data.simple.SimpleGroupFactory(drillSchema)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(file))
+      .withType(drillSchema).withExtraMetaData(kv.asJava).build()
+    try w.write(f.newGroup().append("id", 1).append("d", days))
+    finally w.close()
+  }
 
-    val schema = MessageTypeParser.parseMessageType(
-      "message t { required int32 id; required int32 d (DATE); }")
-    val f = new SimpleGroupFactory(schema)
-    val goodDays = java.time.LocalDate.of(1995, 6, 17).toEpochDay.toInt
-    val corruptDays = goodDays + ParquetIO.CorrectCorruptDateShiftDays
-
-    def writeWithKv(file: String, days: Int, kv: Map[String, String]): Unit = {
-      val w = ExampleParquetWriter.builder(new Path(file))
-        .withType(schema).withExtraMetaData(kv.asJava).build()
-      try w.write(f.newGroup().append("id", 1).append("d", days))
-      finally w.close()
-    }
-
+  test("corrupt-date auto: drill.version metadata decides like the reference") {
     // Drill 1.3–1.9 (drill.version, no writer version, no is.date.correct)
     // ⇒ META_SHOWS_CORRUPTION: fixed from metadata alone
     val drillOld = tmpDir("graft-drill-old") + "/f.parquet"
@@ -128,6 +126,33 @@ class ParquetIOSpec extends SparkSpec {
     val keptDremio = ParquetIO.readCorruptDateAware(spark, dremio, "auto")
       .collect().map(_.getDate(1).toString)
     assert(keptDremio.toSeq == Seq("1995-06-17"))
+  }
+
+  test("corrupt-date rebase is transparent via read option (optimizer rule)") {
+    GraftFunctions.ensureRegistered(spark) // installs CorruptDateRebaseRule
+    val drillOld = tmpDir("graft-drill-rule") + "/f.parquet"
+    writeWithKv(drillOld, corruptDays, Map("drill.version" -> "1.8.0"))
+
+    // plain read: shifted ~13k years; with the option: fixed transparently
+    val plain = spark.read.parquet(drillOld).collect().map(_.getDate(1).toString)
+    assert(plain.head != "1995-06-17")
+    val rebased = spark.read.option("corruptDateRebase", "auto").parquet(drillOld)
+    assert(rebased.collect().map(_.getDate(1).toString).toSeq == Seq("1995-06-17"))
+
+    // a filter over the date column sees REBASED values (the Project
+    // sits below the filter; pushdown cannot bypass it)
+    val filtered = spark.read.option("corruptDateRebase", "auto").parquet(drillOld)
+      .filter(col("d") === java.sql.Date.valueOf("1995-06-17"))
+    assert(filtered.count() == 1)
+
+    // sane file + auto: untouched; off: untouched
+    val sane = tmpDir("graft-sane-rule") + "/f.parquet"
+    writeWithKv(sane, goodDays,
+      Map("dremio.version" -> "4.0.0", "is.date.correct" -> "true"))
+    val kept = spark.read.option("corruptDateRebase", "auto").parquet(sane)
+    assert(kept.collect().map(_.getDate(1).toString).toSeq == Seq("1995-06-17"))
+    val off = spark.read.option("corruptDateRebase", "off").parquet(drillOld)
+    assert(off.collect().map(_.getDate(1).toString).head != "1995-06-17")
   }
 
   test("bloom filter write: footer carries the filter and equality probes skip row groups") {
