@@ -187,4 +187,33 @@ object Dedup {
 
   /** Hamming distance between two SimHash fingerprints. */
   def hamming(f1: Column, f2: Column): Column = bit_count(f1.bitwiseXOR(f2))
+
+  /** SimHash near-dup candidate pairs via 16-bit chunk bucketing: split
+    * the 64-bit fingerprint into 4 chunks and bucket-join on (chunk
+    * index, chunk value) — by pigeonhole, any pair within Hamming
+    * distance ≤ 3 agrees on at least one whole chunk, so recall is
+    * EXACT for maxHamming ≤ 3 while each row is only compared within
+    * its 4 buckets (same banded shape as MinHash-LSH: one keyed
+    * shuffle, no all-pairs). Output: (d1, d2, hamming) filtered to
+    * `maxHamming`. */
+  def simHashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk bucketing only guarantees recall for hamming <= 3")
+    val fp = simHash(df, idCol, textCol)
+    val chunked = fp.select(col(idCol).as("id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val a = chunked.select(col("id").as("d1"), col("simhash").as("f1"),
+      col("chunk"), col("chunk_val"))
+    val b = chunked.select(col("id").as("d2"), col("simhash").as("f2"),
+      col("chunk"), col("chunk_val"))
+    a.join(b, Seq("chunk", "chunk_val")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), hamming(col("f1"), col("f2")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -101,6 +101,15 @@ class DedupSpec extends SparkSpec {
     assert(j((1L, 3L)) < 0.2)
   }
 
+  test("simhash chunk-bucketed pairs find exact dups and respect the hamming bound") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 0,
+      "exact dup fingerprints are identical -> hamming 0")
+    assert(pairs.values.forall(_ <= 3))
+    assert(!pairs.contains((1L, 3L)), "unrelated docs exceed the bound")
+  }
+
   test("simhash hamming distance small for near-dups, large for unrelated") {
     val fp = Dedup.simHash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
