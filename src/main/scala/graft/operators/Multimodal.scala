@@ -79,4 +79,36 @@ object Multimodal {
         col(payloadCol).cast("binary").as("payload")).as[MediaRow]
     extractFeatures(typed).toDF()
   }
+
+  case class ResizedMedia(
+      id: Long, kind: String, payload: Array[Byte], width: Int, height: Int)
+
+  /** "Resize" images/video stills to `targetW`×`targetH` — STUB codec
+    * (see notice): the re-encoded payload is a deterministic
+    * digest-seeded byte string whose length scales with the target
+    * pixel count, so downstream size accounting and shuffle planning
+    * behave like the real thing. The Spark shape is the part that
+    * matters: per-row CPU in `mapPartitions`, binary in → binary out,
+    * no shuffle, output schema carries the new dimensions. */
+  def resize(
+      media: Dataset[MediaRow],
+      targetW: Int,
+      targetH: Int): Dataset[ResizedMedia] = {
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    implicit val enc = Encoders.product[ResizedMedia]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.payload).getOrElse(Array.empty[Byte])
+        // ~0.25 bytes/pixel "compressed"; seeded by the source digest so
+        // resize is deterministic and content-addressed
+        val outLen = math.max(16, targetW * targetH / 4)
+        val seed = FakeCodec.digestOf(bytes).take(16)
+          .foldLeft(0L)((a, c) => a * 31 + c)
+        val rng = new java.util.Random(seed)
+        val out = new Array[Byte](outLen)
+        rng.nextBytes(out)
+        ResizedMedia(r.id, r.kind, out, targetW, targetH)
+      }
+    }
+  }
 }

@@ -345,4 +345,18 @@ class MultimodalSpec extends SparkSpec {
       .orderBy($"id").collect()
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("resize stub keeps the distributed shape: binary in/out, sized payloads, deterministic") {
+    import Multimodal.MediaRow
+    val media = Seq(
+      MediaRow(1L, "image", "hello".getBytes("UTF-8")),
+      MediaRow(2L, "image", "other content".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.resize(media, 64, 48).collect().sortBy(_.id)
+    assert(out.forall(r => r.width == 64 && r.height == 48))
+    assert(out.forall(_.payload.length == 64 * 48 / 4))
+    // content-addressed: same source bytes → same resized bytes; different → different
+    val again = Multimodal.resize(media, 64, 48).collect().sortBy(_.id)
+    assert(out.zip(again).forall { case (a, b) => a.payload.sameElements(b.payload) })
+    assert(!out(0).payload.sameElements(out(1).payload))
+  }
 }
