@@ -82,7 +82,11 @@ object Dedup {
     // string-shingle hashes below it are computed exactly ONCE per row —
     // CollapseProject would otherwise re-inline them into the 64-way
     // signature lambda (HOF lambdas re-evaluate per element, no CSE).
+    // NULL text can't be near-duplicate of anything — left in, every
+    // null-text row would hash to the SAME band buckets (the band hash
+    // of a null signature degenerates to the constant seed) and pair up
     val sig = df
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id"), signatureOf(col("sh")).as("sig"))
@@ -119,7 +123,12 @@ object Dedup {
       iterations: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // NULL-text docs are singleton clusters by definition — banding them
+    // would merge every null-text doc into one bogus clique through the
+    // degenerate constant band hash (same reason minHashLshPairs and
+    // simHashPairs filter them)
     val sig = df
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id"),
@@ -136,7 +145,15 @@ object Dedup {
       labels = banded.join(bucketMin, "bucket")
         .groupBy(col("id")).agg(min(col("bmin")).as("label"))
     }
-    labels.select(col("id"), col("label").as("cluster"))
+    val singletons = df.filter(col(textCol).isNull)
+      .select(col(idCol).as("id")).withColumn("label", col("id"))
+    // eager localCheckpoint cuts the iterated-join lineage AND lets the
+    // banded cache be released now instead of lingering for the session
+    val out = labels.unionByName(singletons)
+      .select(col("id"), col("label").as("cluster"))
+      .localCheckpoint(true)
+    banded.unpersist()
+    out
   }
 
   /** Exact token-set Jaccard for a pair of texts (used to verify LSH
@@ -202,7 +219,9 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk bucketing only guarantees recall for hamming <= 3")
-    val fp = simHash(df, idCol, textCol)
+    // NULL text → all-zero fingerprint; every null-text pair would
+    // report hamming 0 ("exact dup") — they can't be near anything
+    val fp = simHash(df.filter(col(textCol).isNotNull), idCol, textCol)
     val chunked = fp.select(col(idCol).as("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))

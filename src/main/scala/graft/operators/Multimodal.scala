@@ -100,8 +100,11 @@ object Multimodal {
       rows.map { r =>
         val bytes = Option(r.payload).getOrElse(Array.empty[Byte])
         // ~0.25 bytes/pixel "compressed"; seeded by the source digest so
-        // resize is deterministic and content-addressed
-        val outLen = math.max(16, targetW * targetH / 4)
+        // resize is deterministic and content-addressed. Long math: an
+        // Int pixel product overflows around 46k×46k and would silently
+        // emit a 16-byte payload; cap at 256 MiB per row.
+        val outLen = math.max(16L,
+          math.min(targetW.toLong * targetH / 4, 256L * 1024 * 1024)).toInt
         val seed = FakeCodec.digestOf(bytes).take(16)
           .foldLeft(0L)((a, c) => a * 31 + c)
         val rng = new java.util.Random(seed)

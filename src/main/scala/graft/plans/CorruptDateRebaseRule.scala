@@ -43,7 +43,11 @@ case class CorruptDateRebaseRule(spark: SparkSession) extends Rule[LogicalPlan] 
       val cleaned = fsRel.copy(
         options = fsRel.options.filterNot(_._1.toLowerCase == OptionKey))(spark)
       val newLr = lr.copy(relation = cleaned)
-      val dateAttrs = lr.output.filter(_.dataType == DateType)
+      // partition DATE columns come from directory names, never from the
+      // DRILL-4203-shifted file encodings — rebase DATA columns only
+      val partitionCols = fsRel.partitionSchema.fieldNames.toSet
+      val dateAttrs = lr.output.filter(a =>
+        a.dataType == DateType && !partitionCols.contains(a.name))
       val noop = dateAttrs.isEmpty || mode == "off" || {
         val paths = fsRel.location.rootPaths.map(_.toString)
         !ParquetIO.rebaseNeeded(spark, paths, dateAttrs.map(_.name).toSet, mode)
@@ -54,8 +58,9 @@ case class CorruptDateRebaseRule(spark: SparkSession) extends Rule[LogicalPlan] 
         // child's ids would make the Project's output equal its input
         // attribute-wise and later phases would eliminate it as a noop;
         // transformUpWithNewOutput rewrites ancestor references for us.
+        val rebaseSet = dateAttrs.map(_.exprId).toSet
         val projList = lr.output.map { a =>
-          if (a.dataType == DateType)
+          if (rebaseSet.contains(a.exprId))
             Alias(DateSub(a, Literal(ParquetIO.CorrectCorruptDateShiftDays)), a.name)(
               qualifier = a.qualifier)
           else a

@@ -125,7 +125,14 @@ object ParquetIO {
       path: String,
       corruptDateRebase: String = "auto"): DataFrame = {
     val df = spark.read.parquet(path)
-    val dateCols = df.schema.fields.filter(_.dataType == DateType).map(_.name)
+    // only DATA columns can carry DRILL-4203 corruption — partition
+    // DATE columns come from directory names, never from the shifted
+    // file encodings, and must not be rebased
+    val physical = ParquetMeta.footer(path).getFileMetaData.getSchema
+      .getFields.asScala.map(_.getName).toSet
+    val dateCols = df.schema.fields
+      .filter(f => f.dataType == DateType && physical.contains(f.name))
+      .map(_.name)
     if (dateCols.isEmpty || corruptDateRebase == "off") return df
 
     val needsFix = rebaseNeeded(spark, Seq(path), dateCols.toSet, corruptDateRebase)
@@ -133,6 +140,17 @@ object ParquetIO {
     else dateCols.foldLeft(df)((d, c) =>
       d.withColumn(c, date_sub(col(s"`$c`"), CorrectCorruptDateShiftDays)))
   }
+
+  /** Verdict cache for [[rebaseNeeded]] — the optimizer rule re-runs on
+    * every query optimization, and re-opening every part footer (plus
+    * possible value-probe scans) per action would make planning cost
+    * O(files) each time. Keyed on (paths, dateCols, mode); call
+    * [[clearRebaseCache]] if files under a cached path are rewritten
+    * mid-session. */
+  private val rebaseVerdicts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  def clearRebaseCache(): Unit = rebaseVerdicts.clear()
 
   /** Shared verdict for a read: does `mode` require shifting DATE
     * columns for the part files under `paths`? Used by both
@@ -146,18 +164,24 @@ object ParquetIO {
     case "off" => false
     case "on" => true
     case "auto" =>
-      // sniff EVERY part footer: applying one file's verdict to a
-      // mixed-provenance directory would silently shift correct dates
-      // by ~13k years (or leave corrupt ones unfixed). Uniform verdict
-      // → apply; mixed → refuse loudly.
-      val verdicts = paths.flatMap(p => ParquetMeta.partFiles(p)).map { file =>
-        footerVerdict(spark, file.toString, dateCols)
-      }
-      if (verdicts.distinct.size > 1)
-        throw new IllegalStateException(
-          s"${paths.mkString(",")} mixes corrupt-date and sane-date files; " +
-            "split the read or pass corruptDateRebase=on/off per file group")
-      verdicts.head
+      val key = paths.sorted.mkString(";") + "|" +
+        dateCols.toSeq.sorted.mkString(",") + "|" + mode
+      rebaseVerdicts.computeIfAbsent(key, _ => {
+        // sniff EVERY part footer: applying one file's verdict to a
+        // mixed-provenance directory would silently shift correct dates
+        // by ~13k years (or leave corrupt ones unfixed). Uniform verdict
+        // → apply; mixed → refuse loudly.
+        val verdicts = paths.flatMap(p => ParquetMeta.partFiles(p)).map { file =>
+          footerVerdict(spark, file.toString, dateCols)
+        }
+        if (verdicts.distinct.size > 1)
+          throw new IllegalStateException(
+            s"${paths.mkString(",")} mixes corrupt-date and sane-date files; " +
+              "split the read or pass corruptDateRebase=on/off per file group")
+        // no sniffable part files (e.g. suffix-less names) → no evidence
+        // of corruption → leave the data alone rather than crash
+        java.lang.Boolean.valueOf(verdicts.headOption.getOrElse(false))
+      }).booleanValue()
     case other =>
       throw new IllegalArgumentException(s"corruptDateRebase=$other")
   }

@@ -23,7 +23,12 @@ class NativeExprPropertySpec extends SparkSpec {
       val both = df.select(
         Dedup.minHashSignatureFromHashes(col("hashes"), k).as("hof"),
         graft.GraftFunctions.minhashNative(spark, col("hashes"), k).as("native"))
-      assert(both.filter(col("hof") =!= col("native")).count() == 0, s"k=$k")
+      // null-symmetric compare: `hof =!= native` is NULL (filtered out)
+      // when either side is NULL, which would hide a one-sided NULL
+      val diff = both.filter(
+        (col("hof").isNull =!= col("native").isNull) ||
+          (col("hof").isNotNull && col("hof") =!= col("native"))).count()
+      assert(diff == 0, s"k=$k")
       assert(both.filter(col("native").isNull).count() == 0)
     }
   }
