@@ -90,6 +90,23 @@ class DedupSpec extends SparkSpec {
     assert(hofPairs == natPairs)
   }
 
+  test("NULL-text docs never pair and cluster as singletons") {
+    val withNulls = docs.unionByName(Seq(
+      (10L, null.asInstanceOf[String]), (11L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val pairs = Dedup.minHashLshPairs(withNulls, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 >= 10L || p._2 >= 10L),
+      s"null-text docs must not pair: $pairs")
+    val sim = Dedup.simHashPairs(withNulls, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!sim.exists(p => p._1 >= 10L || p._2 >= 10L))
+    val cl = Dedup.minHashLshClusters(withNulls, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(10L) == 10L && cl(11L) == 11L, "null-text docs are singleton clusters")
+    assert(cl.keySet == Set(1L, 2L, 3L, 4L, 10L, 11L), "every doc keeps a cluster row")
+  }
+
   test("exact jaccard ranks near-dup above unrelated") {
     val j = docs.as("a").crossJoin(docs.as("b"))
       .filter($"a.doc_id" < $"b.doc_id")
