@@ -105,6 +105,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parquet sink: windowed agg streams to files exactly-once via checkpoint") {
+    // the durable end of the pipeline: append-mode windowed aggregate →
+    // parquet files with a checkpoint; restartable exactly-once sink
+    val sinkDir = tmpDir("graft-stream-sink")
+    val ckpt = tmpDir("graft-stream-sink-ckpt")
+    val in = MemoryStream[Ev](spark, 1)
+    val q = Streams.tumblingCounts(in.toDF(), "10 minutes", "10 minutes")
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", sinkDir).option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(ev(1, 1), ev(2, 5))   // window [00:00,00:10)
+      q.processAllAvailable()
+      in.addData(ev(3, 25))            // watermark → closes window 0
+      q.processAllAvailable()
+      in.addData(ev(4, 45))            // closes [00:20,00:30)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(sinkDir)
+      .collect().map(r => (r.getAs[Timestamp]("wstart").toString, r.getAs[Long]("n")))
+    assert(out.exists { case (w, n) => w.contains("00:00:00") && n == 2 },
+      s"closed window must be durably written, got ${out.toSeq}")
+    // append mode: only CLOSED windows are in the files
+    assert(!out.exists(_._1.contains("00:40:00")), "open window must not be flushed")
+  }
+
   test("G5b: transformWithState (Spark 4 arbitrary-state API) running counters") {
     import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TTLConfig, ValueState}
     import org.apache.spark.sql.Encoders
