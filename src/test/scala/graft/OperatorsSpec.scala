@@ -218,6 +218,20 @@ class NativeExprSpec extends SparkSpec {
     assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12, "self-similarity = 1")
   }
 
+  test("graft_minhash registers via SQL; k must be a literal") {
+    graft.GraftFunctions.ensureRegistered(spark)
+    val out = spark.sql(
+      "SELECT graft_minhash(array(CAST(7 AS BIGINT), CAST(9 AS BIGINT)), 4) AS sig").collect()
+    val sig = out(0).getSeq[Long](0)
+    assert(sig.length == 4 && sig.distinct.length > 1)
+    // empty input → NULL signature (documented divergence from the HOF form)
+    assert(spark.sql("SELECT graft_minhash(CAST(array() AS ARRAY<BIGINT>), 4)")
+      .collect()(0).isNullAt(0))
+    intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array(CAST(1 AS BIGINT)), 1 + 3)").collect()
+    }
+  }
+
   test("graft_cosine: zero-norm and null-element inputs yield NULL, not NaN") {
     graft.GraftFunctions.ensureRegistered(spark)
     val r = spark.sql(
