@@ -30,7 +30,15 @@ object Engine {
       // events.parquet stores ts as TIMESTAMP(NANOS); Spark's reader
       // needs this to map it (to LongType nanos) instead of erroring.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    b.getOrCreate()
+      // native expressions (graft_cosine, graft_minhash) + the
+      // transparent corrupt-date rebase rule; sessions built elsewhere
+      // get the same via GraftFunctions.ensureRegistered
+      .withExtensions(new GraftExtensions)
+    val s = b.getOrCreate()
+    // getOrCreate may return a pre-existing session whose extensions
+    // were fixed at ITS creation — runtime registration closes the gap
+    GraftFunctions.ensureRegistered(s)
+    s
   }
 
   /** The driver's synthetic star schema (TESTDATA.md). */
