@@ -103,6 +103,44 @@ object TextOps extends QGroup {
           .orderBy(col("doc_id").asc_nulls_first),
       None),
 
+    // L8: PII scrubbing — email/phone redaction with counts, the
+    // compliance pass every training-data pipeline runs. Deterministic
+    // synthetic PII is spliced in per doc_id so the redaction paths are
+    // actually exercised; patterns use only constructs Java regex and
+    // RE2 interpret identically (char classes + bounded repetition —
+    // no backrefs/lookaround). Output is the scrubbed-text digest +
+    // counts: exact, small, hash-portable.
+    QDef("l8_pii_scrub",
+      (s, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+        Tables(s, dir, "documents")
+          .withColumn("txt",
+            when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" contact user"), col("doc_id"),
+                lit("@example.com or 555-867-5309")))
+              .otherwise(col("text")))
+          .select(col("doc_id"),
+            regexp_count(col("txt"), lit(emailRe)).cast("int").as("n_emails"),
+            regexp_count(col("txt"), lit(phoneRe)).cast("int").as("n_phones"),
+            sha2(regexp_replace(regexp_replace(col("txt"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>"), 256).as("scrubbed_sha"))
+          .orderBy(col("doc_id").asc_nulls_first)
+      },
+      Some("""WITH pii AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN text || ' contact user' || doc_id || '@example.com or 555-867-5309'
+        |      ELSE text END AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(txt, '\d{3}-\d{3}-\d{4}')) AS INTEGER) AS n_phones,
+        |  sha256(regexp_replace(regexp_replace(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS scrubbed_sha
+        |FROM pii ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // Multimodal feature extraction over binary payloads (STUB codec,
     // real mapPartitions plumbing; rows-only + MultimodalSpec).
     QDef("l4b_multimodal_features",
