@@ -103,6 +103,33 @@ object TextOps extends QGroup {
           .orderBy(col("doc_id").asc_nulls_first),
       None),
 
+    // L3h: repetition metrics (Gopher-style quality filters): top-word
+    // dominance and distinct-word fraction per document. One explode +
+    // two keyed aggregations — at scale this is a shuffle on (doc, word)
+    // then (doc), both combiner-friendly.
+    QDef("l3h_repetition",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_words"),
+            count(lit(1)).as("n_distinct_words"),
+            round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_word_ratio"),
+            round(count(lit(1)).cast("double") / sum(col("c")), 6).as("distinct_frac"))
+          .orderBy(col("doc_id").asc_nulls_first),
+      Some("""WITH wc AS (
+        |  SELECT doc_id, w, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY doc_id, w)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_words,
+        |  COUNT(*) AS n_distinct_words,
+        |  round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_word_ratio,
+        |  round(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS distinct_frac
+        |FROM wc GROUP BY doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // L8: PII scrubbing — email/phone redaction with counts, the
     // compliance pass every training-data pipeline runs. Deterministic
     // synthetic PII is spliced in per doc_id so the redaction paths are
