@@ -33,8 +33,12 @@ object GraftFunctions {
     if (!reg.functionExists(mh))
       reg.registerFunction(mh, MinHashSignature.info, MinHashSignature.builder)
     // sessions built without withExtensions still get the transparent
-    // corrupt-date rebase via the user-provided optimizer batch
-    if (!spark.experimental.extraOptimizations
+    // corrupt-date rebase via the user-provided optimizer batch; skip
+    // when the extensions path already injected it (double installation
+    // would run the rule in two batches on every optimization)
+    val viaExtensions = spark.sessionState.optimizer.extendedOperatorOptimizationRules
+      .exists(_.isInstanceOf[graft.plans.CorruptDateRebaseRule])
+    if (!viaExtensions && !spark.experimental.extraOptimizations
         .exists(_.isInstanceOf[graft.plans.CorruptDateRebaseRule]))
       spark.experimental.extraOptimizations ++=
         Seq(graft.plans.CorruptDateRebaseRule(spark))
