@@ -258,6 +258,9 @@ object Aggregates extends QGroup {
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
 
     // U2: custom typed Aggregator — exact median vs DuckDB median.
+    // MEMORY CAVEAT: the exact aggregator buffers every group value
+    // (O(n) per group); a hot key at 100 TB OOMs an executor. U2b below
+    // (percentile_approx) is the bounded-memory scale path.
     QDef("u2_median_udaf",
       (s, dir) => {
         val med = udaf(MedianAggregator)
