@@ -49,6 +49,34 @@ object Windows extends QGroup {
         |  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)
         |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin)),
 
+    // W2b: IGNORE NULLS analytics — the gap-fill primitive (carry the
+    // last known value across NULL rows). A sparse column is synthesized
+    // deterministically (price visible only on every 3rd order) so the
+    // ignore-nulls path actually skips rows.
+    QDef("w2b_ignore_nulls",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "orders")
+          .withColumn("sparse_price",
+            when(col("o_orderkey") % 3 === 0, col("o_totalprice")))
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            last(col("sparse_price"), ignoreNulls = true).over(wRun).as("filled_price"),
+            first(col("sparse_price"), ignoreNulls = true).over(wRun).as("first_seen"))
+          .orderBy(col("o_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        |  last_value(sparse_price IGNORE NULLS) OVER w AS filled_price,
+        |  first_value(sparse_price IGNORE NULLS) OVER w AS first_seen
+        |FROM (SELECT *, CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS sparse_price
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin)),
+
     // W3: running totals with an explicit ROWS frame; decimal sums keep
     // the running value order-independent given the total window order.
     QDef("w3_running_sum",
