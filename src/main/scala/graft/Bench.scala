@@ -6,19 +6,30 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR. Prints the full per-query JSON line, then a short
   * parse-safe summary line last (the driver tail-captures stdout).
   *
-  * Method: one warmup execution of the flagship query (JIT + codegen
-  * caches), then each query executed once against a `noop` sink — full
-  * materialization of every operator with zero sink cost, so the number
-  * is the query, not the write. Session mirrors Engine.session: AQE on,
-  * shuffle partitions sized to cores (not 200 — at sf0.1 oversized
-  * shuffles are pure scheduling overhead; on a real cluster this knob
-  * scales with executor count).
+  * Method: per-query warmup + repeat. Each query runs WARMUP untimed
+  * executions (JIT + codegen-cache + FS-cache fill) followed by REPS timed
+  * executions against a `noop` sink — full materialization of every
+  * operator with zero sink cost — and reports the MIN of the timed runs.
+  * Single-shot timing in a shared ~100-query JVM couples each number to
+  * its neighbors' GC/codegen pressure (round 2 recorded an 18.4 s reading
+  * for a query that runs in 1.2 s isolated); min-of-N decouples it.
+  * Session mirrors Engine.session: AQE on, shuffle partitions sized to
+  * cores (not 200 — at sf0.1 oversized shuffles are pure scheduling
+  * overhead; on a real cluster this knob scales with executor count).
+  *
+  * If BASELINE_TIMES.json (DuckDB wall-times for the committed oracle SQL
+  * on the same data, produced by scripts/baseline_times.py) is present,
+  * the detail line carries per-query spark/duckdb ratios and the summary
+  * line the aggregate ratio, so the "within 2x of baseline" gate is a
+  * measured number rather than a claim.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,11 +54,34 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warmup: flagship + one write-path query (JIT, codegen, FS caches)
-    runOnce("a1_agg_q1")
+    /** warmup + min-of-reps; a failure in any run marks the query failed */
+    def measure(name: String): Double = {
+      var i = 0
+      while (i < warmup) { if (runOnce(name) < 0) return -1.0; i += 1 }
+      val times = (1 to reps).map(_ => runOnce(name))
+      if (times.exists(_ < 0)) -1.0 else times.min
+    }
 
     val names = SparkEntry.all.map(_.name)
-    val results = names.map(n => n -> runOnce(n))
+    val results = names.map(n => n -> measure(n))
+    val failed = results.count(_._2 < 0)
+
+    // DuckDB wall-times for the same oracle SQL on the same data (committed
+    // out-of-band by scripts/baseline_times.py) -> per-query ratios.
+    val baseline: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("BASELINE_TIMES.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val ratios = results.collect {
+      case (k, v) if v >= 0 && baseline.get(k).exists(_ > 0) =>
+        k -> v / baseline(k)
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -55,7 +89,14 @@ object Bench {
     // line gets its head truncated and fails to parse. Full per-query
     // detail goes to a file; the LAST stdout line is a short JSON summary
     // with the slowest 5 queries inlined.
-    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val ratioJson =
+      if (ratios.isEmpty) ""
+      else {
+        val rs = ratios.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+          .mkString("{", ",", "}")
+        s""","ratios_vs_duckdb":$rs"""
+      }
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"warmup=$warmup%d,min_of=$reps%d","queries":$qs$ratioJson,"sf":"$sfDir"}"""
     // best-effort: an unwritable CWD must not lose the stdout lines the
     // driver parses after the whole benchmark already ran
     try java.nio.file.Files.write(
@@ -63,8 +104,16 @@ object Bench {
     catch { case e: Exception => System.err.println(s"[bench] detail file not written: $e") }
     val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val aggRatio =
+      if (ratios.isEmpty) ""
+      else {
+        val resultMap = results.toMap
+        val sparkSum = ratios.map { case (k, _) => resultMap(k) }.sum
+        val duckSum = ratios.map { case (k, _) => baseline(k) }.sum
+        f""","ratio_vs_duckdb":${sparkSum / duckSum}%.2f,"n_ratioed":${ratios.size}%d"""
+      }
     println(detail)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${names.size},"slowest":$top5,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${names.size},"n_failed":$failed,"method":"warmup=$warmup%d,min_of=$reps%d"$aggRatio,"slowest":$top5,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -109,10 +109,13 @@ object Dedup {
     * propagation over the doc↔band-bucket bipartite graph: each round
     * every bucket takes the min label of its docs and every doc takes
     * the min label of its buckets (2 keyed shuffles per round, no pair
-    * materialization ever). `iterations` rounds of doubling reach any
-    * clique and most chains; fixpoint for general chains would loop
-    * until stable — at 100 TB the few extra rounds are still cheaper
-    * than one pair explosion.
+    * materialization ever). Rounds run to FIXPOINT — a long duplicate
+    * *chain* (A~B~C~…~Z through distinct buckets) propagates its min
+    * label one doc-hop per round, so any fixed round count silently
+    * splits chains longer than it; the loop instead stops when a round
+    * changes no labels, bounded by `maxIterations` as a safety cap (cap
+    * hit ⇒ loud stderr warning). At 100 TB the few extra rounds are
+    * still cheaper than one pair explosion.
     * Output: (id, cluster) where cluster = min doc id reached. */
   def minHashLshClusters(
       df: DataFrame,
@@ -120,7 +123,7 @@ object Dedup {
       textCol: String,
       numHashes: Int = 64,
       bands: Int = 16,
-      iterations: Int = 3): DataFrame = {
+      maxIterations: Int = 20): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // NULL-text docs are singleton clusters by definition — banding them
@@ -138,22 +141,99 @@ object Dedup {
         xxhash64(slice(col("sig"), b * r + 1, lit(r)), lit(42)))))
       .select(col("id"), concat_ws(":", col("pos"), col("col")).as("bucket"))
       .cache()
-    var labels = banded.select(col("id")).distinct().withColumn("label", col("id"))
-    for (_ <- 1 to iterations) {
-      val bucketMin = banded.join(labels, "id")
-        .groupBy(col("bucket")).agg(min(col("label")).as("bmin"))
-      labels = banded.join(bucketMin, "bucket")
-        .groupBy(col("id")).agg(min(col("bmin")).as("label"))
-    }
+    val labels = propagateMinLabels(banded, maxIterations)
     val singletons = df.filter(col(textCol).isNull)
       .select(col(idCol).as("id")).withColumn("label", col("id"))
-    // eager localCheckpoint cuts the iterated-join lineage AND lets the
-    // banded cache be released now instead of lingering for the session
     val out = labels.unionByName(singletons)
       .select(col("id"), col("label").as("cluster"))
       .localCheckpoint(true)
     banded.unpersist()
     out
+  }
+
+  /** Min-label propagation over a doc↔bucket bipartite graph to
+    * fixpoint: each round every bucket takes the min label of its docs
+    * and every doc the min label of its buckets, until a round changes
+    * no label (labels are monotonically non-increasing, so "no row
+    * decreased" IS the fixpoint) or `maxIterations` is hit — the cap is
+    * a runaway guard, not the convergence mechanism, and hitting it
+    * warns on stderr. Each round localCheckpoints eagerly: the iterated
+    * self-referential join would otherwise double the lineage per round
+    * and the convergence check re-reads the previous round's labels.
+    *
+    * Input must have columns (id, bucket); output is (id, label) with
+    * one row per distinct id. */
+  private[graft] def propagateMinLabels(
+      banded: DataFrame, maxIterations: Int): DataFrame = {
+    var labels = banded.select(col("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIterations) {
+      round += 1
+      val bucketMin = banded.join(labels, "id")
+        .groupBy(col("bucket")).agg(min(col("label")).as("bmin"))
+      val next = banded.join(bucketMin, "bucket")
+        .groupBy(col("id")).agg(min(col("bmin")).as("label"))
+        .localCheckpoint(true)
+      converged = next.as("n").join(labels.as("p"), "id")
+        .filter(col("n.label") =!= col("p.label")).isEmpty
+      labels = next
+    }
+    if (!converged)
+      System.err.println(
+        s"[graft] propagateMinLabels: hit maxIterations=$maxIterations " +
+          "before label fixpoint — some duplicate chains may be split " +
+          "into multiple clusters")
+    labels
+  }
+
+  /** Exact token-set Jaccard similarity pairs via the inverted-index
+    * plan: explode distinct tokens, self-join on the token, count
+    * intersections, derive Jaccard from |A|+|B|-|A∩B|. Never a cross
+    * product — cost is Σ df(tok)² over tokens, which is why the
+    * document-frequency cap matters: at corpus scale, stopword-grade
+    * tokens ("the" in ~every doc) each contribute a quadratic hot
+    * bucket on the join key while carrying ~zero Jaccard signal.
+    * Tokens with df > maxDfRatio × n_docs are dropped BEFORE the
+    * self-join via a broadcast anti-join (the hot list is tiny by
+    * construction: at most Σtokens/(ratio·n_docs) entries), and sizes
+    * are computed over the surviving tokens so the Jaccard stays
+    * internally consistent — the declared semantic is "Jaccard over
+    * informative tokens", mirrored exactly in the l1c oracle SQL.
+    *
+    * Output: (d1, d2, n_inter, jpm) with jpm = Jaccard per-mille
+    * (integer-div, float-free for oracle stability), filtered to
+    * jpm >= minJpm and d1 < d2. */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJpm: Int = 500,
+      maxDfRatio: Double = 0.9): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("tok"))
+    val nDocs = toks.agg(countDistinct(col("doc_id")).as("n_docs"))
+    // toks is distinct per (doc, tok), so count(*) per tok IS document
+    // frequency; the hot list stays small enough to broadcast whenever
+    // the cap is meaningful, keeping the kept-token path shuffle-free
+    val hot = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > lit(maxDfRatio) * col("n_docs"))
+      .select(col("tok"))
+    val kept = toks.join(broadcast(hot), Seq("tok"), "left_anti")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val a = kept.select(col("doc_id").as("d1"), col("tok"))
+    val b = kept.select(col("doc_id").as("d2"), col("tok"))
+    val inter = a.join(b, Seq("tok")).filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_tok", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_tok", "n2"), "d2")
+      .withColumn("jpm", expr("(n_inter * 1000) div (n1 + n2 - n_inter)"))
+      .filter(col("jpm") >= minJpm)
+      .select(col("d1"), col("d2"), col("n_inter"), col("jpm"))
   }
 
   /** Exact token-set Jaccard for a pair of texts (used to verify LSH

@@ -214,6 +214,10 @@ object Aggregates extends QGroup {
     // A10: exact interpolated percentiles — Spark's percentile() sorts
     // each group exactly (deterministic, unlike streaming accumulators);
     // DuckDB quantile_cont uses the same R-7 interpolation.
+    // MEMORY CAVEAT (same as U2's exact median): percentile() buffers
+    // every group value — O(group) per key, so one hot key at 100 TB
+    // OOMs an executor. A10b below is the bounded-memory
+    // approx_percentile twin, mirroring the u2/u2b pattern.
     QDef("a10_percentile_exact",
       (s, dir) =>
         Tables(s, dir, "lineitem")
@@ -229,6 +233,23 @@ object Aggregates extends QGroup {
         |  round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
+
+    // A10b: the 100 TB percentile path — approx_percentile keeps a
+    // bounded mergeable KLL-style sketch (state scales with accuracy,
+    // not group size) and combines map-side, so a hot key costs memory
+    // O(accuracy) instead of O(group). Sketch internals differ across
+    // engines → rows-only; ApproxSpec bounds its rank error against
+    // A10's exact values.
+    QDef("a10b_percentile_approx",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_approx"),
+            percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("p90_approx"),
+            percentile_approx(col("l_extendedprice"), lit(0.25), lit(10000)).as("price_p25_approx"))
+          .orderBy(col("l_returnflag").asc_nulls_first),
+      None),
 
     // A8: order-insensitive statistics — variance/stddev/covariance via
     // explicit decimal moment sums (the built-in stddev's streaming

@@ -54,35 +54,34 @@ object LlmOps extends QGroup {
         |FROM documents GROUP BY 1
         |ORDER BY fp ASC NULLS FIRST""".stripMargin)),
 
-    // L1c: n-gram (unigram-set) Jaccard similarity pairs — exact, via
-    // token explode + pair aggregation (no cross product: the join is on
-    // the token, the classic inverted-index plan).
+    // L1c: n-gram (unigram-set) Jaccard similarity pairs — exact over
+    // informative tokens, via the inverted-index plan in
+    // Dedup.jaccardPairs. Tokens in > 90% of docs are dropped before
+    // the token self-join (hot-bucket skew guard — a stopword token is
+    // a quadratic bucket on the join key at corpus scale); the SAME cap
+    // is applied in the oracle SQL, so the gate stays an exact
+    // hash-compare of the declared semantic at any SF. On this corpus
+    // the max token df is 85/100 docs, so the cap drops nothing here.
     QDef("l1c_jaccard_pairs",
-      (s, dir) => {
-        val toks = Tables(s, dir, "documents")
-          .filter(col("doc_id") < 100)
-          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-        val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
-        val a = toks.select(col("doc_id").as("d1"), col("tok"))
-        val b = toks.select(col("doc_id").as("d2"), col("tok"))
-        val inter = a.join(b, Seq("tok")).filter(col("d1") < col("d2"))
-          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
-        inter
-          .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_tok", "n1"), "d1")
-          .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_tok", "n2"), "d2")
-          .withColumn("jpm", expr("(n_inter * 1000) div (n1 + n2 - n_inter)"))
-          .filter(col("jpm") >= 500)
-          .select(col("d1"), col("d2"), col("n_inter"), col("jpm"))
-          .orderBy(col("d1").asc_nulls_first, col("d2").asc_nulls_first)
-      },
+      (s, dir) =>
+        Dedup.jaccardPairs(
+          Tables(s, dir, "documents").filter(col("doc_id") < 100),
+          idCol = "doc_id", textCol = "text",
+          minJpm = 500, maxDfRatio = 0.9)
+          .orderBy(col("d1").asc_nulls_first, col("d2").asc_nulls_first),
       Some("""WITH toks AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
         |  FROM documents WHERE doc_id < 100
+        |), hot AS (
+        |  SELECT tok FROM (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1)
+        |  WHERE df > 0.9 * (SELECT COUNT(DISTINCT doc_id) FROM toks)
+        |), kept AS (
+        |  SELECT * FROM toks WHERE tok NOT IN (SELECT tok FROM hot)
         |), sizes AS (
-        |  SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+        |  SELECT doc_id, COUNT(*) AS n_tok FROM kept GROUP BY doc_id
         |), inter AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
-        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |)
         |SELECT d1, d2, n_inter,

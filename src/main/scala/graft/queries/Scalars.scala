@@ -170,14 +170,20 @@ object Scalars extends QGroup {
         |  CAST(NULL AS INTEGER) AS k_missing
         |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin)),
 
-    // X6: JSON extraction from the events.props string column.
+    // X6: JSON extraction from the events.props string column. One
+    // json_tuple generator parses each props string ONCE for both keys
+    // (three get_json_object calls would lean on codegen CSE to avoid a
+    // triple parse — json_tuple makes the single parse structural).
     QDef("x6_json_scalars",
       (s, dir) =>
-        Tables(s, dir, "events").select(
-          col("event_id"),
-          get_json_object(col("props"), "$.k").as("k_str"),
-          get_json_object(col("props"), "$.k").cast("int").as("k_int"),
-          get_json_object(col("props"), "$.missing").as("k_missing"))
+        Tables(s, dir, "events")
+          .select(col("event_id"), json_tuple(col("props"), "k", "missing"))
+          .toDF("event_id", "k_raw", "m_raw")
+          .select(
+            col("event_id"),
+            col("k_raw").as("k_str"),
+            col("k_raw").cast("int").as("k_int"),
+            col("m_raw").as("k_missing"))
           .orderBy(col("event_id").asc_nulls_first),
       Some("""SELECT event_id,
         |  json_extract_string(props, '$.k') AS k_str,

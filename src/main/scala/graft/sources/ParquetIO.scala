@@ -66,13 +66,30 @@ object ParquetIO {
       column: String,
       value: Any): DataFrame = {
     val schema = spark.read.parquet(path).schema // footer-only
+    val eq = col(s"`$column`") === lit(value)
+    // A partition column exists only in directory names, never in the
+    // part files — no file carries a bloom filter for it, and a
+    // file-list read without basePath would surface it as all-NULL.
+    // The right plan for a partition-key lookup is Catalyst's own
+    // partition pruning on a plain read (prunes to the one directory
+    // at planning time, zero data files opened elsewhere).
+    val physical = ParquetMeta.partFiles(path).headOption
+      .map(f => ParquetMeta.footer(f.toString).getFileMetaData.getSchema
+        .getFields.asScala.map(_.getName).toSet)
+      .getOrElse(Set.empty[String])
+    if (physical.nonEmpty && !physical.contains(column))
+      return spark.read.parquet(path).filter(eq)
     val candidateFiles = ParquetMeta.bloomCandidateRowGroups(path, column, value)
       .map(_._1).distinct // full paths — one directory walk, no re-listing
-    val eq = col(s"`$column`") === lit(value)
     if (candidateFiles.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      spark.read.schema(schema).parquet(candidateFiles: _*).filter(eq)
+      // basePath keeps directory-derived partition values recoverable
+      // when the surviving files sit under partition directories — the
+      // merged schema includes those columns, and without basePath the
+      // file-list read returns them as NULL
+      spark.read.option("basePath", path).schema(schema)
+        .parquet(candidateFiles: _*).filter(eq)
   }
 
   /** Bucketed table write: pre-shuffles once at write time so every
@@ -198,11 +215,26 @@ object ParquetIO {
     if (kv.contains("drill.version") || kv.contains("dremio.version")) {
       // Drill >= 1.3.0 or any Dremio. Writer version >= 2 (DRILL-4980) or
       // the is.date.correct flag (Drill 1.9.0, all Dremio) mean sane;
-      // anything else in this family wrote shifted dates.
-      val writerOk = kv.get("parquet-writer.version")
-        .flatMap(v => scala.util.Try(v.trim.toInt).toOption).exists(_ >= 2)
+      // a MISSING writer version in this family wrote shifted dates.
+      // An UNPARSEABLE one (e.g. "2.0") is a different case: the
+      // reference fails loudly (Integer.parseInt throws,
+      // ParquetReaderUtility.java:104) rather than guessing — silently
+      // classifying it corrupt would shift sane dates by ~13k years.
+      // We log and fall through to the stats/value probe, which decides
+      // from the actual data instead of the malformed claim.
       val declaredCorrect = kv.get("is.date.correct").exists(_.trim.equalsIgnoreCase("true"))
-      !(writerOk || declaredCorrect)
+      kv.get("parquet-writer.version") match {
+        case _ if declaredCorrect => false
+        case None => true
+        case Some(v) => scala.util.Try(v.trim.toInt).toOption match {
+          case Some(i) => i < 2
+          case None =>
+            System.err.println(
+              s"[graft] $file: unparseable parquet-writer.version '$v' " +
+                "on a drill/dremio file — probing stats/values instead")
+            statsThenValueProbe(spark, file, ft, dateCols)
+        }
+      }
     } else Option(meta.getCreatedBy) match {
       case None => statsThenValueProbe(spark, file, ft, dateCols)
       case Some("parquet-mr") => statsThenValueProbe(spark, file, ft, dateCols)
@@ -259,4 +291,53 @@ object ParquetIO {
       (0 until probe.length).exists(i => !probe.isNullAt(i) && probe.getInt(i) > CorruptThresholdDays)
     }
   }
+
+  /** R11 parity (reference LoadParquet.java:61-71): the reference's only
+    * concurrency is a TransferManager multipart upload to S3 (5 MiB
+    * threshold, 16-thread pool). The Spark-native equivalent is the s3a
+    * connector's incremental multipart upload plus a zero-rename
+    * committer — these are the settings [[writeS3]] applies per-write.
+    * File-source writer options are merged into the job's Hadoop conf
+    * (`newHadoopConfWithOptions`), so nothing leaks into the session.
+    *
+    * Values mirror the reference's shape at cluster-appropriate sizes:
+    * 64 MiB parts (5 MiB is pathological at 100 TB — S3's 10k-part cap
+    * would truncate objects >48.8 GiB), 16 upload threads per executor,
+    * disk-buffered fast upload so a slow upload can't OOM the task.
+    * A live write additionally needs hadoop-aws on the classpath and,
+    * for the magic committer, `spark.sql.sources.commitProtocolClass` =
+    * PathOutputCommitProtocol at session build — recorded in
+    * [[s3aSessionConf]]; this sandbox has no s3a jars and zero egress,
+    * so SourcesSpec asserts the conf surface, not a live upload. */
+  val s3aWriteOptions: Map[String, String] = Map(
+    "fs.s3a.multipart.size" -> (64L * 1024 * 1024).toString,
+    "fs.s3a.multipart.threshold" -> (64L * 1024 * 1024).toString,
+    "fs.s3a.fast.upload" -> "true",
+    "fs.s3a.fast.upload.buffer" -> "disk",
+    "fs.s3a.threads.max" -> "16",
+    "fs.s3a.connection.maximum" -> "96",
+    "fs.s3a.committer.name" -> "magic",
+    "fs.s3a.committer.magic.enabled" -> "true")
+
+  /** Session-build confs for zero-rename S3 commits (require the
+    * spark-hadoop-cloud + hadoop-aws jars, absent in this sandbox). */
+  val s3aSessionConf: Map[String, String] = Map(
+    "spark.sql.sources.commitProtocolClass" ->
+      "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+    "spark.sql.parquet.output.committer.class" ->
+      "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
+    "spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a" ->
+      "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory")
+
+  /** Parquet write carrying the s3a multipart/committer options; works
+    * against any scheme (the fs.s3a.* keys are inert off s3a paths, so
+    * the same call is testable locally). */
+  def writeS3(
+      df: DataFrame,
+      path: String,
+      mode: String = "errorifexists",
+      compression: String = "snappy",
+      partitionCols: Seq[String] = Nil): Unit =
+    write(df, path, mode, compression, partitionCols,
+      extraOptions = s3aWriteOptions)
 }

@@ -107,6 +107,51 @@ class DedupSpec extends SparkSpec {
     assert(cl.keySet == Set(1L, 2L, 3L, 4L, 10L, 11L), "every doc keeps a cluster row")
   }
 
+  test("label propagation reaches fixpoint on long chains, not a fixed round count") {
+    // chain 1~2~…~8 through DISTINCT buckets: the min label travels one
+    // doc-hop per round, so any fixed small round count splits the
+    // cluster silently; the fixpoint loop must keep going until stable
+    val edges = (1L to 7L).flatMap(i => Seq((i, s"b$i"), (i + 1, s"b$i")))
+    val banded = edges.toDF("id", "bucket")
+    val labels = Dedup.propagateMinLabels(banded, maxIterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == (1L to 8L).map(_ -> 1L).toMap,
+      s"chain split into ${labels.values.toSet.size} clusters: $labels")
+    // the cap is a real bound: 3 rounds genuinely cannot finish this
+    // chain (this is the shape the old fixed-3-iteration code missed)
+    val capped = Dedup.propagateMinLabels(banded, maxIterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped.values.toSet.size > 1,
+      "an 8-doc chain finished in 3 rounds — test graph too easy")
+  }
+
+  test("jaccard pairs drop stopword-grade hot tokens before the self-join") {
+    // "the" appears in EVERY doc — above the df cap it must be excluded
+    // from both the intersection and the sizes: docs sharing ONLY the
+    // hot token never pair, and surviving pairs' jaccard is computed
+    // over informative tokens only
+    val corpus = Seq(
+      (1L, "the apple banana cherry date"),
+      (2L, "the apple banana cherry fig"), // near-dup of 1 off-stopword
+      (3L, "the xx yy zz ww"),
+      (4L, "the aa bb cc dd")              // 3,4 share only "the"
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text",
+        minJpm = 1, maxDfRatio = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    assert(!pairs.contains((3L, 4L)),
+      "a pair connected only through a hot token must not materialize")
+    // |{apple,banana,cherry}| / |{apple,banana,cherry,date,fig}| = 3/5;
+    // with "the" kept it would read 4/6 = 666
+    assert(pairs((1L, 2L)) == 600L,
+      s"sizes must be post-cap: ${pairs.get((1L, 2L))}")
+    // cap off (ratio 1.0) keeps the stopword: (3,4) pairs through it
+    val uncapped = Dedup.jaccardPairs(corpus, "doc_id", "text",
+        minJpm = 1, maxDfRatio = 1.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    assert(uncapped.contains((3L, 4L)) && uncapped((1L, 2L)) == 666L)
+  }
+
   test("exact jaccard ranks near-dup above unrelated") {
     val j = docs.as("a").crossJoin(docs.as("b"))
       .filter($"a.doc_id" < $"b.doc_id")
@@ -286,6 +331,22 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(ap - ex) <= math.abs(ex) * 0.05 + 1.0,
         s"user $k: approx=$ap exact=$ex")
     }
+  }
+
+  test("approx percentiles track exact percentile() within sketch error") {
+    def grab(name: String) =
+      SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .collect().map(r => r.getString(0) -> (1 to 3).map(i =>
+          r.getAs[Number](i).doubleValue())).toMap
+    val exact = grab("a10_percentile_exact")
+    val approx = grab("a10b_percentile_approx")
+    assert(exact.keySet == approx.keySet)
+    // accuracy=10000 on groups of ~thousands: the sketch holds (almost)
+    // every value, so each approx quantile is an actual group element
+    // within a hair of the exact interpolated one
+    for ((k, ex) <- exact; (e, a) <- ex.zip(approx(k)))
+      assert(math.abs(a - e) <= math.abs(e) * 0.02 + 1.0,
+        s"group $k: approx=$a exact=$e")
   }
 
   test("moment-based var_samp matches Spark's native var_samp") {

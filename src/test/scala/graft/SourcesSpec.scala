@@ -248,10 +248,73 @@ class ParquetIOSpec extends SparkSpec {
       extraOptions = Map("parquet.enable.dictionary" -> "false"))
     val someKey = df.select($"o_orderkey").head().getLong(0)
     val got = ParquetIO.readPointLookup(spark, dir, "o_orderkey", someKey)
-    val expect = df.filter($"o_orderkey" === someKey).count()
-    assert(got.count() == expect && expect > 0)
+    // FULL-ROW compare, not counts: the partition column lives only in
+    // directory names, so a file-list read without basePath would return
+    // it as all-NULL while still passing a count check
+    val canon = (d: org.apache.spark.sql.DataFrame) => d
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+      .orderBy($"o_orderkey", $"o_custkey", $"o_orderstatus")
+      .collect().toSeq
+    val expect = df.filter($"o_orderkey" === someKey)
+    assert(expect.count() > 0)
+    assert(canon(got) == canon(expect))
+    assert(got.filter($"o_orderstatus".isNull).count() == 0,
+      "directory-derived partition values must be recovered (basePath)")
     // partition subdirectories resolve; absent key still proves empty
     assert(ParquetIO.readPointLookup(spark, dir, "o_orderkey", -1L).count() == 0)
+  }
+
+  test("point lookup on a PARTITION column falls back to partition pruning") {
+    val dir = tmpDir("graft-bloom-partkey") + "/t"
+    val df = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+    ParquetIO.write(df, dir, partitionCols = Seq("o_orderstatus"),
+      bloomFilterCols = Seq("o_orderkey"), bloomNdv = 20000,
+      extraOptions = Map("parquet.enable.dictionary" -> "false"))
+    // no file carries a bloom filter (or any data) for the partition
+    // column — the lookup must route to a plain pruned read, not filter
+    // an all-NULL reconstructed column down to zero rows
+    val got = ParquetIO.readPointLookup(spark, dir, "o_orderstatus", "O")
+    val expect = df.filter($"o_orderstatus" === "O").count()
+    assert(expect > 0 && got.count() == expect)
+    // planning-time pruning, not post-read filtering: the physical scan
+    // must carry the predicate as a partition filter and select only
+    // the matching directory (inputFiles would lie here — it lists the
+    // whole relation before pruning)
+    val scan = got.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "o_orderstatus")),
+      s"expected a partition filter, got: ${scan.partitionFilters}")
+    assert(scan.selectedPartitions.toPartitionArray
+      .forall(_.urlEncodedPath.contains("o_orderstatus=O")),
+      "partition-key lookup should prune to the one partition directory")
+  }
+
+  test("s3a write surface carries multipart + magic-committer settings (R11)") {
+    // Zero-egress sandbox: no live S3 — assert the conf surface the
+    // writer would use, and that the same call path works off-s3a.
+    val opts = ParquetIO.s3aWriteOptions
+    assert(opts("fs.s3a.multipart.size").toLong >= 5L * 1024 * 1024,
+      "parts below S3's 5 MiB floor are rejected by the service")
+    assert(opts("fs.s3a.multipart.size").toLong == opts("fs.s3a.multipart.threshold").toLong)
+    assert(opts("fs.s3a.fast.upload") == "true" &&
+      opts("fs.s3a.fast.upload.buffer") == "disk")
+    assert(opts("fs.s3a.threads.max").toInt == 16,
+      "mirror the reference's 16-thread TransferManager pool (LoadParquet.java:64-66)")
+    assert(opts("fs.s3a.committer.name") == "magic" &&
+      opts("fs.s3a.committer.magic.enabled") == "true")
+    assert(ParquetIO.s3aSessionConf("spark.sql.sources.commitProtocolClass")
+      .endsWith("PathOutputCommitProtocol"))
+    // writer options reach the job Hadoop conf (how fs.s3a.* keys are
+    // consumed by the s3a filesystem at write time)
+    val hc = spark.sessionState.newHadoopConfWithOptions(opts)
+    assert(hc.get("fs.s3a.multipart.size") == opts("fs.s3a.multipart.size"))
+    assert(hc.get("fs.s3a.committer.name") == "magic")
+    // same call path is scheme-agnostic: the options are inert locally
+    val dir = tmpDir("graft-s3a-surface") + "/t"
+    ParquetIO.writeS3(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    assert(spark.read.parquet(dir).count() == 2)
   }
 }
 
