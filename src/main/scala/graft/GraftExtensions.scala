@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{CosineSimilarity, MinHashSignature}
+import graft.functions.{CosineSimilarity, MinHashSignature, UnicodeNormalize}
 
 /** Session extension registering graft's native expressions, for use via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -17,6 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(MinHashSignature.name), MinHashSignature.info,
         MinHashSignature.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(UnicodeNormalize.name), UnicodeNormalize.info,
+        UnicodeNormalize.builder))
     ext.injectOptimizerRule(graft.plans.CorruptDateRebaseRule.apply)
   }
 }
@@ -32,6 +35,9 @@ object GraftFunctions {
     val mh = FunctionIdentifier(MinHashSignature.name)
     if (!reg.functionExists(mh))
       reg.registerFunction(mh, MinHashSignature.info, MinHashSignature.builder)
+    val un = FunctionIdentifier(UnicodeNormalize.name)
+    if (!reg.functionExists(un))
+      reg.registerFunction(un, UnicodeNormalize.info, UnicodeNormalize.builder)
     // sessions built without withExtensions still get the transparent
     // corrupt-date rebase via the user-provided optimizer batch; skip
     // when the extensions path already injected it (double installation
@@ -55,5 +61,12 @@ object GraftFunctions {
     ensureRegistered(spark)
     call_function(MinHashSignature.name, hashes,
       org.apache.spark.sql.functions.lit(numHashes))
+  }
+
+  /** Column API for native Unicode normalization (NFC/NFD/NFKC/NFKD). */
+  def normalizeNative(spark: SparkSession, s: Column, form: String = "NFC"): Column = {
+    ensureRegistered(spark)
+    call_function(UnicodeNormalize.name, s,
+      org.apache.spark.sql.functions.lit(form))
   }
 }

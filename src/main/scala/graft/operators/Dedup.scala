@@ -236,6 +236,55 @@ object Dedup {
       .select(col("d1"), col("d2"), col("n_inter"), col("jpm"))
   }
 
+  /** Distinct word n-grams of `textCol` as strings, one row per
+    * (id, gram). Docs shorter than `n` tokens contribute their whole
+    * token list as a single gram (clamped slice — mirrors the SQL
+    * `t[i:i+n-1]` idiom so the l9 oracle matches bit-for-bit). The
+    * token array is materialized below a repartition barrier so the
+    * per-gram lambda touches a bound attribute, not a re-inlined
+    * `split()` (HOF lambdas re-evaluate referenced expressions per
+    * element — O(tokens²) without the barrier). */
+  private[graft] def ngramRows(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("__t"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), explode(array_distinct(
+        transform(sequence(lit(0), greatest(size(col("__t")) - n, lit(0))), i =>
+          concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))).as("gram"))
+
+  /** Benchmark-contamination detection (training-data hygiene): for
+    * each train doc, how many of its distinct word n-grams also occur
+    * in the benchmark corpus. The decontamination primitive — train
+    * docs that reproduce eval-set n-grams leak the benchmark into the
+    * training distribution and must be dropped or flagged.
+    *
+    * Scale shape: the benchmark side is an eval suite — thousands of
+    * docs against a 100 TB corpus — so its distinct-gram set is
+    * BROADCAST and the train scan stays shuffle-free except the final
+    * per-doc count (one keyed combiner-friendly aggregation). Never a
+    * corpus self-join; cost is linear in corpus grams.
+    *
+    * Output: (doc_id, n_grams, n_hits, cpm) for train docs with ≥1 hit;
+    * cpm = contaminated grams per mille (integer-div, oracle-stable). */
+  def ngramContamination(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val trainGrams = ngramRows(train, idCol, textCol, n)
+    val benchGrams = ngramRows(bench, idCol, textCol, n)
+      .select(col("gram")).distinct()
+    val sizes = trainGrams.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = trainGrams.join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    sizes.join(hits, Seq("id"))
+      .select(col("id").as("doc_id"), col("n_grams"), col("n_hits"),
+        expr("(n_hits * 1000) div n_grams").as("cpm"))
+  }
+
   /** Exact token-set Jaccard for a pair of texts (used to verify LSH
     * candidates). */
   def jaccard(t1: Column, t2: Column): Column = {

@@ -184,6 +184,46 @@ object LlmOps extends QGroup {
       },
       None),
 
+    // L9: benchmark decontamination — train docs sharing contiguous
+    // word n-grams with a held-out "benchmark" slice (deterministic
+    // doc_id % 50 == 3 here; a real pipeline feeds the eval suites).
+    // n=4 on this synthetic corpus (its near-dups are shuffled-token
+    // variants, so contiguous overlap is short); production settings
+    // are n=8–13 — same plan, different literal. The benchmark gram
+    // set is broadcast: an eval suite is tiny against a 100 TB corpus,
+    // so the train scan stays shuffle-free (see Dedup.ngramContamination).
+    QDef("l9_decontamination",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Dedup.ngramContamination(
+          d.filter(col("doc_id") % 50 =!= 3),
+          d.filter(col("doc_id") % 50 === 3),
+          idCol = "doc_id", textCol = "text", n = 4)
+          .orderBy(col("doc_id").asc_nulls_first)
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), pos AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t)-3, 1))) AS i
+        |  FROM toks
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g FROM pos
+        |), bench AS (
+        |  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 3
+        |), train AS (
+        |  SELECT * FROM grams WHERE doc_id % 50 != 3
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY 1
+        |), hits AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_hits
+        |  FROM train t JOIN bench b ON t.g = b.g GROUP BY 1
+        |)
+        |SELECT s.doc_id, n_grams, n_hits, (n_hits*1000)//n_grams AS cpm
+        |FROM sizes s JOIN hits h ON s.doc_id = h.doc_id
+        |ORDER BY s.doc_id ASC NULLS FIRST""".stripMargin)),
+
     // L6: sequence packing for pretraining batches — greedy cumulative
     // token count per shard, bin = floor(tokens-before / ctx). Shard-
     // partitioned window (one shuffle, no global sort) so it scales:

@@ -211,6 +211,30 @@ object Scalars extends QGroup {
         |  hex(p_name) AS name_hex,
         |  base64(p_name::BLOB) AS name_b64,
         |  CAST(octet_length(from_base64(base64(p_name::BLOB))) AS INTEGER) AS b64_roundtrip_len
+        |FROM part ORDER BY p_partkey ASC NULLS FIRST""".stripMargin)),
+
+    // X8: Unicode NFC normalization via the native graft_normalize
+    // expression (Spark ships none; DuckDB's nfc_normalize is the
+    // oracle). A decomposed e+U+0301 suffix is appended so the query
+    // exercises real recomposition, not just the ASCII fast path —
+    // composed vs decomposed forms of the same text must unify before
+    // any digest/dedup/token-count sees them.
+    QDef("x8_unicode_normalize",
+      (s, dir) => {
+        // the literal is DECOMPOSED on purpose: 'e' + combining acute
+        // (U+0301), which NFC recomposes to a single code point
+        def raw = concat(col("p_name"), lit(" café"))
+        Tables(s, dir, "part").select(
+          col("p_partkey"),
+          graft.GraftFunctions.normalizeNative(s, raw).as("nfc"),
+          length(raw).as("len_raw"),
+          length(graft.GraftFunctions.normalizeNative(s, raw)).as("len_nfc"))
+          .orderBy(col("p_partkey").asc_nulls_first)
+      },
+      Some("""SELECT p_partkey,
+        |  nfc_normalize(p_name || ' cafe' || chr(769)) AS nfc,
+        |  CAST(length(p_name || ' cafe' || chr(769)) AS INTEGER) AS len_raw,
+        |  CAST(length(nfc_normalize(p_name || ' cafe' || chr(769))) AS INTEGER) AS len_nfc
         |FROM part ORDER BY p_partkey ASC NULLS FIRST""".stripMargin))
   )
 }

@@ -152,6 +152,30 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.contains((3L, 4L)) && uncapped((1L, 2L)) == 666L)
   }
 
+  test("ngram contamination flags benchmark overlap via a broadcast bench side") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares a 4-gram with bench
+      (2L, "one two three four five six seven"),   // clean
+      (3L, "tiny doc")                             // < n tokens → whole-text gram
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "xx alpha beta gamma delta yy"),
+      (101L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val res = Dedup.ngramContamination(train, bench, "doc_id", "text", n = 4)
+    val out = res.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1 has 3 distinct 4-grams, exactly one of which ("alpha beta
+    // gamma delta") is also a bench 4-gram
+    assert(out(1L) == ((3L, 1L)))
+    assert(!out.contains(2L), "clean doc must not appear")
+    assert(out(3L) == ((1L, 1L)), "short docs compare as whole-text grams")
+    // the eval-suite side must be the broadcast side: a 100 TB corpus
+    // scan cannot shuffle on the gram key
+    assert(res.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "bench grams should broadcast-join against train grams")
+  }
+
   test("exact jaccard ranks near-dup above unrelated") {
     val j = docs.as("a").crossJoin(docs.as("b"))
       .filter($"a.doc_id" < $"b.doc_id")
@@ -252,6 +276,33 @@ class NativeExprSpec extends SparkSpec {
     val hof = Similarity.bruteForceTopK(q, emb, 10, "vec_id", "embedding", useNativeExpr = false)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(native.toSeq == hof.toSeq, "same order, same exact doubles")
+  }
+
+  test("graft_normalize: NFC recomposition, ASCII identity, NULL, codegen=interpreted") {
+    import spark.implicits._
+    graft.GraftFunctions.ensureRegistered(spark)
+    val df = Seq(
+      ("cafe\u0301", "caf\u00e9"),   // decomposed -> composed
+      ("plain ascii", "plain ascii"), // fast path: already normalized
+      (null.asInstanceOf[String], null.asInstanceOf[String])
+    ).toDF("raw", "expect")
+    def run() = df.withColumn("got",
+      graft.GraftFunctions.normalizeNative(spark, col("raw"))).collect()
+    val out = run()
+    out.foreach { r =>
+      assert(r.getAs[String]("got") == r.getAs[String]("expect"),
+        s"raw=${Option(r.getString(0)).map(_.codePoints.toArray.toSeq)}")
+    }
+    // NFKC via the SQL surface folds compatibility forms
+    val sql = spark.sql("SELECT graft_normalize('\u2460 \ufb01', 'NFKC') AS n")
+      .head.getString(0)
+    assert(sql == "1 fi", "NFKC folds circled digits and ligatures")
+    // interpreted path agrees with codegen
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run().map(_.getAs[String]("got")).toSeq ==
+      out.map(_.getAs[String]("got")).toSeq)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 
   test("graft_cosine registers via SparkSessionExtensions and via SQL") {
