@@ -39,6 +39,11 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // static conf, effective because Bench owns the first session in the
+      // JVM: ~100 queries x multiple codegen stages overflow the default
+      // 100-entry generated-class cache, forcing Janino recompiles every
+      // rep and churning the JIT code cache until HotSpot stops compiling
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -71,11 +76,23 @@ object Bench {
     val baseline: Map[String, Double] = {
       val p = java.nio.file.Paths.get("BASELINE_TIMES.json")
       if (!java.nio.file.Files.exists(p)) Map.empty
-      else {
-        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r
-          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
+      else
+        try {
+          // real JSON parse (jackson ships with Spark), restricted to the
+          // times_sec object — a flat regex over the whole file would also
+          // capture _meta fields (n_queries, total_sec, ...) and a future
+          // name collision would silently skew the gate ratio
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readAllBytes(p))
+          val times = root.path("times_sec")
+          import scala.jdk.CollectionConverters._
+          times.fieldNames.asScala
+            .map(k => k -> times.get(k).asDouble()).toMap
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[bench] BASELINE_TIMES.json unreadable: $e")
+            Map.empty[String, Double]
+        }
     }
     val ratios = results.collect {
       case (k, v) if v >= 0 && baseline.get(k).exists(_ > 0) =>

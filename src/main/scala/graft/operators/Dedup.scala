@@ -148,8 +148,21 @@ object Dedup {
       .select(col("id"), col("label").as("cluster"))
       .localCheckpoint(true)
     banded.unpersist()
+    unpersistCheckpoint(labels)
     out
   }
+
+  /** Free the block-manager storage behind a `localCheckpoint`ed
+    * Dataset. `Dataset.unpersist` only touches the cache-manager entry,
+    * not the checkpointed RDD's blocks, which otherwise linger until
+    * driver GC runs the ContextCleaner — a storage-pressure leak when an
+    * iterative loop checkpoints a snapshot per round at corpus scale. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Min-label propagation over a doc↔bucket bipartite graph to
     * fixpoint: each round every bucket takes the min label of its docs
@@ -178,6 +191,10 @@ object Dedup {
         .localCheckpoint(true)
       converged = next.as("n").join(labels.as("p"), "id")
         .filter(col("n.label") =!= col("p.label")).isEmpty
+      // previous round's snapshot is dead once the convergence check has
+      // read it — free its blocks now instead of waiting for driver GC
+      // (up to maxIterations retained label tables otherwise)
+      unpersistCheckpoint(labels)
       labels = next
     }
     if (!converged)
@@ -259,11 +276,17 @@ object Dedup {
     * docs that reproduce eval-set n-grams leak the benchmark into the
     * training distribution and must be dropped or flagged.
     *
-    * Scale shape: the benchmark side is an eval suite — thousands of
-    * docs against a 100 TB corpus — so its distinct-gram set is
-    * BROADCAST and the train scan stays shuffle-free except the final
-    * per-doc count (one keyed combiner-friendly aggregation). Never a
-    * corpus self-join; cost is linear in corpus grams.
+    * Scale shape: the benchmark side is assumed to be an eval suite —
+    * thousands of docs against a 100 TB corpus — so its distinct-gram
+    * set is BROADCAST. That is an explicit hint — Spark honors it
+    * regardless of size — so a corpus-sized "bench" side would OOM the
+    * driver; callers comparing two corpora should drop the hint and let
+    * the planner pick a shuffled join instead.
+    * The train side pays one repartition (ngramRows' full token-array
+    * shuffle, the deliberate projection barrier that keeps the n-gram
+    * lambda O(tokens) — see ngramRows) plus the final per-doc count
+    * (keyed, combiner-friendly). Never a corpus self-join; cost is
+    * linear in corpus grams.
     *
     * Output: (doc_id, n_grams, n_hits, cpm) for train docs with ≥1 hit;
     * cpm = contaminated grams per mille (integer-div, oracle-stable). */

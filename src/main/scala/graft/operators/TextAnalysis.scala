@@ -79,6 +79,40 @@ object TextAnalysis {
       (acc, t) => pmod(acc * 1000003L + pmod(xxhash64(t), lit(M)), lit(M)))
   }
 
+  /** Repetition metrics (Gopher-style quality filters) as a pure
+    * per-row Column — word counts, distinct-word count, top-word run —
+    * computed WITHIN each document, so the corpus scan stays
+    * shuffle-free (the explode + groupBy(doc, word) formulation shuffles
+    * every token of a 100 TB corpus twice to answer a per-document
+    * question). The top word count is the longest run in the sorted
+    * token array, found by one O(tokens) fold; the fold state is a
+    * (prev, run, best) struct and the lambda touches only the element
+    * and the accumulator, so nothing is re-evaluated per element.
+    *
+    * Struct fields: n_words, n_distinct_words, top_word_ratio,
+    * distinct_frac (ratios rounded to 6 dp, matching the SQL oracle). */
+  def repetitionMetrics(text: Column): Column = {
+    val ws = split(text, " ")
+    val nWords = size(ws)
+    val nDistinct = size(array_distinct(ws))
+    val folded = aggregate(
+      array_sort(ws),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(1L)
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      })
+    val topCount = folded.getField("best")
+    struct(
+      nWords.cast("long").as("n_words"),
+      nDistinct.cast("long").as("n_distinct_words"),
+      round(topCount.cast("double") / nWords, 6).as("top_word_ratio"),
+      round(nDistinct.cast("double") / nWords, 6).as("distinct_frac"))
+  }
+
   /** Convenience: annotate a corpus with all analysis columns. */
   def annotate(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_id", languageId(col(textCol)))

@@ -104,19 +104,21 @@ object TextOps extends QGroup {
       None),
 
     // L3h: repetition metrics (Gopher-style quality filters): top-word
-    // dominance and distinct-word fraction per document. One explode +
-    // two keyed aggregations — at scale this is a shuffle on (doc, word)
-    // then (doc), both combiner-friendly.
+    // dominance and distinct-word fraction per document — a pure per-row
+    // fold (TextAnalysis.repetitionMetrics), shuffle-free where the
+    // explode + groupBy(doc, word) formulation shuffles every token of
+    // the corpus twice to answer a per-document question. The isNotNull
+    // filter mirrors unnest/explode dropping null-text docs.
     QDef("l3h_repetition",
       (s, dir) =>
         Tables(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("c")).as("n_words"),
-            count(lit(1)).as("n_distinct_words"),
-            round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_word_ratio"),
-            round(count(lit(1)).cast("double") / sum(col("c")), 6).as("distinct_frac"))
+          .filter(col("text").isNotNull)
+          .withColumn("r", graft.operators.TextAnalysis.repetitionMetrics(col("text")))
+          .select(col("doc_id"),
+            col("r.n_words").as("n_words"),
+            col("r.n_distinct_words").as("n_distinct_words"),
+            col("r.top_word_ratio").as("top_word_ratio"),
+            col("r.distinct_frac").as("distinct_frac"))
           .orderBy(col("doc_id").asc_nulls_first),
       Some("""WITH wc AS (
         |  SELECT doc_id, w, COUNT(*) AS c

@@ -72,12 +72,20 @@ object ParquetIO {
     // file-list read without basePath would surface it as all-NULL.
     // The right plan for a partition-key lookup is Catalyst's own
     // partition pruning on a plain read (prunes to the one directory
-    // at planning time, zero data files opened elsewhere).
-    val physical = ParquetMeta.partFiles(path).headOption
-      .map(f => ParquetMeta.footer(f.toString).getFileMetaData.getSchema
-        .getFields.asScala.map(_.getName).toSet)
-      .getOrElse(Set.empty[String])
-    if (physical.nonEmpty && !physical.contains(column))
+    // at planning time, zero data files opened elsewhere). Detect
+    // partition columns from the `name=value` path segments rather than
+    // any file's physical schema: under schema evolution a DATA column
+    // can be absent from individual part files, and probing one footer
+    // would misroute its lookups to a full scan, defeating the skip
+    // index (files genuinely lacking the column are instead kept by
+    // bloomCandidateRowGroups — absence is proven, never assumed).
+    val base = new org.apache.hadoop.fs.Path(path).toUri.getPath
+    val partitionCols = ParquetMeta.partFiles(path).iterator
+      .flatMap(_.toUri.getPath.stripPrefix(base).split('/'))
+      .filter(_.contains('='))
+      .map(_.takeWhile(_ != '='))
+      .toSet
+    if (partitionCols.contains(column))
       return spark.read.parquet(path).filter(eq)
     val candidateFiles = ParquetMeta.bloomCandidateRowGroups(path, column, value)
       .map(_._1).distinct // full paths — one directory walk, no re-listing

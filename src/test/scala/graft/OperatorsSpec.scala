@@ -461,6 +461,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) != fps(2))
     assert(fps.forall(f => f >= 0 && f < 2147483647L))
   }
+
+  test("repetition metrics match the explode+groupBy formulation") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "the cat and the dog and the bird"),
+      (2L, "word"),
+      (3L, "a a a a"),
+      (4L, "x y z"),
+      (5L, "b a b a b")).toDF("doc_id", "text")
+    // reference formulation: shuffle on (doc, word) then (doc)
+    val ref = df.select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_words"), count(lit(1)).as("n_distinct_words"),
+        round(max($"c").cast("double") / sum($"c"), 6).as("top_word_ratio"),
+        round(count(lit(1)).cast("double") / sum($"c"), 6).as("distinct_frac"))
+    val got = df.withColumn("r", TextAnalysis.repetitionMetrics($"text"))
+      .select($"doc_id", $"r.n_words", $"r.n_distinct_words",
+        $"r.top_word_ratio", $"r.distinct_frac")
+    assert(got.orderBy($"doc_id").collect().toSeq ==
+      ref.orderBy($"doc_id").collect().toSeq)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
