@@ -34,13 +34,12 @@ object Aggregates extends QGroup {
               .as("sum_distinct_price"),
             (sum(col("o_totalprice").cast(dec)).cast("double") /
               count(lit(1))).as("avg_price"))
-          .orderBy(col("o_orderstatus").asc_nulls_first),
+          ,
       Some("""SELECT o_orderstatus,
         |  COUNT(DISTINCT o_custkey) AS n_cust,
         |  CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_distinct_price,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price
-        |FROM orders GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin)),
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)),
 
     // A3: approximate distinct (HLL++). Not hash-checkable — the driver
     // records a rows-only check; the ±5% tolerance test lives in
@@ -50,7 +49,7 @@ object Aggregates extends QGroup {
         Tables(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
-          .orderBy(col("l_returnflag").asc_nulls_first),
+          ,
       None),
 
     // A4: ROLLUP + grouping_id (same bit order in Spark and DuckDB:
@@ -62,14 +61,11 @@ object Aggregates extends QGroup {
           .agg(count(lit(1)).as("cnt"),
             sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
             grouping_id().as("gid"))
-          .orderBy(col("gid").asc_nulls_first,
-            col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+          ,
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
-        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY gid ASC NULLS FIRST, l_returnflag ASC NULLS FIRST,
-        |  l_linestatus ASC NULLS FIRST""".stripMargin)),
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
 
     // A4b: CUBE over two dims.
     QDef("a4b_cube",
@@ -77,13 +73,10 @@ object Aggregates extends QGroup {
         Tables(s, dir, "orders")
           .cube(col("o_orderstatus"), col("o_orderpriority"))
           .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
-          .orderBy(col("gid").asc_nulls_first,
-            col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+          ,
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
-        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
-        |ORDER BY gid ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST,
-        |  o_orderpriority ASC NULLS FIRST""".stripMargin)),
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
 
     // A4c: explicit GROUPING SETS (the general form rollup/cube sugar
     // over; Spark 4 Dataset.groupingSets).
@@ -97,15 +90,12 @@ object Aggregates extends QGroup {
           .agg(count(lit(1)).as("cnt"),
             sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"),
             grouping_id().as("gid"))
-          .orderBy(col("gid").asc_nulls_first,
-            col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+          ,
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
         |FROM orders
-        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
-        |ORDER BY gid ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST,
-        |  o_orderpriority ASC NULLS FIRST""".stripMargin)),
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin)),
 
     // A9: correlation + sample covariance from decimal moment sums — the
     // same order-independence recipe as A8: native corr/covar merge
@@ -131,7 +121,7 @@ object Aggregates extends QGroup {
               nullif(sqrt(col("n") * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
                 sqrt(col("n") * d(col("syy")) - d(col("sy")) * d(col("sy"))), lit(0.0))), 6)
               .as("corr"))
-          .orderBy(col("l_returnflag").asc_nulls_first)
+          
       },
       Some("""SELECT l_returnflag, n,
         |  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
@@ -146,8 +136,7 @@ object Aggregates extends QGroup {
         |    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS sxy,
         |    SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS sxx,
         |    SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS syy
-        |  FROM lineitem GROUP BY l_returnflag) t
-        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
+        |  FROM lineitem GROUP BY l_returnflag) t""".stripMargin)),
 
     // A5: collect_list canonicalized with array_sort (determinism rule 5).
     // Output arrays are rendered as joined strings: the driver's pandas
@@ -164,14 +153,14 @@ object Aggregates extends QGroup {
               array_sort(collect_list(col("l_quantity").cast("decimal(12,2)"))),
               x => x.cast("string")), ",").as("qtys"),
             array_join(array_sort(collect_set(col("l_returnflag"))), ",").as("flags"))
-          .orderBy(col("l_orderkey").asc_nulls_first),
+          ,
       Some("""SELECT l_orderkey,
         |  array_to_string(list_transform(
         |    list_sort(list(CAST(l_quantity AS DECIMAL(12,2)))),
         |    x -> CAST(x AS VARCHAR)), ',') AS qtys,
         |  array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
         |FROM lineitem WHERE l_orderkey < 100
-        |GROUP BY l_orderkey ORDER BY l_orderkey ASC NULLS FIRST""".stripMargin)),
+        |GROUP BY l_orderkey""".stripMargin)),
 
     // A7: pivot (wide aggregation) — oracle as FILTERed aggregates.
     QDef("a7_pivot",
@@ -181,12 +170,11 @@ object Aggregates extends QGroup {
           .pivot("l_linestatus", Seq("F", "O"))
           .agg(sum(col("l_quantity").cast(dec)).cast("double"))
           .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
-          .orderBy(col("l_returnflag").asc_nulls_first),
+          ,
       Some("""SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (l_linestatus = 'F') AS DOUBLE) AS qty_f,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (l_linestatus = 'O') AS DOUBLE) AS qty_o
-        |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // A7b: unpivot (melt) — the inverse reshape of A7's pivot; Spark 4
     // Dataset.unpivot vs DuckDB UNPIVOT.
@@ -199,7 +187,7 @@ object Aggregates extends QGroup {
             count(lit(1)).cast("double").as("cnt"))
         wide.unpivot(Array(col("l_returnflag")),
             Array(col("qty"), col("price"), col("cnt")), "metric", "val")
-          .orderBy(col("l_returnflag").asc_nulls_first, col("metric").asc_nulls_first)
+          
       },
       Some("""WITH wide AS (
         |  SELECT l_returnflag,
@@ -208,8 +196,7 @@ object Aggregates extends QGroup {
         |    CAST(COUNT(*) AS DOUBLE) AS cnt
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, metric, val
-        |FROM (UNPIVOT wide ON qty, price, cnt INTO NAME metric VALUE val)
-        |ORDER BY l_returnflag ASC NULLS FIRST, metric ASC NULLS FIRST""".stripMargin)),
+        |FROM (UNPIVOT wide ON qty, price, cnt INTO NAME metric VALUE val)""".stripMargin)),
 
     // A10: exact interpolated percentiles — Spark's percentile() sorts
     // each group exactly (deterministic, unlike streaming accumulators);
@@ -226,13 +213,12 @@ object Aggregates extends QGroup {
             round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
             round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
             round(expr("percentile(l_extendedprice, 0.25)"), 6).as("price_p25"))
-          .orderBy(col("l_returnflag").asc_nulls_first),
+          ,
       Some("""SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
         |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
         |  round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25
-        |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // A10b: the 100 TB percentile path — approx_percentile keeps a
     // bounded mergeable KLL-style sketch (state scales with accuracy,
@@ -248,7 +234,7 @@ object Aggregates extends QGroup {
             percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_approx"),
             percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("p90_approx"),
             percentile_approx(col("l_extendedprice"), lit(0.25), lit(10000)).as("price_p25_approx"))
-          .orderBy(col("l_returnflag").asc_nulls_first),
+          ,
       None),
 
     // A8: order-insensitive statistics — variance/stddev/covariance via
@@ -267,7 +253,7 @@ object Aggregates extends QGroup {
             ((col("sxx").cast("double") - col("sx").cast("double") *
               col("sx").cast("double") / col("n")) /
               nullif(col("n") - 1, lit(0))).as("var_samp"))
-          .orderBy(col("l_returnflag").asc_nulls_first)
+          
       },
       Some("""SELECT l_returnflag, n,
         |  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / nullif(n - 1, 0) AS var_samp
@@ -275,8 +261,7 @@ object Aggregates extends QGroup {
         |  SELECT l_returnflag, COUNT(*) AS n,
         |    SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sx,
         |    SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS sxx
-        |  FROM lineitem GROUP BY l_returnflag) t
-        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
+        |  FROM lineitem GROUP BY l_returnflag) t""".stripMargin)),
 
     // U2: custom typed Aggregator — exact median vs DuckDB median.
     // MEMORY CAVEAT: the exact aggregator buffers every group value
@@ -288,11 +273,10 @@ object Aggregates extends QGroup {
         Tables(s, dir, "events")
           .groupBy(col("user_id"))
           .agg(med(col("value")).as("median_value"), count(lit(1)).as("n"))
-          .orderBy(col("user_id").asc_nulls_first)
+          
       },
       Some("""SELECT user_id, median(value) AS median_value, COUNT(*) AS n
-        |FROM events GROUP BY user_id
-        |ORDER BY user_id ASC NULLS FIRST""".stripMargin)),
+        |FROM events GROUP BY user_id""".stripMargin)),
 
     // U2b: the 100 TB median path. U2's exact Aggregator buffers every
     // group value in memory — O(n) per group, so one hot key can OOM an
@@ -307,7 +291,7 @@ object Aggregates extends QGroup {
           .agg(
             percentile_approx(col("value"), lit(0.5), lit(10000)).as("median_approx"),
             count(lit(1)).as("n"))
-          .orderBy(col("user_id").asc_nulls_first),
+          ,
       None)
   )
 }

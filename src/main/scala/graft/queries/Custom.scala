@@ -23,10 +23,10 @@ object Custom extends QGroup {
           if (x == null) null else x.toLowerCase(java.util.Locale.ROOT).reverse)
         Tables(s, dir, "part")
           .select(col("p_partkey"), revLower(col("p_name")).as("rev_name"))
-          .orderBy(col("p_partkey").asc_nulls_first)
+          
       },
       Some("""SELECT p_partkey, reverse(lower(p_name)) AS rev_name
-        |FROM part ORDER BY p_partkey ASC NULLS FIRST""".stripMargin)),
+        |FROM part""".stripMargin)),
 
     // U3: generator (1 row → N) via typed Dataset flatMap.
     QDef("u3_flatmap_generator",
@@ -40,11 +40,10 @@ object Custom extends QGroup {
             text.split(" ", -1).iterator.zipWithIndex.map { case (t, i) => (id, i + 1, t) }
           }
           .toDF("doc_id", "idx1", "tok")
-          .orderBy(col("doc_id").asc_nulls_first, col("idx1").asc_nulls_first)
+          
       },
       Some("""SELECT doc_id, i AS idx1, string_split(text, ' ')[i] AS tok
-        |FROM documents, LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS i)
-        |ORDER BY doc_id ASC NULLS FIRST, idx1 ASC NULLS FIRST""".stripMargin)),
+        |FROM documents, LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS i)""".stripMargin)),
 
     // S4: Avro container scan (reference R7 fixture; DuckDB has no Avro
     // reader → rows-only, full value checks in AvroIOSpec). The array

@@ -33,13 +33,12 @@ object EventsTime extends QGroup {
             // the driver's hasher and mismatch the oracle's float64
             sum(col("value").cast(dec)).cast("double").as("sum_value"),
             countDistinct(col("user_id")).as("n_users"))
-          .orderBy(col("bucket").asc_nulls_first, col("event_type").asc_nulls_first),
+          ,
       Some(s"""SELECT epoch_ns(ts) // $tenMinNs AS bucket, event_type,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
         |  COUNT(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1, 2
-        |ORDER BY bucket ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin),
+        |FROM events GROUP BY 1, 2""".stripMargin),
       headline = true),
 
     // G1b: sliding windows (width 10 min, slide 5 min) — each event maps
@@ -52,14 +51,14 @@ object EventsTime extends QGroup {
           .groupBy(col("wstart"))
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast(dec)).cast("double").as("sum_value"))
-          .orderBy(col("wstart").asc_nulls_first),
+          ,
       Some(s"""SELECT wstart, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM (
         |  SELECT epoch_ns(ts) // $fiveMinNs - 1 AS wstart, value FROM events
         |  UNION ALL
         |  SELECT epoch_ns(ts) // $fiveMinNs AS wstart, value FROM events
         |) w
-        |GROUP BY wstart ORDER BY wstart ASC NULLS FIRST""".stripMargin)),
+        |GROUP BY wstart""".stripMargin)),
 
     // G2: session windows (30-min gap) via gaps-and-islands — identical
     // break/cumsum formula on both sides.
@@ -82,7 +81,7 @@ object EventsTime extends QGroup {
             min(col("tus")).as("start_us"),
             max(col("tus")).as("end_us"),
             sum(col("value").cast(dec)).cast("double").as("sum_value"))
-          .orderBy(col("user_id").asc_nulls_first, col("sess").asc_nulls_first)
+          
       },
       Some(s"""WITH d AS (
         |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus FROM events
@@ -101,7 +100,6 @@ object EventsTime extends QGroup {
         |)
         |SELECT user_id, sess, COUNT(*) AS n, MIN(tus) AS start_us, MAX(tus) AS end_us,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
-        |FROM g GROUP BY user_id, sess
-        |ORDER BY user_id ASC NULLS FIRST, sess ASC NULLS FIRST""".stripMargin))
+        |FROM g GROUP BY user_id, sess""".stripMargin))
   )
 }

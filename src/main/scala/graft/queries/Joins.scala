@@ -33,11 +33,11 @@ object Joins extends QGroup {
             // final double cast: decimal cells render with scale-6 under
             // the driver's hasher and mismatch the oracle's float64
             sum(col("o_totalprice").cast(dec)).cast("double").as("total_spent"))
-          .orderBy(col("c_custkey").asc_nulls_first),
+          ,
       Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spent
         |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_custkey ORDER BY c_custkey ASC NULLS FIRST""".stripMargin)),
+        |GROUP BY c_custkey""".stripMargin)),
 
     // J3b: full outer with unmatched keys on both sides.
     QDef("j3b_full_outer_join",
@@ -50,14 +50,13 @@ object Joins extends QGroup {
         rich.join(big, col("k") === col("k2"), "full_outer")
           .select(coalesce(col("k"), col("k2")).as("custkey"),
             col("c_acctbal"), col("n_big"))
-          .orderBy(col("custkey").asc_nulls_first)
+          
       },
       Some("""SELECT COALESCE(k, k2) AS custkey, c_acctbal, n_big
         |FROM (SELECT c_custkey AS k, c_acctbal FROM customer WHERE c_acctbal > 5000) rich
         |FULL OUTER JOIN (SELECT o_custkey AS k2, COUNT(*) AS n_big FROM orders
         |                 WHERE o_totalprice > 50000 GROUP BY o_custkey) big
-        |ON k = k2
-        |ORDER BY custkey ASC NULLS FIRST""".stripMargin)),
+        |ON k = k2""".stripMargin)),
 
     // J4: left semi — customers that have at least one order.
     QDef("j4_semi_join",
@@ -66,10 +65,9 @@ object Joins extends QGroup {
           .join(Tables(s, dir, "orders"),
             col("c_custkey") === col("o_custkey"), "left_semi")
           .select(col("c_custkey"), col("c_name"))
-          .orderBy(col("c_custkey").asc_nulls_first),
+          ,
       Some("""SELECT c_custkey, c_name FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin)),
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
 
     // J4b: left anti — customers with no orders.
     QDef("j4b_anti_join",
@@ -78,10 +76,9 @@ object Joins extends QGroup {
           .join(Tables(s, dir, "orders"),
             col("c_custkey") === col("o_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_name"))
-          .orderBy(col("c_custkey").asc_nulls_first),
+          ,
       Some("""SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin)),
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
 
     // J5: theta (non-equi) join, bounded; Spark plans BroadcastNestedLoop.
     QDef("j5_theta_join",
@@ -90,11 +87,10 @@ object Joins extends QGroup {
           .join(broadcast(Tables(s, dir, "supplier")),
             col("p_retailprice") > col("s_acctbal"), "inner")
           .select(col("p_partkey"), col("s_suppkey"))
-          .orderBy(col("p_partkey").asc_nulls_first, col("s_suppkey").asc_nulls_first),
+          ,
       Some("""SELECT p_partkey, s_suppkey
         |FROM part JOIN supplier ON p_retailprice > s_acctbal
-        |WHERE p_size = 1
-        |ORDER BY p_partkey ASC NULLS FIRST, s_suppkey ASC NULLS FIRST""".stripMargin)),
+        |WHERE p_size = 1""".stripMargin)),
 
     // J6: cross join.
     QDef("j6_cross_join",
@@ -102,10 +98,9 @@ object Joins extends QGroup {
         Tables(s, dir, "region")
           .crossJoin(Tables(s, dir, "nation"))
           .select(col("r_regionkey"), col("n_nationkey"), col("r_name"), col("n_name"))
-          .orderBy(col("r_regionkey").asc_nulls_first, col("n_nationkey").asc_nulls_first),
+          ,
       Some("""SELECT r_regionkey, n_nationkey, r_name, n_name
-        |FROM region CROSS JOIN nation
-        |ORDER BY r_regionkey ASC NULLS FIRST, n_nationkey ASC NULLS FIRST""".stripMargin)),
+        |FROM region CROSS JOIN nation""".stripMargin)),
 
     // J7: 5-table star rollup — region⋈nation⋈customer⋈orders⋈lineitem.
     QDef("j7_star_join",
@@ -123,7 +118,7 @@ object Joins extends QGroup {
           .agg(count(lit(1)).as("n_items"),
             sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
               .cast("double").as("revenue"))
-          .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+          
       },
       Some("""SELECT r_name, n_name, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
@@ -132,8 +127,7 @@ object Joins extends QGroup {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name, n_name
-        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin),
+        |GROUP BY r_name, n_name""".stripMargin),
       headline = true),
 
     // J8: as-of join — for each error event, the user's latest signup at
@@ -154,14 +148,13 @@ object Joins extends QGroup {
             rightTieCols = Seq("sid"))
           .select(col("event_id"), col("user_id"),
             col("r_sid").as("signup_id"), col("r_value").as("signup_value"))
-          .orderBy(col("event_id").asc_nulls_first)
+          
       },
       Some("""SELECT e.event_id, e.user_id,
         |  s.event_id AS signup_id, s.value AS signup_value
         |FROM (SELECT * FROM events WHERE event_type = 'error') e
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
-        |  ON e.user_id = s.user_id AND s.ts <= e.ts
-        |ORDER BY e.event_id ASC NULLS FIRST""".stripMargin),
+        |  ON e.user_id = s.user_id AND s.ts <= e.ts""".stripMargin),
       headline = true),
 
     // J9: event-time range join (impression→click attribution, the batch
@@ -182,14 +175,13 @@ object Joins extends QGroup {
             col("clk_us") <= col("imp_us") + lit(43200000000L)) // 12 h in µs
           .select(col("imp_id"), col("clk_id"), col("user_id"),
             (col("clk_us") - col("imp_us")).as("delay_us"))
-          .orderBy(col("imp_id").asc_nulls_first, col("clk_id").asc_nulls_first)
+          
       },
       Some("""SELECT i.event_id AS imp_id, c.event_id AS clk_id, i.user_id,
         |  epoch_us(c.ts) - epoch_us(i.ts) AS delay_us
         |FROM (SELECT * FROM events WHERE event_type = 'view') i
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON i.user_id = c.user_id
-        | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 12 HOUR
-        |ORDER BY imp_id ASC NULLS FIRST, clk_id ASC NULLS FIRST""".stripMargin))
+        | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 12 HOUR""".stripMargin))
   )
 }

@@ -30,10 +30,10 @@ object LlmOps extends QGroup {
         Tables(s, dir, "documents")
           .groupBy(sha2(col("text"), 256).as("digest"))
           .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_copies"))
-          .orderBy(col("digest").asc_nulls_first),
+          ,
       Some("""SELECT sha256(text) AS digest, MIN(doc_id) AS keep_doc,
         |  COUNT(*) AS n_copies
-        |FROM documents GROUP BY 1 ORDER BY digest ASC NULLS FIRST""".stripMargin)),
+        |FROM documents GROUP BY 1""".stripMargin)),
 
     // L1b: near-dup families by 5-token prefix fingerprint.
     QDef("l1b_prefix_family_dedup",
@@ -47,12 +47,11 @@ object LlmOps extends QGroup {
             // driver's pandas sorter (VERDICT r1 §2)
             array_join(transform(array_sort(collect_list(col("doc_id"))),
               x => x.cast("string")), ",").as("members"))
-          .orderBy(col("fp").asc_nulls_first),
+          ,
       Some("""SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS fp,
         |  COUNT(*) AS family_size, MIN(doc_id) AS canonical_doc,
         |  array_to_string(list_sort(list(doc_id)), ',') AS members
-        |FROM documents GROUP BY 1
-        |ORDER BY fp ASC NULLS FIRST""".stripMargin)),
+        |FROM documents GROUP BY 1""".stripMargin)),
 
     // L1c: n-gram (unigram-set) Jaccard similarity pairs — exact over
     // informative tokens, via the inverted-index plan in
@@ -68,7 +67,7 @@ object LlmOps extends QGroup {
           Tables(s, dir, "documents").filter(col("doc_id") < 100),
           idCol = "doc_id", textCol = "text",
           minJpm = 500, maxDfRatio = 0.9)
-          .orderBy(col("d1").asc_nulls_first, col("d2").asc_nulls_first),
+          ,
       Some("""WITH toks AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
         |  FROM documents WHERE doc_id < 100
@@ -89,8 +88,7 @@ object LlmOps extends QGroup {
         |FROM inter
         |JOIN sizes s1 ON s1.doc_id = d1
         |JOIN sizes s2 ON s2.doc_id = d2
-        |WHERE (n_inter * 1000) // (s1.n_tok + s2.n_tok - n_inter) >= 500
-        |ORDER BY d1 ASC NULLS FIRST, d2 ASC NULLS FIRST""".stripMargin)),
+        |WHERE (n_inter * 1000) // (s1.n_tok + s2.n_tok - n_inter) >= 500""".stripMargin)),
 
     // L1d: MinHash-LSH candidate pairs (banding not expressible in
     // portable SQL → rows-only here; recall vs exact Jaccard is asserted
@@ -101,7 +99,7 @@ object LlmOps extends QGroup {
           Tables(s, dir, "documents").select(col("doc_id"), col("text")),
           idCol = "doc_id", textCol = "text",
           numHashes = 64, bands = 16)
-          .orderBy(col("d1").asc_nulls_first, col("d2").asc_nulls_first),
+          ,
       None),
 
     // L1e: SimHash fingerprints (rows-only; Hamming-distance behavior
@@ -111,7 +109,7 @@ object LlmOps extends QGroup {
         Dedup.simHash(
           Tables(s, dir, "documents").select(col("doc_id"), col("text")),
           idCol = "doc_id", textCol = "text")
-          .orderBy(col("doc_id").asc_nulls_first),
+          ,
       None),
 
     // L1f: embedding-cosine near-dup pairs (the vector-space dedup
@@ -126,14 +124,13 @@ object LlmOps extends QGroup {
             round(graft.GraftFunctions.cosineNative(s, col("e1"), col("e2")), 6))
           .filter(col("sim6") >= 0.35)
           .select(col("d1"), col("d2"), col("sim6"))
-          .orderBy(col("d1").asc_nulls_first, col("d2").asc_nulls_first)
+          
       },
       Some("""SELECT a.vec_id AS d1, b.vec_id AS d2,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim6
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 100 AND b.vec_id < 100
-        |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
-        |ORDER BY d1 ASC NULLS FIRST, d2 ASC NULLS FIRST""".stripMargin)),
+        |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35""".stripMargin)),
 
     // L5: composed training-data-prep pipeline — exact dedup → quality +
     // language gates → per-(lang, source) corpus statistics. The
@@ -152,7 +149,7 @@ object LlmOps extends QGroup {
             sum(col("n_tokens").cast("long")).as("total_tokens"),
             min(col("n_tokens")).as("min_tokens"),
             max(col("n_tokens")).as("max_tokens"))
-          .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+          
       },
       Some("""WITH canonical AS (
         |  SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY sha256(text)
@@ -167,8 +164,7 @@ object LlmOps extends QGroup {
         |  CAST(MAX(n_tokens) AS INTEGER) AS max_tokens
         |FROM tok
         |WHERE n_tokens >= 20 AND lang IN ('en','de','es')
-        |GROUP BY lang, source
-        |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin),
+        |GROUP BY lang, source""".stripMargin),
       headline = true),
 
     // L1g: near-dup clusters (rows-only — minhash isn't oracle-able;
@@ -180,7 +176,7 @@ object LlmOps extends QGroup {
         val d = Tables(s, dir, "documents")
         Dedup.minHashLshClusters(d, "doc_id", "text")
           .groupBy(col("cluster")).agg(count(lit(1)).as("n_docs"))
-          .orderBy(col("cluster").asc_nulls_first)
+          
       },
       None),
 
@@ -199,7 +195,7 @@ object LlmOps extends QGroup {
           d.filter(col("doc_id") % 50 =!= 3),
           d.filter(col("doc_id") % 50 === 3),
           idCol = "doc_id", textCol = "text", n = 4)
-          .orderBy(col("doc_id").asc_nulls_first)
+          
       },
       Some("""WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t
@@ -221,8 +217,7 @@ object LlmOps extends QGroup {
         |  FROM train t JOIN bench b ON t.g = b.g GROUP BY 1
         |)
         |SELECT s.doc_id, n_grams, n_hits, (n_hits*1000)//n_grams AS cpm
-        |FROM sizes s JOIN hits h ON s.doc_id = h.doc_id
-        |ORDER BY s.doc_id ASC NULLS FIRST""".stripMargin)),
+        |FROM sizes s JOIN hits h ON s.doc_id = h.doc_id""".stripMargin)),
 
     // L6: sequence packing for pretraining batches — greedy cumulative
     // token count per shard, bin = floor(tokens-before / ctx). Shard-
@@ -243,7 +238,7 @@ object LlmOps extends QGroup {
           .withColumn("bin", expr(s"cum_before div $ctx"))
           .groupBy(col("shard"), col("bin"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
-          .orderBy(col("shard").asc_nulls_first, col("bin").asc_nulls_first)
+          
       },
       Some("""WITH docs AS (
         |  SELECT doc_id, doc_id % 32 AS shard,
@@ -255,8 +250,7 @@ object LlmOps extends QGroup {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin
         |  FROM docs)
         |SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
-        |FROM packed GROUP BY shard, bin
-        |ORDER BY shard ASC NULLS FIRST, bin ASC NULLS FIRST""".stripMargin)),
+        |FROM packed GROUP BY shard, bin""".stripMargin)),
 
     // L7: deterministic train/val/test split by key modulo — stable
     // across runs and engines (no rand()), the property a reproducible
@@ -272,14 +266,13 @@ object LlmOps extends QGroup {
           .agg(count(lit(1)).as("n_docs"),
             sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
             countDistinct(col("lang")).as("n_langs"))
-          .orderBy(col("part").asc_nulls_first),
+          ,
       Some("""SELECT CASE WHEN doc_id % 10 <= 7 THEN 'train'
         |            WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS part,
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
         |  COUNT(DISTINCT lang) AS n_langs
-        |FROM documents GROUP BY 1
-        |ORDER BY part ASC NULLS FIRST""".stripMargin)),
+        |FROM documents GROUP BY 1""".stripMargin)),
 
     // L7b: stratified deterministic take — first K docs per language by
     // doc_id (window top-k per stratum, one shuffle on the stratum key);
@@ -294,7 +287,7 @@ object LlmOps extends QGroup {
           .agg(count(lit(1)).as("n_docs"),
             sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
             max(col("doc_id")).as("max_doc_id"))
-          .orderBy(col("lang").asc_nulls_first)
+          
       },
       Some("""WITH ranked AS (
         |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -303,8 +296,7 @@ object LlmOps extends QGroup {
         |SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
         |  MAX(doc_id) AS max_doc_id
-        |FROM ranked WHERE rn <= 50 GROUP BY lang
-        |ORDER BY lang ASC NULLS FIRST""".stripMargin)),
+        |FROM ranked WHERE rn <= 50 GROUP BY lang""".stripMargin)),
 
     // L2: brute-force cosine top-k (query side broadcast; ranking-only
     // output — each engine computes its own double cosine, rankings agree
@@ -316,7 +308,7 @@ object LlmOps extends QGroup {
           emb.filter(col("vec_id") < 20), emb, k = 5,
           idCol = "vec_id", vecCol = "embedding")
           .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim6"))
-          .orderBy(col("q_id").asc_nulls_first, col("rank").asc_nulls_first)
+          
       },
       Some("""WITH sims AS (
         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
@@ -328,8 +320,7 @@ object LlmOps extends QGroup {
         |    ORDER BY sim DESC NULLS LAST, n_id ASC NULLS FIRST) AS rank
         |  FROM sims
         |)
-        |SELECT q_id, rank, n_id, round(sim, 6) AS sim6 FROM ranked WHERE rank <= 5
-        |ORDER BY q_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin),
+        |SELECT q_id, rank, n_id, round(sim, 6) AS sim6 FROM ranked WHERE rank <= 5""".stripMargin),
       headline = true),
 
     // L2b: LSH-bucketed ANN (the scale path; recall vs brute force is
@@ -341,7 +332,7 @@ object LlmOps extends QGroup {
           emb.filter(col("vec_id") < 20), emb, k = 5, nPlanes = 12,
           idCol = "vec_id", vecCol = "embedding", dim = 64)
           .select(col("q_id"), col("rank"), col("n_id"))
-          .orderBy(col("q_id").asc_nulls_first, col("rank").asc_nulls_first)
+          
       },
       None),
 
@@ -354,7 +345,7 @@ object LlmOps extends QGroup {
           emb.filter(col("vec_id") < 20), emb, k = 5, nList = 16, nProbe = 4,
           idCol = "vec_id", vecCol = "embedding")
           .select(col("q_id"), col("rank"), col("n_id"))
-          .orderBy(col("q_id").asc_nulls_first, col("rank").asc_nulls_first)
+          
       },
       None),
 
@@ -369,7 +360,7 @@ object LlmOps extends QGroup {
           col("n_chars"),
           (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).as("n_spaces"),
           array_contains(split(col("text"), " "), "spark").cast("int").as("mentions_spark"))
-          .orderBy(col("doc_id").asc_nulls_first),
+          ,
       Some("""SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
@@ -377,7 +368,7 @@ object LlmOps extends QGroup {
         |  n_chars,
         |  CAST(length(text) - length(replace(text, ' ', '')) AS INTEGER) AS n_spaces,
         |  CAST(list_contains(string_split(text, ' '), 'spark') AS INTEGER) AS mentions_spark
-        |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+        |FROM documents""".stripMargin)),
 
     // L3b: corpus-level language distribution.
     QDef("l3b_lang_distribution",
@@ -387,12 +378,12 @@ object LlmOps extends QGroup {
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("total_chars"),
             countDistinct(col("source")).as("n_sources"))
-          .orderBy(col("lang").asc_nulls_first),
+          ,
       Some("""SELECT lang, COUNT(*) AS n_docs,
         |  -- DuckDB SUM(INT) yields HUGEINT; Spark's is BIGINT
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  COUNT(DISTINCT source) AS n_sources
-        |FROM documents GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin)),
+        |FROM documents GROUP BY lang""".stripMargin)),
 
     // L3c: global token frequency (explode → count → top 50).
     QDef("l3c_token_frequency",
@@ -424,11 +415,11 @@ object LlmOps extends QGroup {
             length(col("payload")).as("payload_bytes"),
             col("meta.lang").as("lang"),
             col("meta.n_chars").as("n_chars"))
-          .orderBy(col("doc_id").asc_nulls_first)
+          
       },
       Some("""SELECT doc_id, md5(text) AS payload_md5,
         |  CAST(strlen(text) AS INTEGER) AS payload_bytes,
         |  lang, n_chars
-        |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+        |FROM documents""".stripMargin))
   )
 }

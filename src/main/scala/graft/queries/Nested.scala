@@ -38,12 +38,11 @@ object Nested extends QGroup {
         val scalars = flat.schema.fieldNames.toSeq
           .map(n => element_at(col(s"`$n`"), 1).as(n))
         flat.select(scalars: _*)
-          .orderBy(col("doc_id").cast("long").asc_nulls_first)
+          
       },
       Some("""SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, lang, source,
         |  CAST(n_chars AS VARCHAR) AS n_chars
-        |FROM documents
-        |ORDER BY CAST(doc_id AS BIGINT) ASC NULLS FIRST""".stripMargin)),
+        |FROM documents""".stripMargin)),
 
     // F2: deep-structure stringify (struct → JSON string).
     QDef("f2_stringify_deep",
@@ -54,7 +53,7 @@ object Nested extends QGroup {
               struct(col("event_type"), col("value")).as("inner"),
               array(col("props"), col("props")).as("arr")).as("deep"))
         Flatten.stringifyDeep(nested, maxDepth = 1)
-          .orderBy(col("event_id").asc_nulls_first)
+          
       },
       None),
 
@@ -66,11 +65,10 @@ object Nested extends QGroup {
           .filter(col("vec_id") < 50)
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
           .select(col("vec_id"), (col("pos") + 1).as("idx1"), col("val"))
-          .orderBy(col("vec_id").asc_nulls_first, col("idx1").asc_nulls_first),
+          ,
       Some("""SELECT vec_id, i AS idx1, embedding[i] AS val
         |FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
-        |WHERE vec_id < 50
-        |ORDER BY vec_id ASC NULLS FIRST, idx1 ASC NULLS FIRST""".stripMargin)),
+        |WHERE vec_id < 50""".stripMargin)),
 
     // F4: array functions — size, slice, element access, sort, contains,
     // distinct count.
@@ -96,7 +94,7 @@ object Nested extends QGroup {
           array_max(col("embedding")).as("vmax"),
           array_min(col("embedding")).as("vmin"),
           size(array_distinct(col("embedding"))).as("n_distinct"))
-          .orderBy(col("vec_id").asc_nulls_first),
+          ,
       Some("""SELECT vec_id,
         |  CAST(len(embedding) AS INTEGER) AS dim,
         |  embedding[1] AS first_v,
@@ -109,7 +107,7 @@ object Nested extends QGroup {
         |  list_max(embedding) AS vmax,
         |  list_min(embedding) AS vmin,
         |  CAST(len(list_distinct(embedding)) AS INTEGER) AS n_distinct
-        |FROM embeddings ORDER BY vec_id ASC NULLS FIRST""".stripMargin)),
+        |FROM embeddings""".stripMargin)),
 
     // F4b: higher-order functions — transform, filter, aggregate, zip_with.
     QDef("f4b_array_hofs",
@@ -125,12 +123,12 @@ object Nested extends QGroup {
             zip_with(col("embedding"), col("embedding"),
               (a, b) => a.cast("double") * b.cast("double")),
             lit(0.0), (acc, x) => acc + x), 6).as("norm_sq6"))
-          .orderBy(col("vec_id").asc_nulls_first),
+          ,
       Some("""SELECT vec_id,
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
         |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS sum6,
         |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS norm_sq6
-        |FROM embeddings ORDER BY vec_id ASC NULLS FIRST""".stripMargin)),
+        |FROM embeddings""".stripMargin)),
 
     // F5: map functions — construction, key/value access, cardinality.
     QDef("f5_map_functions",
@@ -147,13 +145,13 @@ object Nested extends QGroup {
             // joined string, not a raw array: array cells crash the
             // driver's pandas sorter (VERDICT r1 §2)
             array_join(array_sort(map_keys(col("m"))), ",").as("keys_sorted"))
-          .orderBy(col("event_id").asc_nulls_first),
+          ,
       Some("""SELECT event_id,
         |  MAP {'t': event_type, 'u': CAST(user_id AS VARCHAR)}['t'][1] AS m_t,
         |  MAP {'t': event_type, 'u': CAST(user_id AS VARCHAR)}['u'][1] AS m_u,
         |  CAST(NULL AS VARCHAR) AS m_missing,
         |  CAST(cardinality(MAP {'t': event_type, 'u': CAST(user_id AS VARCHAR)}) AS INTEGER) AS m_card,
         |  array_to_string(list_sort(map_keys(MAP {'t': event_type, 'u': CAST(user_id AS VARCHAR)})), ',') AS keys_sorted
-        |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin))
+        |FROM events""".stripMargin))
   )
 }

@@ -100,7 +100,9 @@ object Relational extends QGroup {
           ntile(4).over(w).cast("long").as("quartile"), // DuckDB NTILE → BIGINT
           percent_rank().over(w).as("pr"),
           cume_dist().over(w).as("cd"))
-          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+        // no final total order: the gate canonicalizes row order itself
+        // (sorts by every column before hashing), and a full-output
+        // range-exchange is pure waste at corpus scale
       },
       Some("""SELECT o_orderstatus, o_orderkey,
         |  NTILE(4) OVER w AS quartile,
@@ -108,8 +110,7 @@ object Relational extends QGroup {
         |  cume_dist() OVER w AS cd
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus
-        |  ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)
-        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin)),
+        |  ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)""".stripMargin)),
 
     // S1: full scan incl. timestamp rendering — row/hash parity of the raw table.
     QDef("s1_scan_lineitem",
@@ -118,35 +119,22 @@ object Relational extends QGroup {
           col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
           col("l_returnflag"), col("l_linestatus"),
-          date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("l_shipdate_s"))
-        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
-        // total order requires every output column.
-        .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first,
-          col("l_partkey").asc_nulls_first, col("l_suppkey").asc_nulls_first,
-          col("l_quantity").asc_nulls_first, col("l_extendedprice").asc_nulls_first,
-          col("l_discount").asc_nulls_first, col("l_tax").asc_nulls_first,
-          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first,
-          col("l_shipdate_s").asc_nulls_first),
+          date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("l_shipdate_s")),
+        // no ORDER BY: the gate sorts rows canonically itself; a total
+        // order over the full table costs a range-exchange (sampling pass
+        // + sort of every row) that no consumer needs
       Some("""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
         |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate_s
-        |FROM lineitem
-        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
-        |  l_partkey ASC NULLS FIRST, l_suppkey ASC NULLS FIRST,
-        |  l_quantity ASC NULLS FIRST, l_extendedprice ASC NULLS FIRST,
-        |  l_discount ASC NULLS FIRST, l_tax ASC NULLS FIRST,
-        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST,
-        |  l_shipdate_s ASC NULLS FIRST""".stripMargin),
+        |FROM lineitem""".stripMargin),
       headline = true),
 
     // P1: select / rename / reorder.
     QDef("p1_project_rename",
       (s, dir) =>
         Tables(s, dir, "customer")
-          .select(col("c_custkey").as("k"), col("c_name"), col("c_acctbal"))
-          .orderBy(col("k").asc_nulls_first),
-      Some("""SELECT c_custkey AS k, c_name, c_acctbal FROM customer
-        |ORDER BY k ASC NULLS FIRST""".stripMargin)),
+          .select(col("c_custkey").as("k"), col("c_name"), col("c_acctbal")),
+      Some("SELECT c_custkey AS k, c_name, c_acctbal FROM customer")),
 
     // P2: compound predicates (BETWEEN, IN, LIKE, AND/OR/NOT).
     QDef("p2_filter_predicates",
@@ -157,16 +145,12 @@ object Relational extends QGroup {
           .filter(col("l_returnflag").isin("A", "R"))
           .filter(col("l_quantity") > 10.0 || !(col("l_linestatus") === "O"))
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-            col("l_returnflag"))
-          .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first,
-            col("l_quantity").asc_nulls_first, col("l_returnflag").asc_nulls_first),
+            col("l_returnflag")),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
         |  AND l_returnflag IN ('A','R')
-        |  AND (l_quantity > 10.0 OR NOT (l_linestatus = 'O'))
-        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
-        |  l_quantity ASC NULLS FIRST, l_returnflag ASC NULLS FIRST""".stripMargin)),
+        |  AND (l_quantity > 10.0 OR NOT (l_linestatus = 'O'))""".stripMargin)),
 
     // J1: broadcast hash join with a dimension table.
     QDef("j1_broadcast_join",
@@ -225,14 +209,13 @@ object Relational extends QGroup {
             row_number().over(w).as("rn"),
             rank().over(w).as("rnk"),
             dense_rank().over(w).as("drnk"))
-          .orderBy(col("l_orderkey").asc_nulls_first, col("rn").asc_nulls_first)
+        // window ORDER BY (inside w) is the semantic; no final total order
       },
       Some("""SELECT l_orderkey, l_linenumber, l_extendedprice,
         |  ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_orderkey
-        |             ORDER BY l_extendedprice DESC NULLS LAST, l_linenumber ASC NULLS FIRST)
-        |ORDER BY l_orderkey ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin),
+        |             ORDER BY l_extendedprice DESC NULLS LAST, l_linenumber ASC NULLS FIRST)""".stripMargin),
       headline = true),
 
     // O2: global top-k after a total order.
@@ -255,15 +238,14 @@ object Relational extends QGroup {
           month(col("o_orderdate")).as("m"),
           dayofmonth(col("o_orderdate")).as("d"),
           date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
-          datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_1999"))
-        .orderBy(col("o_orderkey").asc_nulls_first),
+          datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_1999")),
       Some("""SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS INTEGER) AS y,
         |  CAST(month(o_orderdate) AS INTEGER) AS m,
         |  CAST(day(o_orderdate) AS INTEGER) AS d,
         |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
         |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER) AS days_to_1999
-        |FROM orders ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin)),
+        |FROM orders""".stripMargin)),
 
     // X2b: calendar arithmetic — add_months (end-of-month clamped on
     // both engines), last_day, day-of-week (DuckDB Sunday=0 vs Spark
@@ -278,8 +260,7 @@ object Relational extends QGroup {
           weekofyear(col("o_orderdate")).as("woy"),
           quarter(col("o_orderdate")).as("qtr"),
           date_format(make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)),
-            "yyyy-MM-dd").as("month_first"))
-          .orderBy(col("o_orderkey").asc_nulls_first),
+            "yyyy-MM-dd").as("month_first")),
       Some("""SELECT o_orderkey,
         |  strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus3m,
         |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
@@ -288,6 +269,6 @@ object Relational extends QGroup {
         |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
         |  strftime(make_date(CAST(year(o_orderdate) AS INTEGER),
         |    CAST(month(o_orderdate) AS INTEGER), 1), '%Y-%m-%d') AS month_first
-        |FROM orders ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin))
+        |FROM orders""".stripMargin))
   )
 }

@@ -31,8 +31,7 @@ object Scalars extends QGroup {
           regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
           length(col("p_name")).as("len"),
           lpad(col("p_brand"), 10, "*").as("padded"),
-          trim(lit("  x  ")).as("trimmed"))
-          .orderBy(col("p_partkey").asc_nulls_first),
+          trim(lit("  x  ")).as("trimmed")),
       Some("""SELECT p_partkey,
         |  p_name || '|' || p_brand AS cat,
         |  upper(p_name) AS up,
@@ -44,7 +43,7 @@ object Scalars extends QGroup {
         |  CAST(length(p_name) AS INTEGER) AS len,
         |  lpad(p_brand, 10, '*') AS padded,
         |  trim('  x  ') AS trimmed
-        |FROM part ORDER BY p_partkey ASC NULLS FIRST""".stripMargin)),
+        |FROM part""".stripMargin)),
 
     // X1b: more string functions — reverse, repeat, position, left/right,
     // contains/starts/ends predicates.
@@ -59,8 +58,7 @@ object Scalars extends QGroup {
           col("p_name").substr(length(col("p_name")) - 2, lit(3)).as("right3"),
           col("p_name").contains("ring").cast("int").as("has_ring"),
           col("p_name").startsWith("red").cast("int").as("starts_red"),
-          col("p_type").endsWith("ED").cast("int").as("ends_ed"))
-          .orderBy(col("p_partkey").asc_nulls_first),
+          col("p_type").endsWith("ED").cast("int").as("ends_ed")),
       Some("""SELECT p_partkey,
         |  reverse(p_name) AS rev,
         |  repeat(p_brand, 2) AS brand2,
@@ -70,7 +68,7 @@ object Scalars extends QGroup {
         |  CAST(contains(p_name, 'ring') AS INTEGER) AS has_ring,
         |  CAST(starts_with(p_name, 'red') AS INTEGER) AS starts_red,
         |  CAST(ends_with(p_type, 'ED') AS INTEGER) AS ends_ed
-        |FROM part ORDER BY p_partkey ASC NULLS FIRST""".stripMargin)),
+        |FROM part""".stripMargin)),
 
     // X3: math functions (floor/ceil as BIGINT on both sides; ln/pow
     // rounded; sqrt is IEEE-exact; integer modulo).
@@ -86,8 +84,7 @@ object Scalars extends QGroup {
           sqrt(col("p_retailprice")).as("sqrt_exact"),
           round(log(col("p_retailprice") + 1.0), 6).as("ln6"),
           (col("p_size") % 7).as("size_mod7"),
-          signum(col("p_retailprice") - 1000.0).cast("int").as("sgn"))
-          .orderBy(col("p_partkey").asc_nulls_first),
+          signum(col("p_retailprice") - 1000.0).cast("int").as("sgn")),
       Some("""SELECT p_partkey,
         |  round(p_retailprice / 3.0, 2) AS third,
         |  CAST(floor(p_retailprice) AS BIGINT) AS flr,
@@ -98,7 +95,7 @@ object Scalars extends QGroup {
         |  round(ln(p_retailprice + 1.0), 6) AS ln6,
         |  p_size % 7 AS size_mod7,
         |  CAST(sign(p_retailprice - 1000.0) AS INTEGER) AS sgn
-        |FROM part ORDER BY p_partkey ASC NULLS FIRST""".stripMargin)),
+        |FROM part""".stripMargin)),
 
     // X4: conditionals — CASE, coalesce, nullif, least/greatest.
     QDef("x4_conditional_scalars",
@@ -110,9 +107,7 @@ object Scalars extends QGroup {
             .otherwise("low").as("disc_band"),
           coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_or_none"),
           least(col("l_quantity"), col("l_discount") * 100).as("least_v"),
-          greatest(col("l_quantity"), col("l_discount") * 100).as("greatest_v"))
-          .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first,
-            col("l_quantity").asc_nulls_first, col("l_discount").asc_nulls_first),
+          greatest(col("l_quantity"), col("l_discount") * 100).as("greatest_v")),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
         |  CASE WHEN l_discount >= 0.05 THEN 'high'
         |       WHEN l_discount >= 0.02 THEN 'mid'
@@ -120,9 +115,7 @@ object Scalars extends QGroup {
         |  COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none,
         |  least(l_quantity, l_discount * 100) AS least_v,
         |  greatest(l_quantity, l_discount * 100) AS greatest_v
-        |FROM lineitem
-        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
-        |  l_quantity ASC NULLS FIRST, l_discount ASC NULLS FIRST""".stripMargin)),
+        |FROM lineitem""".stripMargin)),
 
     // X5: cast matrix — numeric↔string↔decimal↔date round-trips.
     QDef("x5_cast_matrix",
@@ -138,9 +131,7 @@ object Scalars extends QGroup {
           col("l_extendedprice").cast("decimal(12,2)").cast("double").as("price_dec"),
           col("l_extendedprice").cast("decimal(12,2)").cast("string").as("price_dec_str"),
           col("l_shipdate").cast("date").cast("string").as("ship_date_str"),
-          col("l_linenumber").cast("double").as("ln_dbl"))
-          .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first,
-            col("qty_int").asc_nulls_first, col("price_dec").asc_nulls_first),
+          col("l_linenumber").cast("double").as("ln_dbl")),
       Some("""SELECT l_orderkey, l_linenumber,
         |  CAST(trunc(l_quantity) AS INTEGER) AS qty_int,
         |  CAST(CAST(trunc(l_quantity) AS INTEGER) AS VARCHAR) AS qty_str,
@@ -149,9 +140,7 @@ object Scalars extends QGroup {
         |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec_str,
         |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date_str,
         |  CAST(l_linenumber AS DOUBLE) AS ln_dbl
-        |FROM lineitem
-        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
-        |  qty_int ASC NULLS FIRST, price_dec ASC NULLS FIRST""".stripMargin)),
+        |FROM lineitem""".stripMargin)),
 
     // X6b: VARIANT (Spark 4 semi-structured type) — parse once, extract
     // typed fields; oracle via DuckDB JSON operators.
@@ -162,13 +151,12 @@ object Scalars extends QGroup {
           .select(col("event_id"),
             try_variant_get(col("v"), "$.k", "int").as("k_int"),
             try_variant_get(col("v"), "$.k", "string").as("k_str"),
-            try_variant_get(col("v"), "$.missing", "int").as("k_missing"))
-          .orderBy(col("event_id").asc_nulls_first),
+            try_variant_get(col("v"), "$.missing", "int").as("k_missing")),
       Some("""SELECT event_id,
         |  CAST(props->>'$.k' AS INTEGER) AS k_int,
         |  props->>'$.k' AS k_str,
         |  CAST(NULL AS INTEGER) AS k_missing
-        |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin)),
+        |FROM events""".stripMargin)),
 
     // X6: JSON extraction from the events.props string column. One
     // json_tuple generator parses each props string ONCE for both keys
@@ -183,13 +171,12 @@ object Scalars extends QGroup {
             col("event_id"),
             col("k_raw").as("k_str"),
             col("k_raw").cast("int").as("k_int"),
-            col("m_raw").as("k_missing"))
-          .orderBy(col("event_id").asc_nulls_first),
+            col("m_raw").as("k_missing")),
       Some("""SELECT event_id,
         |  json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
         |  json_extract_string(props, '$.missing') AS k_missing
-        |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin)),
+        |FROM events""".stripMargin)),
 
     // X7: digest + binary-encoding scalars — the content-addressing
     // primitives dedup pipelines key on (md5/sha256 hex, hex/base64
@@ -203,15 +190,14 @@ object Scalars extends QGroup {
           sha2(col("p_name"), 256).as("sha256_hex"),
           hex(col("p_name")).as("name_hex"),
           base64(col("p_name").cast("binary")).as("name_b64"),
-          length(unbase64(base64(col("p_name").cast("binary")))).as("b64_roundtrip_len"))
-          .orderBy(col("p_partkey").asc_nulls_first),
+          length(unbase64(base64(col("p_name").cast("binary")))).as("b64_roundtrip_len")),
       Some("""SELECT p_partkey,
         |  md5(p_name) AS md5_hex,
         |  sha256(p_name) AS sha256_hex,
         |  hex(p_name) AS name_hex,
         |  base64(p_name::BLOB) AS name_b64,
         |  CAST(octet_length(from_base64(base64(p_name::BLOB))) AS INTEGER) AS b64_roundtrip_len
-        |FROM part ORDER BY p_partkey ASC NULLS FIRST""".stripMargin)),
+        |FROM part""".stripMargin)),
 
     // X8: Unicode NFC normalization via the native graft_normalize
     // expression (Spark ships none; DuckDB's nfc_normalize is the
@@ -229,12 +215,11 @@ object Scalars extends QGroup {
           graft.GraftFunctions.normalizeNative(s, raw).as("nfc"),
           length(raw).as("len_raw"),
           length(graft.GraftFunctions.normalizeNative(s, raw)).as("len_nfc"))
-          .orderBy(col("p_partkey").asc_nulls_first)
       },
       Some("""SELECT p_partkey,
         |  nfc_normalize(p_name || ' cafe' || chr(769)) AS nfc,
         |  CAST(length(p_name || ' cafe' || chr(769)) AS INTEGER) AS len_raw,
         |  CAST(length(nfc_normalize(p_name || ' cafe' || chr(769))) AS INTEGER) AS len_nfc
-        |FROM part ORDER BY p_partkey ASC NULLS FIRST""".stripMargin))
+        |FROM part""".stripMargin))
   )
 }

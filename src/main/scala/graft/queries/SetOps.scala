@@ -25,14 +25,14 @@ object SetOps extends QGroup {
             // final double cast: decimal cells render with scale-6 under
             // the driver's hasher and mismatch the oracle's float64
             sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
-          .orderBy(col("l_returnflag").asc_nulls_first)
+          
       },
       Some("""SELECT l_returnflag, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
         |FROM (SELECT * FROM lineitem WHERE l_returnflag = 'A'
         |      UNION ALL
         |      SELECT * FROM lineitem WHERE l_returnflag <> 'A') u
-        |GROUP BY l_returnflag ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
+        |GROUP BY l_returnflag""".stripMargin)),
 
     // T1b: UNION with distinct semantics.
     QDef("t1b_union_distinct",
@@ -41,12 +41,11 @@ object SetOps extends QGroup {
         val highPrice = o.filter(col("o_totalprice") > 100000).select(col("o_custkey").as("k"))
         val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("k"))
         highPrice.union(urgent).distinct()
-          .orderBy(col("k").asc_nulls_first)
+          
       },
       Some("""SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000
         |UNION
-        |SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
-        |ORDER BY k ASC NULLS FIRST""".stripMargin)),
+        |SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin)),
 
     // T2: INTERSECT (distinct) — buyers who are also positive-balance customers.
     QDef("t2_intersect",
@@ -54,12 +53,11 @@ object SetOps extends QGroup {
         val buyers = Tables(s, dir, "orders").select(col("o_custkey").as("k"))
         val positive = Tables(s, dir, "customer")
           .filter(col("c_acctbal") > 0).select(col("c_custkey").as("k"))
-        buyers.intersect(positive).orderBy(col("k").asc_nulls_first)
+        buyers.intersect(positive)
       },
       Some("""SELECT o_custkey AS k FROM orders
         |INTERSECT
-        |SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
-        |ORDER BY k ASC NULLS FIRST""".stripMargin)),
+        |SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0""".stripMargin)),
 
     // T2b: EXCEPT (distinct) — positive-balance customers who never ordered.
     QDef("t2b_except",
@@ -67,21 +65,19 @@ object SetOps extends QGroup {
         val positive = Tables(s, dir, "customer")
           .filter(col("c_acctbal") > 0).select(col("c_custkey").as("k"))
         val buyers = Tables(s, dir, "orders").select(col("o_custkey").as("k"))
-        positive.except(buyers).orderBy(col("k").asc_nulls_first)
+        positive.except(buyers)
       },
       Some("""SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
         |EXCEPT
-        |SELECT o_custkey AS k FROM orders
-        |ORDER BY k ASC NULLS FIRST""".stripMargin)),
+        |SELECT o_custkey AS k FROM orders""".stripMargin)),
 
     // T3: DISTINCT projection.
     QDef("t3_distinct",
       (s, dir) =>
         Tables(s, dir, "events")
           .select(col("user_id"), col("event_type")).distinct()
-          .orderBy(col("user_id").asc_nulls_first, col("event_type").asc_nulls_first),
-      Some("""SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin)),
+          ,
+      Some("""SELECT DISTINCT user_id, event_type FROM events""".stripMargin)),
 
     // T3b: keyed dedup with deterministic survivor (min event_id) —
     // the oracle-checkable contract for dropDuplicates(keys).
@@ -90,11 +86,10 @@ object SetOps extends QGroup {
         Tables(s, dir, "events")
           .groupBy(col("user_id"), col("event_type"))
           .agg(min(col("event_id")).as("keep_event_id"), count(lit(1)).as("n_dups"))
-          .orderBy(col("user_id").asc_nulls_first, col("event_type").asc_nulls_first),
+          ,
       Some("""SELECT user_id, event_type, MIN(event_id) AS keep_event_id,
         |  COUNT(*) AS n_dups
-        |FROM events GROUP BY user_id, event_type
-        |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin)),
+        |FROM events GROUP BY user_id, event_type""".stripMargin)),
 
     // P3: null-safe equality (<=> / IS NOT DISTINCT FROM).
     QDef("p3_null_safe_eq",
@@ -105,10 +100,10 @@ object SetOps extends QGroup {
           .withColumn("same", col("f") <=> col("st"))
           .groupBy(col("same"))
           .agg(count(lit(1)).as("cnt"))
-          .orderBy(col("same").asc_nulls_first),
+          ,
       Some("""SELECT (f IS NOT DISTINCT FROM st) AS same, COUNT(*) AS cnt
         |FROM (SELECT NULLIF(l_returnflag, 'N') AS f, NULLIF(l_linestatus, 'O') AS st
         |      FROM lineitem) t
-        |GROUP BY 1 ORDER BY same ASC NULLS FIRST""".stripMargin))
+        |GROUP BY 1""".stripMargin))
   )
 }

@@ -37,13 +37,10 @@ object SourcesSinks extends QGroup {
         s.read.schema(lineitemPlusPhantom).parquet(s"$dir/lineitem.parquet")
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
             col("l_extendedprice"), col("l_comment"))
-          .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first,
-            col("l_quantity").asc_nulls_first, col("l_extendedprice").asc_nulls_first),
+          ,
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
         |  CAST(NULL AS VARCHAR) AS l_comment
-        |FROM lineitem
-        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
-        |  l_quantity ASC NULLS FIRST, l_extendedprice ASC NULLS FIRST""".stripMargin)),
+        |FROM lineitem""".stripMargin)),
 
     // S3: schema evolution — two schema-divergent files + mergeSchema.
     QDef("s3_merge_schema",
@@ -55,15 +52,12 @@ object SourcesSinks extends QGroup {
         n.select(col("n_nationkey"), col("n_regionkey"))
           .write.mode("overwrite").parquet(s"$base/b")
         s.read.option("mergeSchema", "true").parquet(s"$base/a", s"$base/b")
-          .orderBy(col("n_nationkey").asc_nulls_first, col("n_name").asc_nulls_first,
-            col("n_regionkey").asc_nulls_first)
+          
       },
       Some("""SELECT * FROM (
         |  SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey FROM nation
         |  UNION ALL
-        |  SELECT n_nationkey, CAST(NULL AS VARCHAR) AS n_name, n_regionkey FROM nation) u
-        |ORDER BY n_nationkey ASC NULLS FIRST, n_name ASC NULLS FIRST,
-        |  n_regionkey ASC NULLS FIRST""".stripMargin)),
+        |  SELECT n_nationkey, CAST(NULL AS VARCHAR) AS n_name, n_regionkey FROM nation) u""".stripMargin)),
 
     // S5: snappy write → read-back → aggregate equals source-side aggregate
     // (reference R8/R10 round-trip).
@@ -78,12 +72,12 @@ object SourcesSinks extends QGroup {
             // final double cast: decimal cells render with scale-6 under
             // the driver's hasher and mismatch the oracle's float64
             sum(col("l_quantity").cast(QShared.dec)).cast("double").as("sum_qty"))
-          .orderBy(col("l_linestatus").asc_nulls_first)
+          
       },
       Some("""SELECT l_linestatus, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_returnflag = 'R'
-        |GROUP BY l_linestatus ORDER BY l_linestatus ASC NULLS FIRST""".stripMargin)),
+        |GROUP BY l_linestatus""".stripMargin)),
 
     // S6: partitioned write + partition-pruned read-back.
     QDef("s6_partitioned_write",
@@ -96,11 +90,11 @@ object SourcesSinks extends QGroup {
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("cnt"),
             sum(col("o_totalprice").cast(QShared.dec)).cast("double").as("sum_price"))
-          .orderBy(col("o_orderpriority").asc_nulls_first)
+          
       },
       Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderstatus = 'F'
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin))
+        |GROUP BY o_orderpriority""".stripMargin))
   )
 }

@@ -28,7 +28,7 @@ object TextOps extends QGroup {
             col("q.n_punct").as("n_punct"),
             col("q.mean_tok_len").as("mean_tok_len"),
             col("q.quality").as("quality"))
-          .orderBy(col("doc_id").asc_nulls_first),
+          ,
       Some("""SELECT doc_id,
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS n_tokens,
         |  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS INTEGER) AS n_upper,
@@ -49,7 +49,7 @@ object TextOps extends QGroup {
         |           THEN 0.3 ELSE 0.0 END
         |    - CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 < 5
         |           THEN 0.3 ELSE 0.0 END)), 4) AS quality
-        |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+        |FROM documents""".stripMargin)),
 
     // BPE-ish token count via the GPT-2-style pre-tokenizer regex.
     QDef("l3e_bpeish_tokens",
@@ -57,11 +57,11 @@ object TextOps extends QGroup {
         Tables(s, dir, "documents")
           .select(col("doc_id"),
             TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
-          .orderBy(col("doc_id").asc_nulls_first),
+          ,
       Some("""SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,
         |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS INTEGER) AS n_bpeish
-        |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+        |FROM documents""".stripMargin)),
 
     // Language ID heuristic — oracle mirrors the stopword-intersection
     // argmax exactly: DuckDB list_intersect has the same set semantics
@@ -73,7 +73,7 @@ object TextOps extends QGroup {
       (s, dir) =>
         Tables(s, dir, "documents")
           .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_id"))
-          .orderBy(col("doc_id").asc_nulls_first),
+          ,
       Some("""WITH langs(lang, ord, words) AS (VALUES
         |  ('de', 0, ['der','die','und','das','ist','von','zu','den','ein','nicht']),
         |  ('en', 1, ['the','and','of','to','in','is','a','that','it','for']),
@@ -92,15 +92,14 @@ object TextOps extends QGroup {
         |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
         |       WHEN score > 0 THEN lang
         |       ELSE 'und' END AS lang_id
-        |FROM best WHERE rn = 1
-        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+        |FROM best WHERE rn = 1""".stripMargin)),
 
     // Rolling-hash document fingerprint (rows-only; stability asserted in spec).
     QDef("l3g_fingerprint",
       (s, dir) =>
         Tables(s, dir, "documents")
           .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fp"))
-          .orderBy(col("doc_id").asc_nulls_first),
+          ,
       None),
 
     // L3h: repetition metrics (Gopher-style quality filters): top-word
@@ -119,7 +118,7 @@ object TextOps extends QGroup {
             col("r.n_distinct_words").as("n_distinct_words"),
             col("r.top_word_ratio").as("top_word_ratio"),
             col("r.distinct_frac").as("distinct_frac"))
-          .orderBy(col("doc_id").asc_nulls_first),
+          ,
       Some("""WITH wc AS (
         |  SELECT doc_id, w, COUNT(*) AS c
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
@@ -129,8 +128,7 @@ object TextOps extends QGroup {
         |  COUNT(*) AS n_distinct_words,
         |  round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_word_ratio,
         |  round(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS distinct_frac
-        |FROM wc GROUP BY doc_id
-        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+        |FROM wc GROUP BY doc_id""".stripMargin)),
 
     // L8: PII scrubbing — email/phone redaction with counts, the
     // compliance pass every training-data pipeline runs. Deterministic
@@ -154,7 +152,7 @@ object TextOps extends QGroup {
             regexp_count(col("txt"), lit(phoneRe)).cast("int").as("n_phones"),
             sha2(regexp_replace(regexp_replace(col("txt"), emailRe, "<EMAIL>"),
               phoneRe, "<PHONE>"), 256).as("scrubbed_sha"))
-          .orderBy(col("doc_id").asc_nulls_first)
+          
       },
       Some("""WITH pii AS (
         |  SELECT doc_id,
@@ -168,7 +166,7 @@ object TextOps extends QGroup {
         |  sha256(regexp_replace(regexp_replace(txt,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS scrubbed_sha
-        |FROM pii ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+        |FROM pii""".stripMargin)),
 
     // Multimodal feature extraction over binary payloads (STUB codec,
     // real mapPartitions plumbing; rows-only + MultimodalSpec).

@@ -34,7 +34,6 @@ object Windows extends QGroup {
           lead(col("o_totalprice"), 1).over(w).as("next_price"),
           first(col("o_totalprice")).over(w).as("first_price"),
           last(col("o_totalprice")).over(wFull).as("last_price"))
-          .orderBy(col("o_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
       },
       Some("""SELECT o_custkey, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS d,
@@ -46,8 +45,7 @@ object Windows extends QGroup {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
-        |  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)
-        |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin)),
+        |  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)""".stripMargin)),
 
     // W2b: IGNORE NULLS analytics — the gap-fill primitive (carry the
     // last known value across NULL rows). A sparse column is synthesized
@@ -65,7 +63,6 @@ object Windows extends QGroup {
             col("o_custkey"), col("o_orderkey"),
             last(col("sparse_price"), ignoreNulls = true).over(wRun).as("filled_price"),
             first(col("sparse_price"), ignoreNulls = true).over(wRun).as("first_seen"))
-          .orderBy(col("o_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
       },
       Some("""SELECT o_custkey, o_orderkey,
         |  last_value(sparse_price IGNORE NULLS) OVER w AS filled_price,
@@ -74,8 +71,7 @@ object Windows extends QGroup {
         |      FROM orders)
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin)),
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
 
     // W3: running totals with an explicit ROWS frame; decimal sums keep
     // the running value order-independent given the total window order.
@@ -90,7 +86,6 @@ object Windows extends QGroup {
           // driver's hasher and mismatch the oracle's float64 (VERDICT r1)
           sum(col("o_totalprice").cast(dec)).over(w).cast("double").as("running_spent"),
           count(lit(1)).over(w).as("running_n"))
-          .orderBy(col("o_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
       },
       Some("""SELECT o_custkey, o_orderkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) AS running_spent,
@@ -98,8 +93,7 @@ object Windows extends QGroup {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin)),
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
 
     // W3b: RANGE frame over integer cents (value-based frame is
     // tie-insensitive, hence deterministic).
@@ -114,7 +108,6 @@ object Windows extends QGroup {
           cents.as("cents"),
           count(lit(1)).over(w).as("n_within_1000"),
           sum(cents).over(w).as("cents_within_1000"))
-          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderkey").asc_nulls_first)
       },
       Some("""SELECT o_orderstatus, o_orderkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
@@ -124,8 +117,7 @@ object Windows extends QGroup {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus
         |  ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) ASC NULLS FIRST
-        |  RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin)),
+        |  RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW)""".stripMargin)),
 
     // W4: top-k per group via row_number filter.
     QDef("w4_topk_per_group",
@@ -136,15 +128,13 @@ object Windows extends QGroup {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
-          .orderBy(col("o_custkey").asc_nulls_first, col("rn").asc_nulls_first)
       },
       Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST) AS rn
         |  FROM orders) t
-        |WHERE rn <= 3
-        |ORDER BY o_custkey ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin)),
+        |WHERE rn <= 3""".stripMargin)),
 
     // O1: multi-key sort with mixed directions and explicit null order
     // (nulls manufactured via NULLIF).
