@@ -95,6 +95,27 @@ object SourcesSinks extends QGroup {
       Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderstatus = 'F'
-        |GROUP BY o_orderpriority""".stripMargin))
+        |GROUP BY o_orderpriority""".stripMargin)),
+
+    // S7: Z-order clustered write + two-dimensional selective read-back.
+    // The Morton relayout (graft.sources.ZOrder) keeps per-file min/max
+    // footer stats narrow on BOTH keys, so either predicate prunes files
+    // — the multi-dim data-skipping layout for 100 TB fact tables
+    // (pruning quality itself is pinned in ZOrderSpec; here the gate
+    // certifies the relayout is content-preserving under a selective
+    // 2-dim filter).
+    QDef("s7_zorder_write",
+      (s, dir) => {
+        val out = sink(dir, "s7_zorder_write")
+        graft.sources.ZOrder.writeZOrdered(
+          Tables(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+              col("l_extendedprice")),
+          out, Seq("l_orderkey", "l_partkey"), numFiles = 8)
+        s.read.parquet(out)
+          .filter(col("l_orderkey") < 500 && col("l_partkey") < 400)
+      },
+      Some("""SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey < 500 AND l_partkey < 400""".stripMargin))
   )
 }

@@ -345,3 +345,75 @@ class AvroIOSpec extends SparkSpec {
       Seq("1", "2", "3"))
   }
 }
+
+class ZOrderSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.sources.ZOrder
+
+  test("interleave is the Morton bit pattern") {
+    // b0=01, b1=10 -> z bits (from LSB): b0[0]=1, b1[0]=0, b0[1]=0, b1[1]=1 -> 0b1001
+    val z = spark.range(1)
+      .select(ZOrder.interleave(Seq(lit(1L), lit(2L)), bits = 2).as("z"))
+      .head().getLong(0)
+    assert(z == 9L)
+    // identity on a single column
+    val z1 = spark.range(1)
+      .select(ZOrder.interleave(Seq(lit(13L)), bits = 8).as("z")).head().getLong(0)
+    assert(z1 == 13L)
+  }
+
+  /** mean fraction of the global [min,max] span each file covers */
+  private def coverage(ranges: Seq[(String, Long, Long)]): Double = {
+    val lo = ranges.map(_._2).min.toDouble
+    val hi = ranges.map(_._3).max.toDouble
+    ranges.map(r => (r._3 - r._2).toDouble / (hi - lo)).sum / ranges.size
+  }
+
+  test("z-order keeps per-file ranges narrow on BOTH dimensions; single-key sort does not") {
+    val li = spark.read.parquet(sf("lineitem"))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val zPath = tmpDir("graft-zorder") + "/z"
+    val sPath = tmpDir("graft-zorder") + "/s"
+    ZOrder.writeZOrdered(li, zPath, Seq("l_orderkey", "l_partkey"), numFiles = 8)
+    // contrast: classic single-key layout (range-partition + sort by orderkey)
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(sPath)
+
+    val zOrd = coverage(ZOrder.fileRanges(zPath, "l_orderkey"))
+    val zPart = coverage(ZOrder.fileRanges(zPath, "l_partkey"))
+    val sOrd = coverage(ZOrder.fileRanges(sPath, "l_orderkey"))
+    val sPart = coverage(ZOrder.fileRanges(sPath, "l_partkey"))
+    // single-key sort: tight on its key, ~full-width on the other
+    assert(sOrd < 0.3, s"sorted layout orderkey coverage $sOrd")
+    assert(sPart > 0.8, s"sorted layout partkey coverage $sPart")
+    // z-order: materially narrow on BOTH (8 files on a 2-D curve ->
+    // ~1/sqrt(8) of each dimension plus bucketing slack)
+    assert(zOrd < 0.65, s"z-order orderkey coverage $zOrd")
+    assert(zPart < 0.65, s"z-order partkey coverage $zPart")
+
+    // content is a pure relayout: nothing added, dropped, or mutated
+    val back = spark.read.parquet(zPath)
+    assert(back.count() == li.count())
+    assert(back.unionAll(li).except(back.intersect(li)).isEmpty ||
+      back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+  }
+
+  test("footer stats prune files for predicates on the secondary z dimension") {
+    val li = spark.read.parquet(sf("lineitem"))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val zPath = tmpDir("graft-zorder") + "/zp"
+    val sPath = tmpDir("graft-zorder") + "/sp"
+    ZOrder.writeZOrdered(li, zPath, Seq("l_orderkey", "l_partkey"), numFiles = 8)
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(sPath)
+    val probe = li.agg(min(col("l_partkey"))).head().getLong(0)
+    def skippable(path: String): Int =
+      ZOrder.fileRanges(path, "l_partkey").count(r => probe < r._2 || probe > r._3)
+    // the single-key layout can prove nothing about partkey; z-order can
+    assert(skippable(sPath) == 0, "orderkey-sorted layout should be unable to skip")
+    assert(skippable(zPath) >= 3,
+      s"z-order should rule out most files for a min-partkey probe, skipped=${skippable(zPath)}")
+  }
+}
