@@ -52,6 +52,20 @@ object ScaleProbe {
       time(s"exact_dedup x$mult") {
         d.groupBy(sha2(col("text"), 256)).agg(min(col("doc_id"))).count()
       }
+      // per-row fold vs explode+groupBy for per-document repetition
+      // metrics: the fold is shuffle-free, so it should scale with the
+      // scan while the explode shape shuffles every token twice
+      time(s"repetition_fold x$mult") {
+        d.filter(col("text").isNotNull)
+          .select(operators.TextAnalysis.repetitionMetrics(col("text")).as("r"))
+          .agg(sum(col("r.n_words"))).head(); d.count()
+      }
+      time(s"repetition_explode x$mult") {
+        d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+          .agg(sum(col("n"))).head(); d.count()
+      }
       d.unpersist(); e.unpersist()
     }
     spark.stop()

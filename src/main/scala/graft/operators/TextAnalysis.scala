@@ -113,6 +113,37 @@ object TextAnalysis {
       round(nDistinct.cast("double") / nWords, 6).as("distinct_frac"))
   }
 
+  /** Unigram language-model score per document — the perplexity-proxy
+    * quality filter (CCNet-style): documents whose tokens are
+    * improbable under the corpus unigram distribution score low
+    * (gibberish, boilerplate soup, wrong-language text).
+    *
+    * Two passes, both corpus-scale-shaped: (1) vocabulary statistics —
+    * one combiner-friendly token count (a natural-language vocabulary
+    * is millions of rows at most, orders below the corpus); (2) scoring
+    * — explode + broadcast-join the vocab + one keyed aggregation per
+    * doc. The per-token log-prob is rounded to 6 dp FIRST and summed as
+    * DECIMAL(18,6) so the per-doc mean is order-independent (double
+    * summation would be partition-order-dependent and break the oracle
+    * hash).
+    *
+    * Output: (id, n_toks, lm_score) with lm_score = round(mean 6-dp
+    * log-prob, 6). */
+  def unigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(log(col("cnt").cast("double") / col("total")), 6).as("logp6"))
+    toks.join(broadcast(vocab), Seq("tok"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum(col("logp6").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("lm_score"))
+  }
+
   /** Convenience: annotate a corpus with all analysis columns. */
   def annotate(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_id", languageId(col(textCol)))

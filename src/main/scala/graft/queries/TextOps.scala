@@ -168,6 +168,27 @@ object TextOps extends QGroup {
         |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS scrubbed_sha
         |FROM pii""".stripMargin)),
 
+    // L10: unigram LM score — the perplexity-proxy quality filter.
+    // Corpus vocab stats pass + broadcast scoring join; per-token
+    // log-probs rounded to 6 dp BEFORE the decimal sum so the per-doc
+    // mean is summation-order-independent (see TextAnalysis scaladoc).
+    QDef("l10_unigram_lm_score",
+      (s, dir) =>
+        TextAnalysis.unigramLmScore(
+          Tables(s, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |vocab AS (
+        |  SELECT tok,
+        |    round(ln(COUNT(*) / (SELECT COUNT(*) * 1.0 FROM toks)), 6) AS logp6
+        |  FROM toks GROUP BY tok)
+        |SELECT doc_id, COUNT(*) AS n_toks,
+        |  round(CAST(SUM(CAST(logp6 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS lm_score
+        |FROM toks JOIN vocab USING (tok)
+        |GROUP BY doc_id""".stripMargin)),
+
     // Multimodal feature extraction over binary payloads (STUB codec,
     // real mapPartitions plumbing; rows-only + MultimodalSpec).
     QDef("l4b_multimodal_features",
