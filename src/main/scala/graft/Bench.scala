@@ -85,9 +85,18 @@ object Bench {
           val root = new com.fasterxml.jackson.databind.ObjectMapper()
             .readTree(java.nio.file.Files.readAllBytes(p))
           val times = root.path("times_sec")
-          import scala.jdk.CollectionConverters._
-          times.fieldNames.asScala
-            .map(k => k -> times.get(k).asDouble()).toMap
+          if (times.isMissingNode || !times.isObject) {
+            // an old flat-format or malformed file must disable the gate
+            // LOUDLY, not vacuously skip every ratio check
+            System.err.println(
+              "[bench] BASELINE_TIMES.json has no times_sec object - " +
+                "ratios disabled; regenerate with scripts/baseline_times.py")
+            Map.empty[String, Double]
+          } else {
+            import scala.jdk.CollectionConverters._
+            times.fieldNames.asScala
+              .map(k => k -> times.get(k).asDouble()).toMap
+          }
         } catch {
           case e: Exception =>
             System.err.println(s"[bench] BASELINE_TIMES.json unreadable: $e")

@@ -132,8 +132,13 @@ object TextAnalysis {
   def unigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
-    val total = toks.agg(count(lit(1)).as("total"))
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // grand total from the vocab counts, not a separate corpus scan —
+    // the counts exchange is identical in both branches so Spark reuses
+    // it (ReusedExchange), keeping this a stats pass over vocab-sized
+    // data rather than a third corpus pass
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val vocab = counts
       .crossJoin(broadcast(total))
       .select(col("tok"),
         round(log(col("cnt").cast("double") / col("total")), 6).as("logp6"))

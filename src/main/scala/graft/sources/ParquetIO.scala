@@ -79,12 +79,26 @@ object ParquetIO {
     // would misroute its lookups to a full scan, defeating the skip
     // index (files genuinely lacking the column are instead kept by
     // bloomCandidateRowGroups — absence is proven, never assumed).
-    val base = new org.apache.hadoop.fs.Path(path).toUri.getPath
-    val partitionCols = ParquetMeta.partFiles(path).iterator
-      .flatMap(_.toUri.getPath.stripPrefix(base).split('/'))
-      .filter(_.contains('='))
-      .map(_.takeWhile(_ != '='))
-      .toSet
+    val basePath = new org.apache.hadoop.fs.Path(path)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = basePath.getFileSystem(conf)
+    val qualifiedBase = fs.makeQualified(basePath)
+    // climb each part file's parents up to the qualified base so only
+    // segments BELOW the table root count — a relative `path` or an
+    // ancestor directory containing '=' must not produce phantom
+    // partition columns (which would silently reroute data-column
+    // lookups to a full scan)
+    val partitionCols = ParquetMeta.partFiles(path).iterator.flatMap { f =>
+      val parents = Iterator.iterate(fs.makeQualified(f).getParent)(_.getParent)
+        .takeWhile(_ != null).toSeq
+      // if the base isn't an ancestor (e.g. `path` IS a single file),
+      // there are no partition directories by definition
+      if (!parents.contains(qualifiedBase)) Nil
+      else parents.takeWhile(_ != qualifiedBase)
+        .map(_.getName)
+        .filter(_.contains('='))
+        .map(_.takeWhile(_ != '='))
+    }.toSet
     if (partitionCols.contains(column))
       return spark.read.parquet(path).filter(eq)
     val candidateFiles = ParquetMeta.bloomCandidateRowGroups(path, column, value)

@@ -62,7 +62,11 @@ object ZOrder {
         max(col(c).cast("double")).as(s"hi_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val buckets = cols.zipWithIndex.map { case (c, i) =>
-      bucketize(col(c), row.getDouble(2 * i), row.getDouble(2 * i + 1), bits)
+      // empty input / all-null column -> null min/max; degrade to a
+      // constant bucket instead of an opaque NPE (the write still
+      // succeeds, just unclustered on that column)
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) lit(0L)
+      else bucketize(col(c), row.getDouble(2 * i), row.getDouble(2 * i + 1), bits)
     }
     interleave(buckets, bits)
   }
@@ -96,14 +100,16 @@ object ZOrder {
           block.getColumns.asScala
             .find(_.getPath.toDotString == column)
             .flatMap { cc =>
-              Option(cc.getStatistics).collect {
-                case s if s.hasNonNullValue =>
-                  (s.genericGetMin, s.genericGetMax) match {
-                    case (mn: java.lang.Long, mx: java.lang.Long) =>
-                      (mn.longValue, mx.longValue)
-                    case (mn: java.lang.Integer, mx: java.lang.Integer) =>
-                      (mn.longValue, mx.longValue)
-                  }
+              Option(cc.getStatistics).filter(_.hasNonNullValue).flatMap { s =>
+                // integer-typed stats only; other physical types are
+                // skipped (None), not a MatchError
+                (s.genericGetMin, s.genericGetMax) match {
+                  case (mn: java.lang.Long, mx: java.lang.Long) =>
+                    Some((mn.longValue, mx.longValue))
+                  case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                    Some((mn.longValue, mx.longValue))
+                  case _ => None
+                }
               }
             }
         }

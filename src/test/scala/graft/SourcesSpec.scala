@@ -392,11 +392,11 @@ class ZOrderSpec extends SparkSpec {
     assert(zOrd < 0.65, s"z-order orderkey coverage $zOrd")
     assert(zPart < 0.65, s"z-order partkey coverage $zPart")
 
-    // content is a pure relayout: nothing added, dropped, or mutated
+    // content is a pure relayout: nothing added, dropped, or mutated —
+    // multiset equality (exceptAll both ways), not just set equality
     val back = spark.read.parquet(zPath)
     assert(back.count() == li.count())
-    assert(back.unionAll(li).except(back.intersect(li)).isEmpty ||
-      back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
   }
 
   test("footer stats prune files for predicates on the secondary z dimension") {
