@@ -178,10 +178,23 @@ object Dedup {
     * one row per distinct id. */
   private[graft] def propagateMinLabels(
       banded: DataFrame, maxIterations: Int): DataFrame = {
-    var labels = banded.select(col("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+    // monotone-sum convergence: labels only ever DECREASE (min
+    // propagation), so Σlabel unchanged ⟺ no label changed — one
+    // scan-agg over the checkpointed snapshot instead of a self-join.
+    // Decimal sum: at corpus scale Σ(id) overflows BIGINT.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty graph
+    }
+    // round 1 specialized: labels are the identity, so the bucket min is
+    // just min(id) per bucket — no join against a label table needed
+    val firstBucketMin = banded.groupBy(col("bucket")).agg(min(col("id")).as("bmin"))
+    var labels = banded.join(firstBucketMin, "bucket")
+      .groupBy(col("id")).agg(min(col("bmin")).as("label"))
+      .localCheckpoint(true)
+    var prevSum = labelSum(labels)
     var converged = false
-    var round = 0
+    var round = 1
     while (!converged && round < maxIterations) {
       round += 1
       val bucketMin = banded.join(labels, "id")
@@ -189,8 +202,9 @@ object Dedup {
       val next = banded.join(bucketMin, "bucket")
         .groupBy(col("id")).agg(min(col("bmin")).as("label"))
         .localCheckpoint(true)
-      converged = next.as("n").join(labels.as("p"), "id")
-        .filter(col("n.label") =!= col("p.label")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       // previous round's snapshot is dead once the convergence check has
       // read it — free its blocks now instead of waiting for driver GC
       // (up to maxIterations retained label tables otherwise)
