@@ -122,13 +122,14 @@ object TextAnalysis {
     * one combiner-friendly token count (a natural-language vocabulary
     * is millions of rows at most, orders below the corpus); (2) scoring
     * — explode + broadcast-join the vocab + one keyed aggregation per
-    * doc. The per-token log-prob is rounded to 6 dp FIRST and summed as
-    * DECIMAL(18,6) so the per-doc mean is order-independent (double
-    * summation would be partition-order-dependent and break the oracle
-    * hash).
+    * doc. The per-token log-prob is FLOOR-scaled to integer micro-nats
+    * first (floor of identical IEEE doubles is engine-independent, where
+    * the two engines' round() algorithms disagree near midpoints) and
+    * summed as BIGINT, so the per-doc mean is exact-integer-derived and
+    * independent of summation order.
     *
-    * Output: (id, n_toks, lm_score) with lm_score = round(mean 6-dp
-    * log-prob, 6). */
+    * Output: (id, n_toks, lm_score_micro) with lm_score_micro =
+    * floor(mean per-token micro-log-prob). */
   def unigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
@@ -141,12 +142,52 @@ object TextAnalysis {
     val vocab = counts
       .crossJoin(broadcast(total))
       .select(col("tok"),
-        round(log(col("cnt").cast("double") / col("total")), 6).as("logp6"))
+        floor(log(col("cnt").cast("double") / col("total")) * 1e6).as("logpm"))
     toks.join(broadcast(vocab), Seq("tok"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_toks"),
-        round(sum(col("logp6").cast("decimal(18,6)")).cast("double") /
-          count(lit(1)), 6).as("lm_score"))
+        floor(sum(col("logpm")).cast("double") / count(lit(1)))
+          .as("lm_score_micro"))
+  }
+
+  /** TF-IDF top-k keywords per document — the classic content-signature
+    * op (keyword extraction, near-dup explanation, topic drift
+    * monitoring). Shapes: one explode + groupBy(doc, tok) with map-side
+    * combine; document frequencies are vocab-sized and BROADCAST back;
+    * the per-doc ranking window runs on the same doc key the aggregation
+    * just shuffled on, so no extra exchange.
+    *
+    * Determinism: tf is an exact rational (count/len); idf and the
+    * final score are FLOOR-scaled to integer micro-units rather than
+    * round()ed — Spark's round (BigDecimal HALF_UP) and DuckDB's round
+    * (double multiply) are different algorithms that disagree on
+    * midpoint-adjacent values, while floor of the same IEEE double is
+    * computed identically by both engines. Ties rank by token ascending.
+    *
+    * Output: (id, tok, rank, tfidf_micro), rank 1..k per doc;
+    * tfidf_micro = floor(tf × idf × 1e6) as BIGINT. */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+    val tf = toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
+    val nDocs = df.filter(col(textCol).isNotNull)
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      // idf in micro-nats: floor(ln(n/df) * 1e6) — integer from here on
+      .select(col("tok"),
+        floor(log(col("n_docs").cast("double") / col("df")) * 1e6).as("idfm"))
+    val wLen = Window.partitionBy(col("id"))
+    val wRank = Window.partitionBy(col("id"))
+      .orderBy(col("tfidf_micro").desc_nulls_last, col("tok").asc_nulls_first)
+    tf.join(broadcast(dfreq), Seq("tok"))
+      // idfm is already micro-scaled, so tf × idfm IS the micro score
+      .withColumn("tfidf_micro",
+        floor(col("c").cast("double") / sum(col("c")).over(wLen) * col("idfm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("tok"), col("rank"), col("tfidf_micro"))
   }
 
   /** Convenience: annotate a corpus with all analysis columns. */

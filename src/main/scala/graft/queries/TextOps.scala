@@ -170,8 +170,10 @@ object TextOps extends QGroup {
 
     // L10: unigram LM score — the perplexity-proxy quality filter.
     // Corpus vocab stats pass + broadcast scoring join; per-token
-    // log-probs rounded to 6 dp BEFORE the decimal sum so the per-doc
-    // mean is summation-order-independent (see TextAnalysis scaladoc).
+    // log-probs floor-scaled to integer micro-nats BEFORE the BIGINT
+    // sum, so the per-doc mean is exact-integer-derived and summation-
+    // order-independent (round() differs between engines near
+    // midpoints; floor of identical doubles cannot).
     QDef("l10_unigram_lm_score",
       (s, dir) =>
         TextAnalysis.unigramLmScore(
@@ -182,12 +184,46 @@ object TextOps extends QGroup {
         |  FROM documents WHERE text IS NOT NULL),
         |vocab AS (
         |  SELECT tok,
-        |    round(ln(COUNT(*) / (SELECT COUNT(*) * 1.0 FROM toks)), 6) AS logp6
+        |    CAST(floor(ln(COUNT(*) / (SELECT COUNT(*) * 1.0 FROM toks)) * 1e6) AS BIGINT) AS logpm
         |  FROM toks GROUP BY tok)
         |SELECT doc_id, COUNT(*) AS n_toks,
-        |  round(CAST(SUM(CAST(logp6 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS lm_score
+        |  CAST(floor(CAST(SUM(logpm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS lm_score_micro
         |FROM toks JOIN vocab USING (tok)
         |GROUP BY doc_id""".stripMargin)),
+
+    // L11: TF-IDF top-3 keywords per document — content signatures for
+    // keyword extraction / topic monitoring. One (doc, tok) aggregation,
+    // broadcast idf join, per-doc ranking window on the same key (no
+    // extra exchange). Scores are floor-scaled micro-units, NOT round():
+    // Spark round (BigDecimal HALF_UP) vs DuckDB round (double multiply)
+    // disagree on midpoint-adjacent values; floor of identical doubles
+    // cannot.
+    QDef("l11_tfidf_topk",
+      (s, dir) =>
+        TextAnalysis.tfidfTopK(
+          Tables(s, dir, "documents"), "doc_id", "text", k = 3)
+          .withColumnRenamed("id", "doc_id"),
+      Some("""WITH tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY doc_id, tok),
+        |idf AS (
+        |  SELECT tok,
+        |    CAST(floor(ln((SELECT COUNT(DISTINCT doc_id) FROM tf)
+        |             / CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT) AS idfm
+        |  FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT doc_id, tok,
+        |    CAST(floor(CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY doc_id) * idfm) AS BIGINT) AS tfidf_micro
+        |  FROM tf JOIN idf USING (tok)),
+        |ranked AS (
+        |  SELECT doc_id, tok, tfidf_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf_micro DESC NULLS LAST, tok ASC NULLS FIRST) AS rank
+        |  FROM scored)
+        |SELECT doc_id, tok, CAST(rank AS INTEGER) AS rank, tfidf_micro
+        |FROM ranked WHERE rank <= 3""".stripMargin)),
 
     // Multimodal feature extraction over binary payloads (STUB codec,
     // real mapPartitions plumbing; rows-only + MultimodalSpec).
