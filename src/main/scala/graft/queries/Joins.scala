@@ -182,6 +182,36 @@ object Joins extends QGroup {
         |FROM (SELECT * FROM events WHERE event_type = 'view') i
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON i.user_id = c.user_id
-        | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 12 HOUR""".stripMargin))
+        | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 12 HOUR""".stripMargin)),
+
+    // J10: NON-equi interval join — co-occurring event pairs within 1 s
+    // across ALL users (no equality key at all). A raw |b-a| <= tol
+    // predicate plans as BroadcastNestedLoopJoin (O(n·m), PlanSpec pins
+    // the contrast); operators.IntervalJoin rewrites it to an equi-join
+    // on tolerance-width buckets + exact filter. The oracle SQL uses
+    // the SAME bucketed rewrite — a naive DuckDB range self-join is
+    // quadratic too (measured minutes at sf0.1), so bucketing keeps the
+    // wall-time baseline honest rather than gifting Spark the ratio.
+    QDef("j10_interval_join",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("event_id"), expr("ts div 1000").as("tus"))
+        val a = ev.select(col("event_id").as("a_id"), col("tus").as("a_us"))
+        val b = ev.select(col("event_id").as("b_id"), col("tus").as("b_us"))
+        graft.operators.IntervalJoin.join(a, b, "a_us", "b_us", 1000000L)
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            (col("b_us") - col("a_us")).as("delta_us"))
+      },
+      Some("""WITH e AS (
+        |  SELECT event_id, epoch_us(ts) AS tus FROM events),
+        |l AS (
+        |  SELECT event_id, tus,
+        |    unnest([tus // 1000000 - 1, tus // 1000000, tus // 1000000 + 1]) AS b
+        |  FROM e),
+        |r AS (SELECT event_id AS rid, tus AS rtus, tus // 1000000 AS b FROM e)
+        |SELECT l.event_id AS a_id, rid AS b_id, rtus - tus AS delta_us
+        |FROM l JOIN r USING (b)
+        |WHERE abs(rtus - tus) <= 1000000 AND l.event_id < rid""".stripMargin))
   )
 }

@@ -525,3 +525,34 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(0).payload.sameElements(out(1).payload))
   }
 }
+
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.IntervalJoin
+
+  test("bucketed interval join finds exactly the in-tolerance pairs, once each") {
+    val a = Seq((1L, 0L), (2L, 999999L), (3L, 5000000L)).toDF("a_id", "a_us")
+    val b = Seq((10L, 1000000L), (11L, 6100000L)).toDF("b_id", "b_us")
+    val got = IntervalJoin.join(a, b, "a_us", "b_us", 1000000L)
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // (1,10) delta exactly +tol (inclusive, crosses a bucket boundary),
+    // (2,10) delta 1; (3,10) and (3,11) are out of tolerance
+    assert(got.sorted.toSeq == Seq((1L, 10L), (2L, 10L)))
+    assert(got.length == got.distinct.length, "no pair may be produced twice")
+  }
+
+  test("bucketed plan is a distributed equi-join; the naive predicate is a nested loop") {
+    val a = spark.range(100).select($"id".as("a_id"), ($"id" * 7919L).as("a_us"))
+    val b = spark.range(100).select($"id".as("b_id"), ($"id" * 6131L).as("b_us"))
+    val bucketed = IntervalJoin.join(a, b, "a_us", "b_us", 1000L)
+      .queryExecution.executedPlan.toString
+    assert(!bucketed.contains("NestedLoop") && !bucketed.contains("Cartesian"),
+      s"bucketed rewrite must not nested-loop:\n$bucketed")
+    val naive = a.join(b, abs($"b_us" - $"a_us") <= 1000L)
+      .queryExecution.executedPlan.toString
+    assert(naive.contains("NestedLoop") || naive.contains("Cartesian"),
+      "the raw non-equi predicate should demonstrate the plan this operator avoids")
+  }
+}
