@@ -202,4 +202,88 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
   }
+
+  /** Squared Euclidean distance between two float-array columns
+    * (double accumulation, left-to-right — deterministic). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Distributed Lloyd k-means over an embedding column — the vector-
+    * quantization trainer whose centroids [[ivfTopK]]'s scaladoc
+    * promises to accept in place of its hash-sampled seeds (IVF cell
+    * quality, cluster-based curation, diversity sampling).
+    *
+    * Scale shape per iteration: centroids (k × dim doubles, kilobytes)
+    * are collected to the driver and re-broadcast as literals — stats,
+    * not data — so assignment is a shuffle-free corpus scan (argmin
+    * over k broadcast vectors via one fold expression); the mean update
+    * is posexplode to (cell, dim) rows + one combiner-friendly keyed
+    * aggregation, dim × |corpus| rows through ONE exchange per round.
+    * Initialization is the same deterministic hash-order sample ivfTopK
+    * uses (no rand(): reruns are reproducible). Empty cells keep their
+    * previous centroid. Euclidean objective ⇒ Lloyd monotonicity: SSE
+    * is non-increasing per round (pinned in KMeansSpec).
+    *
+    * Output: (cell, centroid Array[Double], n_members, sse) for the
+    * final assignment. */
+  def kmeans(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val vecs = corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+
+    var centroids: Array[Array[Double]] = vecs
+      .orderBy(xxhash64(col("id")).asc_nulls_first, col("id").asc_nulls_first)
+      .limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+
+    def centLit(c: Array[Array[Double]]): Column =
+      array(c.map(v => array(v.map(lit): _*)): _*)
+
+    /** (cell, dist2) of the nearest centroid, as one fold over a
+      * plan-time literal centroid array — no join, no shuffle. */
+    def nearest(c: Array[Array[Double]]): Column =
+      aggregate(
+        zip_with(centLit(c), sequence(lit(0), lit(c.length - 1)),
+          (cv, i) => struct(
+            aggregate(zip_with(col("v"), cv, (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, x) => acc + x).as("d2"),
+            i.as("cell"))),
+        struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cell")),
+        (best, cand) => when(cand.getField("d2") < best.getField("d2"), cand)
+          .otherwise(best))
+
+    for (_ <- 1 to iterations) {
+      val assigned = vecs.withColumn("__n", nearest(centroids))
+        .select(col("id"), col("v"), col("__n.cell").as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
+        .select(col("cell"), transform(col("ms"), _.getField("m")).as("c_vec"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices
+        .map(i => means.getOrElse(i, centroids(i))).toArray
+    }
+
+    vecs.withColumn("__n", nearest(centroids))
+      .groupBy(col("__n.cell").as("cell"))
+      .agg(count(lit(1)).as("n_members"), sum(col("__n.d2")).as("sse"))
+      .join(
+        spark.createDataFrame(
+          centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+          .toDF("cell", "centroid"),
+        Seq("cell"), "right")
+      .select(col("cell"), col("centroid"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("sse"), lit(0.0)).as("sse"))
+  }
 }

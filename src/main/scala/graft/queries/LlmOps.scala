@@ -345,8 +345,22 @@ object LlmOps extends QGroup {
           emb.filter(col("vec_id") < 20), emb, k = 5, nList = 16, nProbe = 4,
           idCol = "vec_id", vecCol = "embedding")
           .select(col("q_id"), col("rank"), col("n_id"))
-          
+
       },
+      None),
+
+    // L2d: distributed Lloyd k-means over the embedding corpus — the
+    // vector-quantization trainer behind IVF cells / cluster-based
+    // curation (rows-only: no SQL k-means; Lloyd monotonicity +
+    // determinism pinned in KMeansSpec). Centroid arrays JSON-rendered
+    // for the driver's pandas sorter.
+    QDef("l2d_kmeans_cells",
+      (s, dir) =>
+        QShared.jsonifyComplex(
+          Similarity.kmeans(Tables(s, dir, "embeddings"),
+            "vec_id", "embedding", k = 8, iterations = 3)
+            .withColumn("sse_micro", floor(col("sse") * 1e6).cast("long"))
+            .drop("sse")),
       None),
 
     // L3: per-document text statistics (integer-only output).

@@ -556,3 +556,34 @@ class IntervalJoinSpec extends SparkSpec {
       "the raw non-equi predicate should demonstrate the plan this operator avoids")
   }
 }
+
+class KMeansSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.operators.Similarity
+
+  private def sse(iters: Int): (Double, Long) = {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val out = Similarity.kmeans(emb, "vec_id", "embedding", k = 4, iterations = iters)
+      .agg(sum(col("sse")), sum(col("n_members"))).head()
+    (out.getDouble(0), out.getLong(1))
+  }
+
+  test("Lloyd iterations never increase the SSE and keep every vector assigned") {
+    val n = spark.read.parquet(sf("embeddings")).count()
+    val (sse0, n0) = sse(0)
+    val (sse2, n2) = sse(2)
+    val (sse5, n5) = sse(5)
+    assert(n0 == n && n2 == n && n5 == n, "every vector must be assigned to a cell")
+    assert(sse2 <= sse0 + 1e-6, s"SSE rose after 2 rounds: $sse0 -> $sse2")
+    assert(sse5 <= sse2 + 1e-6, s"SSE rose between rounds 2 and 5: $sse2 -> $sse5")
+    assert(sse2 < sse0, "training on real embeddings should actually improve the objective")
+  }
+
+  test("k-means is deterministic across runs (no rand anywhere)") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    def run() = Similarity.kmeans(emb, "vec_id", "embedding", k = 3, iterations = 2)
+      .orderBy(col("cell")).collect()
+      .map(r => (r.getInt(0), r.getLong(2), math.round(r.getDouble(3) * 1e6)))
+    assert(run().toSeq == run().toSeq)
+  }
+}
