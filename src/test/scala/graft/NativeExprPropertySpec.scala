@@ -52,3 +52,52 @@ class NativeExprPropertySpec extends SparkSpec {
     assert(diff == 0)
   }
 }
+
+/** Property tests for the round-4 operators: the bucketed interval join
+  * must agree with the naive O(n·m) predicate join on generated data,
+  * and the Morton interleave must match a bit-by-bit reference. */
+class Round4PropertySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.IntervalJoin
+  import graft.sources.ZOrder
+
+  test("bucketed interval join == naive non-equi join on generated timestamps") {
+    val tsGen = Gen.chooseNum(0L, 100000L)
+    for (seed <- 1 to 5) {
+      val lRows = (0 until 80).map(i =>
+        (i.toLong, tsGen.pureApply(Gen.Parameters.default, Seed(seed * 1000L + i))))
+      val rRows = (0 until 80).map(i =>
+        (1000L + i, tsGen.pureApply(Gen.Parameters.default, Seed(seed * 2000L + i))))
+      val l = lRows.toDF("a_id", "a_us")
+      val r = rRows.toDF("b_id", "b_us")
+      for (tol <- Seq(1L, 777L, 10000L)) {
+        val bucketed = IntervalJoin.join(l, r, "a_us", "b_us", tol)
+          .select($"a_id", $"b_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+        val naive = l.join(r, abs($"b_us" - $"a_us") <= tol)
+          .select($"a_id", $"b_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+        assert(bucketed.sorted.toSeq == naive.sorted.toSeq,
+          s"seed=$seed tol=$tol: bucketed ${bucketed.length} vs naive ${naive.length}")
+      }
+    }
+  }
+
+  test("Morton interleave == bit-by-bit reference on generated buckets") {
+    def reference(bs: Seq[Long], bits: Int): Long = {
+      var z = 0L
+      for (i <- 0 until bits; j <- bs.indices)
+        z |= ((bs(j) >> i) & 1L) << (i * bs.size + j)
+      z
+    }
+    val bGen = Gen.chooseNum(0L, (1L << 16) - 1)
+    for (seed <- 1 to 40) {
+      val n = 1 + seed % 3 // 1..3 columns
+      val bs = (0 until n).map(j =>
+        bGen.pureApply(Gen.Parameters.default, Seed(seed * 100L + j)))
+      val bits = 16
+      val got = spark.range(1)
+        .select(ZOrder.interleave(bs.map(lit(_)), bits).as("z"))
+        .head().getLong(0)
+      assert(got == reference(bs, bits), s"seed=$seed buckets=$bs")
+    }
+  }
+}
