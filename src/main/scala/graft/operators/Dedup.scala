@@ -181,7 +181,15 @@ object Dedup {
     // monotone-sum convergence: labels only ever DECREASE (min
     // propagation), so Σlabel unchanged ⟺ no label changed — one
     // scan-agg over the checkpointed snapshot instead of a self-join.
-    // Decimal sum: at corpus scale Σ(id) overflows BIGINT.
+    // Decimal sum: at corpus scale Σ(id) overflows BIGINT. Numeric ids
+    // only — a string id would crash the cast under ANSI (or, worse,
+    // null-coerce and false-converge with ANSI off), so non-numeric
+    // label types take the join-based equality check instead.
+    import org.apache.spark.sql.types.{DecimalType, NumericType}
+    val numericIds = banded.schema("id").dataType match {
+      case _: NumericType | _: DecimalType => true
+      case _ => false
+    }
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s // empty graph
@@ -192,7 +200,7 @@ object Dedup {
     var labels = banded.join(firstBucketMin, "bucket")
       .groupBy(col("id")).agg(min(col("bmin")).as("label"))
       .localCheckpoint(true)
-    var prevSum = labelSum(labels)
+    var prevSum = if (numericIds) labelSum(labels) else null
     var converged = false
     var round = 1
     while (!converged && round < maxIterations) {
@@ -202,9 +210,13 @@ object Dedup {
       val next = banded.join(bucketMin, "bucket")
         .groupBy(col("id")).agg(min(col("bmin")).as("label"))
         .localCheckpoint(true)
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      if (numericIds) {
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      } else
+        converged = next.as("n").join(labels.as("p"), "id")
+          .filter(col("n.label") =!= col("p.label")).isEmpty
       // previous round's snapshot is dead once the convergence check has
       // read it — free its blocks now instead of waiting for driver GC
       // (up to maxIterations retained label tables otherwise)

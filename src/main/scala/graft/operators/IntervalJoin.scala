@@ -38,6 +38,11 @@ object IntervalJoin {
     require(tol > 0, "tolerance must be positive")
     val clashes = left.columns.toSet.intersect(right.columns.toSet)
     require(clashes.isEmpty, s"column collision: ${clashes.mkString(",")}")
+    // the operator's working names would be silently clobbered by
+    // withColumn (wrong join key, caller's column dropped on output)
+    val reserved = Set("__b", "__lb")
+    val taken = (left.columns ++ right.columns).filter(reserved).distinct
+    require(taken.isEmpty, s"reserved column name in input: ${taken.mkString(",")}")
     val l = left
       .withColumn("__lb", expr(s"`$lTs` div ${tol}L"))
       .withColumn("__b",

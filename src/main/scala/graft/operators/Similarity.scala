@@ -214,7 +214,11 @@ object Similarity {
   /** Distributed Lloyd k-means over an embedding column — the vector-
     * quantization trainer whose centroids [[ivfTopK]]'s scaladoc
     * promises to accept in place of its hash-sampled seeds (IVF cell
-    * quality, cluster-based curation, diversity sampling).
+    * quality, cluster-based curation, diversity sampling). Null vectors
+    * and rows whose dimension differs from the seeds' are excluded up
+    * front (one ragged row would otherwise null-poison its own distance
+    * AND corrupt the mean update's dimensionality for every row in later
+    * rounds); every surviving vector is assigned.
     *
     * Scale shape per iteration: centroids (k × dim doubles, kilobytes)
     * are collected to the driver and re-broadcast as literals — stats,
@@ -236,13 +240,22 @@ object Similarity {
       k: Int,
       iterations: Int): DataFrame = {
     val spark = corpus.sparkSession
-    val vecs = corpus.select(col(idCol).as("id"),
+    val raw = corpus.select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v"))
+      .filter(col("v").isNotNull)
 
-    var centroids: Array[Array[Double]] = vecs
+    var centroids: Array[Array[Double]] = raw
       .orderBy(xxhash64(col("id")).asc_nulls_first, col("id").asc_nulls_first)
       .limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
+    require(centroids.nonEmpty, "kmeans: corpus has no non-null vectors")
+
+    // a single ragged row would null-poison its zip_with distance (cell
+    // -1, silently dropped) AND corrupt the mean update's dimensionality
+    // for every later round — exclude mismatched-dim rows up front, and
+    // loudly, since "every surviving vector is assigned" is the contract
+    val dim = centroids.head.length
+    val vecs = raw.filter(size(col("v")) === dim)
 
     def centLit(c: Array[Array[Double]]): Column =
       array(c.map(v => array(v.map(lit): _*)): _*)
@@ -252,10 +265,7 @@ object Similarity {
     def nearest(c: Array[Array[Double]]): Column =
       aggregate(
         zip_with(centLit(c), sequence(lit(0), lit(c.length - 1)),
-          (cv, i) => struct(
-            aggregate(zip_with(col("v"), cv, (x, y) => (x - y) * (x - y)),
-              lit(0.0), (acc, x) => acc + x).as("d2"),
-            i.as("cell"))),
+          (cv, i) => struct(sqDist(col("v"), cv).as("d2"), i.as("cell"))),
         struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cell")),
         (best, cand) => when(cand.getField("d2") < best.getField("d2"), cand)
           .otherwise(best))

@@ -168,8 +168,14 @@ object TextAnalysis {
     * tfidf_micro = floor(tf × idf × 1e6) as BIGINT. */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // one exchange on the doc id up front: HashPartitioning(id) satisfies
+    // the (id, tok) aggregation's clustering AND both per-doc windows, so
+    // neither adds a shuffle (a groupBy(id, tok) straight off the scan
+    // would hash-partition by the pair, and the windows would re-exchange
+    // by id)
     val toks = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .repartition(col("id"))
     val tf = toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
     val nDocs = df.filter(col(textCol).isNotNull)
       .agg(countDistinct(col(idCol)).as("n_docs"))

@@ -351,15 +351,20 @@ object LlmOps extends QGroup {
 
     // L2d: distributed Lloyd k-means over the embedding corpus — the
     // vector-quantization trainer behind IVF cells / cluster-based
-    // curation (rows-only: no SQL k-means; Lloyd monotonicity +
-    // determinism pinned in KMeansSpec). Centroid arrays JSON-rendered
-    // for the driver's pandas sorter.
+    // curation (rows-only: no SQL k-means; Lloyd monotonicity + same-
+    // session determinism pinned in KMeansSpec — avg/sum of doubles is
+    // partition-merge-order sensitive in the last ulps, so cross-CONFIG
+    // reruns can drift the trailing digits; centroids are rendered at
+    // 4 dp and sse at milli grain to keep the committed output stable
+    // against that noise). Centroid arrays JSON-rendered for the
+    // driver's pandas sorter.
     QDef("l2d_kmeans_cells",
       (s, dir) =>
         QShared.jsonifyComplex(
           Similarity.kmeans(Tables(s, dir, "embeddings"),
             "vec_id", "embedding", k = 8, iterations = 3)
-            .withColumn("sse_micro", floor(col("sse") * 1e6).cast("long"))
+            .withColumn("centroid", transform(col("centroid"), round(_, 4)))
+            .withColumn("sse_milli", floor(col("sse") * 1e3).cast("long"))
             .drop("sse")),
       None),
 
