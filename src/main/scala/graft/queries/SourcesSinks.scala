@@ -116,6 +116,29 @@ object SourcesSinks extends QGroup {
           .filter(col("l_orderkey") < 500 && col("l_partkey") < 400)
       },
       Some("""SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
-        |FROM lineitem WHERE l_orderkey < 500 AND l_partkey < 400""".stripMargin))
+        |FROM lineitem WHERE l_orderkey < 500 AND l_partkey < 400""".stripMargin)),
+
+    // S8: JSONL round-trip — the interchange format LLM training
+    // corpora actually ship in. Write the documents table as JSON
+    // lines, read it back with an EXPLICIT schema (schema inference is
+    // a second full pass over 100 TB — never at scale), and certify
+    // content fidelity against the parquet original. gzip codec:
+    // jsonl.gz is the common wire format.
+    QDef("s8_jsonl_roundtrip",
+      (s, dir) => {
+        val out = sink(dir, "s8_jsonl_roundtrip")
+        Tables(s, dir, "documents")
+          .write.mode("overwrite").option("compression", "gzip").json(out)
+        s.read.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType))))
+          .json(out)
+          .select(col("doc_id"), col("lang"), col("source"),
+            length(col("text")).as("text_len"), col("n_chars"))
+      },
+      Some("""SELECT doc_id, lang, source,
+        |  CAST(length(text) AS INTEGER) AS text_len, n_chars
+        |FROM documents""".stripMargin))
   )
 }
