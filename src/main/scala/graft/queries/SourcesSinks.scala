@@ -139,6 +139,29 @@ object SourcesSinks extends QGroup {
       },
       Some("""SELECT doc_id, lang, source,
         |  CAST(length(text) AS INTEGER) AS text_len, n_chars
+        |FROM documents""".stripMargin)),
+
+    // S9: CSV round-trip with explicit schema + header — the remaining
+    // classic interchange format (parquet, Avro, JSONL covered above).
+    // Quoting matters: free text can carry the delimiter; Spark's
+    // writer quotes and the reader must agree. No inference pass, same
+    // reason as S8.
+    QDef("s9_csv_roundtrip",
+      (s, dir) => {
+        val out = sink(dir, "s9_csv_roundtrip")
+        Tables(s, dir, "documents")
+          .write.mode("overwrite").option("header", "true")
+          .option("compression", "gzip").csv(out)
+        s.read.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType))))
+          .option("header", "true").csv(out)
+          .select(col("doc_id"), col("lang"),
+            sha2(coalesce(col("text"), lit("")), 256).as("text_sha"),
+            col("n_chars"))
+      },
+      Some("""SELECT doc_id, lang, sha256(COALESCE(text, '')) AS text_sha, n_chars
         |FROM documents""".stripMargin))
   )
 }
