@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Without this, sbt routes the forked app's stdout through its logger,
+// prefixing every line with "[info] " — which breaks any consumer that
+// tail-parses Bench/Verify JSON lines (json.loads("[info] {...}") fails).
+// StdoutOutput passes the child's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
