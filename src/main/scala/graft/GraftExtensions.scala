@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{CosineSimilarity, MinHashSignature, UnicodeNormalize}
+import graft.functions.{BloomMightContain, CosineSimilarity, MinHashSignature, UnicodeNormalize}
 
 /** Session extension registering graft's native expressions, for use via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(UnicodeNormalize.name), UnicodeNormalize.info,
         UnicodeNormalize.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(BloomMightContain.name), BloomMightContain.info,
+        BloomMightContain.builder))
     ext.injectOptimizerRule(graft.plans.CorruptDateRebaseRule.apply)
   }
 }
@@ -38,6 +41,9 @@ object GraftFunctions {
     val un = FunctionIdentifier(UnicodeNormalize.name)
     if (!reg.functionExists(un))
       reg.registerFunction(un, UnicodeNormalize.info, UnicodeNormalize.builder)
+    val bc = FunctionIdentifier(BloomMightContain.name)
+    if (!reg.functionExists(bc))
+      reg.registerFunction(bc, BloomMightContain.info, BloomMightContain.builder)
     // sessions built without withExtensions still get the transparent
     // corrupt-date rebase via the user-provided optimizer batch; skip
     // when the extensions path already injected it (double installation

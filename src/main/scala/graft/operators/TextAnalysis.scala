@@ -196,6 +196,36 @@ object TextAnalysis {
       .select(col("id"), col("tok"), col("rank"), col("tfidf_micro"))
   }
 
+  /** Sliding token-window chunking — the context-window prep step
+    * between a cleaned corpus and a tokenizer: each document becomes
+    * ceil(n_tokens / stride) chunks of up to `chunkSize` whitespace
+    * tokens starting every `stride` tokens (overlap = chunkSize −
+    * stride preserves cross-boundary context for training / RAG
+    * retrieval).
+    *
+    * Scale shape: a single scan-linear projection — the token array is
+    * materialized once per row, the start offsets are a generated
+    * sequence, and explode multiplies rows by ~n_tokens/stride with no
+    * shuffle at all; chunk output order inside a doc is the sequence
+    * index (deterministic). Short docs (< chunkSize tokens) yield one
+    * clamped chunk; slice never reads past the array end.
+    *
+    * Output: (doc_id, chunk_id, chunk_text, n_tokens). */
+  def chunkTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"need chunkSize >= stride > 0, got chunkSize=$chunkSize stride=$stride")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, greatest(size(__t) - 1, 0), $stride)," +
+          s" s -> concat_ws(' ', slice(__t, s + 1, $chunkSize)))")))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+        col("col").as("chunk_text"),
+        size(split(col("col"), " ")).as("n_tokens"))
+  }
+
   /** Convenience: annotate a corpus with all analysis columns. */
   def annotate(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_id", languageId(col(textCol)))

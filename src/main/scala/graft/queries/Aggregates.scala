@@ -292,6 +292,48 @@ object Aggregates extends QGroup {
             percentile_approx(col("value"), lit(0.5), lit(10000)).as("median_approx"),
             count(lit(1)).as("n"))
           ,
-      None)
+      None),
+
+    // A11: single-pass exact column profiler — the data-quality scan a
+    // pipeline runs before trusting a new 100 TB drop. ONE scan computes
+    // per-column not-null/exact-distinct/min/max (the multi-distinct
+    // rewrites to a single Expand-based aggregate, not one job per
+    // column), then stack() unpivots driver-cheap 1×N to long form.
+    // Profiled columns are integer/string so min/max render identically
+    // across engines (double/timestamp rendering is engine-specific).
+    QDef("a11_column_profile",
+      (s, dir) => {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_returnflag", "l_linestatus")
+        val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+          count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c")))
+        val stacked = cols
+          .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c")
+          .mkString(s"stack(${cols.length}, ", ", ",
+            ") AS (col_name, n_notnull, n_distinct, min_str, max_str)")
+        Tables(s, dir, "lineitem")
+          .agg(aggs.head, aggs.tail: _*)
+          .selectExpr("n_rows", stacked)
+      },
+      Some("""WITH s AS (SELECT count(*) AS n_rows,
+        |  count(l_orderkey) AS nn1, count(DISTINCT l_orderkey) AS nd1,
+        |  CAST(min(l_orderkey) AS VARCHAR) AS mn1, CAST(max(l_orderkey) AS VARCHAR) AS mx1,
+        |  count(l_partkey) AS nn2, count(DISTINCT l_partkey) AS nd2,
+        |  CAST(min(l_partkey) AS VARCHAR) AS mn2, CAST(max(l_partkey) AS VARCHAR) AS mx2,
+        |  count(l_suppkey) AS nn3, count(DISTINCT l_suppkey) AS nd3,
+        |  CAST(min(l_suppkey) AS VARCHAR) AS mn3, CAST(max(l_suppkey) AS VARCHAR) AS mx3,
+        |  count(l_returnflag) AS nn4, count(DISTINCT l_returnflag) AS nd4,
+        |  CAST(min(l_returnflag) AS VARCHAR) AS mn4, CAST(max(l_returnflag) AS VARCHAR) AS mx4,
+        |  count(l_linestatus) AS nn5, count(DISTINCT l_linestatus) AS nd5,
+        |  CAST(min(l_linestatus) AS VARCHAR) AS mn5, CAST(max(l_linestatus) AS VARCHAR) AS mx5
+        |  FROM lineitem)
+        |SELECT 'l_orderkey' AS col_name, n_rows, nn1 AS n_notnull, nd1 AS n_distinct, mn1 AS min_str, mx1 AS max_str FROM s
+        |UNION ALL SELECT 'l_partkey', n_rows, nn2, nd2, mn2, mx2 FROM s
+        |UNION ALL SELECT 'l_suppkey', n_rows, nn3, nd3, mn3, mx3 FROM s
+        |UNION ALL SELECT 'l_returnflag', n_rows, nn4, nd4, mn4, mx4 FROM s
+        |UNION ALL SELECT 'l_linestatus', n_rows, nn5, nd5, mn5, mx5 FROM s""".stripMargin))
   )
 }

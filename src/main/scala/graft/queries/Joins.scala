@@ -212,6 +212,25 @@ object Joins extends QGroup {
         |r AS (SELECT event_id AS rid, tus AS rtus, tus // 1000000 AS b FROM e)
         |SELECT l.event_id AS a_id, rid AS b_id, rtus - tus AS delta_us
         |FROM l JOIN r USING (b)
-        |WHERE abs(rtus - tus) <= 1000000 AND l.event_id < rid""".stripMargin))
+        |WHERE abs(rtus - tus) <= 1000000 AND l.event_id < rid""".stripMargin)),
+
+    // J11: bloom-prefiltered semi-join — the explicit runtime-filter
+    // pattern (operators.BloomJoin). The dim key set ships as a plan
+    // literal; non-candidate fact rows die at the scan, before the
+    // shuffle; the exact semi-join on survivors makes false positives
+    // harmless. Oracle = the plain IN-subquery: bit-identical results
+    // certify the prefilter is invisible to correctness.
+    QDef("j11_bloom_semi_join",
+      (s, dir) => graft.operators.BloomJoin.bloomSemiJoin(
+          Tables(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_quantity")),
+          Tables(s, dir, "part").filter(col("p_size") > 40),
+          "l_partkey", "p_partkey")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_quantity")),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)""".stripMargin))
   )
 }

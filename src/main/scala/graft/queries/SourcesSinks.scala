@@ -162,6 +162,29 @@ object SourcesSinks extends QGroup {
             col("n_chars"))
       },
       Some("""SELECT doc_id, lang, sha256(COALESCE(text, '')) AS text_sha, n_chars
+        |FROM documents""".stripMargin)),
+
+    // S10: ORC round-trip — the remaining columnar format Spark ships a
+    // native vectorized reader for (parquet/Avro/JSONL/CSV covered by
+    // S5/S4/S8/S9). Same explicit-schema discipline; content certified
+    // against the parquet original via the oracle, which never touches
+    // ORC (DuckDB can't) — fidelity of the format hop IS the test.
+    QDef("s10_orc_roundtrip",
+      (s, dir) => {
+        val out = sink(dir, "s10_orc_roundtrip")
+        Tables(s, dir, "documents")
+          .write.mode("overwrite").option("compression", "zlib").orc(out)
+        s.read.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType))))
+          .orc(out)
+          .select(col("doc_id"), col("lang"), col("source"),
+            sha2(coalesce(col("text"), lit("")), 256).as("text_sha"),
+            col("n_chars"))
+      },
+      Some("""SELECT doc_id, lang, source,
+        |  sha256(COALESCE(text, '')) AS text_sha, n_chars
         |FROM documents""".stripMargin))
   )
 }

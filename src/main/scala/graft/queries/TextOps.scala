@@ -240,6 +240,29 @@ object TextOps extends QGroup {
           Multimodal.extractFeatures(media, "id", "kind", "payload")
             .orderBy(col("id").asc_nulls_first))
       },
-      None)
+      None),
+
+    // L12: sliding token-window chunking — context-window prep (64-token
+    // chunks every 48 tokens, 16-token overlap). Scan-linear, zero
+    // shuffles; the oracle mirrors the clamped-slice semantics with
+    // DuckDB list_slice (end-inclusive ↔ Spark slice length arg).
+    QDef("l12_doc_chunking",
+      (s, dir) => TextAnalysis.chunkTokens(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 64, stride = 48),
+      Some("""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |    UNNEST(range(0, greatest(len(toks), 1), 48)) AS s
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(s // 48 AS INTEGER) AS chunk_id,
+        |  array_to_string(list_slice(toks, s + 1, s + 64), ' ') AS chunk_text,
+        |  CAST(len(string_split(
+        |    array_to_string(list_slice(toks, s + 1, s + 64), ' '), ' '))
+        |    AS INTEGER) AS n_tokens
+        |FROM c""".stripMargin))
   )
 }

@@ -483,6 +483,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.orderBy($"doc_id").collect().toSeq ==
       ref.orderBy($"doc_id").collect().toSeq)
   }
+
+  test("chunkTokens: boundaries, overlap, and short-doc clamping") {
+    import org.apache.spark.sql.functions._
+    // 10 tokens, chunkSize 4, stride 3 → starts 0,3,6,9
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ")
+    val out = TextAnalysis.chunkTokens(
+        Seq((1L, doc), (2L, "solo"), (3L, null.asInstanceOf[String]))
+          .toDF("id", "text"), "id", "text", chunkSize = 4, stride = 3)
+      .orderBy($"doc_id", $"chunk_id").collect()
+    val d1 = out.filter(_.getLong(0) == 1L).map(r =>
+      (r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(d1.toSeq == Seq(
+      (0, "t1 t2 t3 t4", 4),
+      (1, "t4 t5 t6 t7", 4),   // 1-token overlap at stride 3
+      (2, "t7 t8 t9 t10", 4),
+      (3, "t10", 1)))           // clamped tail chunk
+    // short doc → exactly one chunk; null text → no rows
+    assert(out.filter(_.getLong(0) == 2L).map(r => (r.getInt(1), r.getString(2)))
+      .toSeq == Seq((0, "solo")))
+    assert(!out.exists(_.getLong(0) == 3L))
+
+    // coverage: every token of every chunked doc appears in some chunk
+    val rebuilt = out.filter(_.getLong(0) == 1L)
+      .flatMap(_.getString(2).split(" ")).toSet
+    assert(rebuilt == doc.split(" ").toSet)
+  }
+
+  test("chunkTokens rejects stride > chunkSize (would drop tokens)") {
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokens(df, "id", "text", chunkSize = 2, stride = 3)
+    }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
