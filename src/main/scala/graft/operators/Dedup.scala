@@ -334,6 +334,53 @@ object Dedup {
         expr("(n_hits * 1000) div n_grams").as("cpm"))
   }
 
+  /** Incremental exact dedup — the append-only production pattern: a
+    * new batch arrives daily and must be deduplicated against a 100 TB
+    * history WITHOUT rescanning or shuffling the history per batch.
+    *
+    * Two-tier plan:
+    *   1. The history's digest set is compacted into a bloom filter
+    *      (one history aggregation, reusable across batches — callers
+    *      can persist the serialized filter). A batch row whose digest
+    *      misses the filter is DEFINITELY novel (blooms have no false
+    *      negatives) and short-circuits past the join entirely.
+    *   2. Only the "maybe seen" slice — true duplicates plus the fpp
+    *      sliver of false positives — pays the exact anti-join against
+    *      the history digests. For mostly-novel corpora (the common
+    *      case) this keeps the per-batch shuffle proportional to the
+    *      duplicate rate, not the batch size.
+    * In-batch duplicates collapse to min-id per digest (same keep rule
+    * as exact dedup l1).
+    *
+    * Output: (idCol, digest) of the kept batch rows. Exactness vs the
+    * naive anti-join is pinned in DedupSpec; the digest is
+    * sha256(coalesce(text,'')) — collision-free for any real corpus. */
+  def incrementalDedup(
+      batch: DataFrame,
+      history: DataFrame,
+      idCol: String,
+      textCol: String,
+      expectedHistoryItems: Long = 1L << 16,
+      fpp: Double = 0.02): DataFrame = {
+    graft.GraftFunctions.ensureRegistered(batch.sparkSession)
+    def digest(df: DataFrame): Column = sha2(coalesce(col(textCol), lit("")), 256)
+    val hist = history.select(digest(history).as("digest")).distinct()
+    // the bloom keys on the digest's 64-bit hash: the filter probes
+    // longs; hashing a 256-bit hex digest down to 64 bits only adds to
+    // the (harmless) false-positive rate, never creates false negatives
+    val bloomBytes = BloomJoin.serialize(BloomJoin.buildFilter(
+      hist.select(xxhash64(col("digest")).as("k")),
+      "k", expectedHistoryItems, fpp))
+    val b = batch
+      .select(col(idCol), digest(batch).as("digest"))
+      .groupBy(col("digest")).agg(min(col(idCol)).as(idCol))
+    val maybeSeen = BloomJoin.mightContain(xxhash64(col("digest")), bloomBytes)
+    val novel = b.filter(!maybeSeen)
+    val checked = b.filter(maybeSeen)
+      .join(hist, Seq("digest"), "left_anti")
+    novel.unionByName(checked).select(col(idCol), col("digest"))
+  }
+
   /** Exact token-set Jaccard for a pair of texts (used to verify LSH
     * candidates). */
   def jaccard(t1: Column, t2: Column): Column = {

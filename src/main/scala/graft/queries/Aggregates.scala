@@ -294,29 +294,32 @@ object Aggregates extends QGroup {
           ,
       None),
 
-    // A11: single-pass exact column profiler — the data-quality scan a
-    // pipeline runs before trusting a new 100 TB drop. ONE scan computes
-    // per-column not-null/exact-distinct/min/max (the multi-distinct
-    // rewrites to a single Expand-based aggregate, not one job per
-    // column), then stack() unpivots driver-cheap 1×N to long form.
-    // Profiled columns are integer/string so min/max render identically
-    // across engines (double/timestamp rendering is engine-specific).
+    // A11: exact column profiler — the data-quality scan a pipeline
+    // runs before trusting a new 100 TB drop. One pruned single-column
+    // aggregate per profiled column, unioned: each branch's parquet
+    // scan reads EXACTLY one column (columnar IO ≈ a single 5-column
+    // scan in total) and its distinct aggregation hashes one narrow
+    // key with map-side partials. The tempting one-scan multi-distinct
+    // alternative plans as an Expand (rows × #columns, wide composite
+    // grouping keys) and measured 8.5 s vs ~1 s for this shape at
+    // sf0.1. Profiled columns are integer/string so min/max render
+    // identically across engines (double/timestamp rendering is
+    // engine-specific).
     QDef("a11_column_profile",
       (s, dir) => {
         val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
           "l_returnflag", "l_linestatus")
-        val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
-          count(col(c)).as(s"nn_$c"),
-          countDistinct(col(c)).as(s"nd_$c"),
-          min(col(c)).cast("string").as(s"mn_$c"),
-          max(col(c)).cast("string").as(s"mx_$c")))
-        val stacked = cols
-          .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c")
-          .mkString(s"stack(${cols.length}, ", ", ",
-            ") AS (col_name, n_notnull, n_distinct, min_str, max_str)")
-        Tables(s, dir, "lineitem")
-          .agg(aggs.head, aggs.tail: _*)
-          .selectExpr("n_rows", stacked)
+        val li = Tables(s, dir, "lineitem")
+        cols.map { c =>
+          li.agg(
+              count(lit(1)).as("n_rows"),
+              count(col(c)).as("n_notnull"),
+              countDistinct(col(c)).as("n_distinct"),
+              min(col(c)).cast("string").as("min_str"),
+              max(col(c)).cast("string").as("max_str"))
+            .select(lit(c).as("col_name"), col("n_rows"), col("n_notnull"),
+              col("n_distinct"), col("min_str"), col("max_str"))
+        }.reduce(_.unionByName(_))
       },
       Some("""WITH s AS (SELECT count(*) AS n_rows,
         |  count(l_orderkey) AS nn1, count(DISTINCT l_orderkey) AS nd1,

@@ -53,6 +53,30 @@ object LlmOps extends QGroup {
         |  array_to_string(list_sort(list(doc_id)), ',') AS members
         |FROM documents GROUP BY 1""".stripMargin)),
 
+    // L13: incremental dedup — a "new batch" (doc_id >= 250) against a
+    // "history" (doc_id < 250) via Dedup.incrementalDedup: bloom
+    // fast-path for definitely-novel digests (no false negatives →
+    // sound skip), exact anti-join only for the maybe-seen slice. The
+    // per-batch shuffle scales with the duplicate rate, not history
+    // size. Oracle = the naive NOT IN formulation; bit-identical
+    // results certify the bloom split is invisible to correctness.
+    QDef("l13_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.incrementalDedup(
+          docs.filter(col("doc_id") >= 250),
+          docs.filter(col("doc_id") < 250),
+          "doc_id", "text")
+      },
+      Some("""WITH h AS (
+        |  SELECT DISTINCT sha256(COALESCE(text, '')) AS digest
+        |  FROM documents WHERE doc_id < 250),
+        |b AS (
+        |  SELECT sha256(COALESCE(text, '')) AS digest, min(doc_id) AS doc_id
+        |  FROM documents WHERE doc_id >= 250 GROUP BY 1)
+        |SELECT doc_id, digest FROM b
+        |WHERE digest NOT IN (SELECT digest FROM h)""".stripMargin)),
+
     // L1c: n-gram (unigram-set) Jaccard similarity pairs — exact over
     // informative tokens, via the inverted-index plan in
     // Dedup.jaccardPairs. Tokens in > 90% of docs are dropped before

@@ -205,6 +205,33 @@ class DedupSpec extends SparkSpec {
     assert(ham(fp(1L), fp(2L)) <= 16)
     assert(ham(fp(1L), fp(3L)) >= 10)
   }
+
+  test("incrementalDedup equals the naive anti-join and collapses in-batch dups") {
+    import org.apache.spark.sql.functions._
+    val history = Seq((1L, "seen before"), (2L, "also seen"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen before"),   // dup of history → dropped
+      (11L, "brand new"),     // novel → kept
+      (12L, "brand new"),     // in-batch dup → collapses to id 11
+      (13L, "also seen"),     // dup of history → dropped
+      (14L, null.asInstanceOf[String])) // null text → digest of "" → kept
+      .toDF("doc_id", "text")
+
+    val got = Dedup.incrementalDedup(batch, history, "doc_id", "text",
+        expectedHistoryItems = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.map(_._1).sorted.toSeq == Seq(11L, 14L))
+
+    // equivalence with the naive formulation (no bloom split)
+    def dig(c: org.apache.spark.sql.Column) = sha2(coalesce(c, lit("")), 256)
+    val naive = batch.select(col("doc_id"), dig(col("text")).as("digest"))
+      .groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+      .join(history.select(dig(col("text")).as("digest")).distinct(),
+        Seq("digest"), "left_anti")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("digest")))
+    assert(got.sorted.toSeq == naive.sorted.toSeq)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
