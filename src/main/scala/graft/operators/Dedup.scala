@@ -460,4 +460,51 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Blocked edit-distance (Levenshtein) near-dup pairs — the
+    * record-linkage classic, shaped for scale:
+    *
+    *   1. BLOCK: rows join only within (text prefix, length band)
+    *     blocks. Levenshtein is O(len²) per pair, so an unblocked
+    *     self-join is doubly quadratic (pairs × cell grid) — the block
+    *     key turns Σn² over blocks into the cost, exactly the inverted-
+    *     index argument from [[jaccardPairs]]. The declared semantic is
+    *     therefore "near-dups that agree on the first `prefixLen` chars
+    *     and land in the same `lenBand`-char length band" — edits inside
+    *     the prefix or across a band boundary are out of contract (use
+    *     [[minHashLshPairs]] when edits can fall anywhere).
+    *   2. BOUND: distance is computed over the first `sigLen` chars
+    *     only, capping the DP grid at sigLen² regardless of document
+    *     length (full-text Levenshtein on book-sized rows is never
+    *     viable at corpus scale, and near-dup signal concentrates in
+    *     the head).
+    *   3. THRESHOLD: Spark's banded `levenshtein(l, r, k)` stops the DP
+    *     early once distance provably exceeds `maxDist` (returns -1),
+    *     so hopeless pairs cost O(k·sigLen), not O(sigLen²).
+    *
+    * Output: (d1, d2, dist) with d1 < d2 and dist ≤ maxDist. Exactly
+    * mirrored by portable SQL (`levenshtein` + the same block key), so
+    * the l14 oracle hash-verifies this operator. */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      prefixLen: Int = 8,
+      lenBand: Int = 16,
+      sigLen: Int = 64,
+      maxDist: Int = 16): DataFrame = {
+    val blocked = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        substring(col(textCol), 1, prefixLen).as("blk_prefix"),
+        expr(s"length(`$textCol`) div $lenBand").as("blk_len"),
+        substring(col(textCol), 1, sigLen).as("sig"))
+    val a = blocked.select(col("id").as("d1"), col("blk_prefix"),
+      col("blk_len"), col("sig").as("sig1"))
+    val b = blocked.select(col("id").as("d2"), col("blk_prefix"),
+      col("blk_len"), col("sig").as("sig2"))
+    a.join(b, Seq("blk_prefix", "blk_len")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        levenshtein(col("sig1"), col("sig2"), maxDist).as("dist"))
+      .filter(col("dist") =!= -1)
+  }
 }

@@ -130,6 +130,50 @@ object Joins extends QGroup {
         |GROUP BY r_name, n_name""".stripMargin),
       headline = true),
 
+    // J12: TPC-H Q5 shape — the canonical join-order benchmark: two
+    // fact-fact shuffles (customer⋈orders, ⋈lineitem), a mid-size
+    // supplier join carrying the local-supplier constraint
+    // (c_nationkey = s_nationkey), and broadcast dims. Filters are
+    // written on the base tables so the date range reaches the orders
+    // parquet scan and the region filter prunes before broadcast;
+    // supplier is deliberately UNhinted — at TPC-H scale it is 10k×SF
+    // rows, too big to broadcast at 100 TB, so AQE must pick the
+    // strategy from runtime stats.
+    QDef("j12_q5_shape",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val l = Tables(s, dir, "lineitem")
+        val su = Tables(s, dir, "supplier")
+        val n = broadcast(Tables(s, dir, "nation"))
+        val r = broadcast(Tables(s, dir, "region").filter(col("r_name") === "ASIA"))
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_items"),
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+              .cast("double").as("revenue"))
+      },
+      Some("""SELECT n_name, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin),
+      headline = true),
+
     // J8: as-of join — for each error event, the user's latest signup at
     // or before it (union+window operator; DuckDB ASOF JOIN oracle).
     QDef("j8_asof_join",

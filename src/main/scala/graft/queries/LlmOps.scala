@@ -156,6 +156,28 @@ object LlmOps extends QGroup {
         |WHERE a.vec_id < 100 AND b.vec_id < 100
         |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35""".stripMargin)),
 
+    // L14: blocked edit-distance near-dup pairs (record-linkage
+    // classic). Blocking on (8-char prefix, 16-char length band) keeps
+    // the self-join at Σn² over tiny blocks instead of n²; the distance
+    // is computed over a 64-char signature with Spark's banded
+    // threshold Levenshtein (early-exit DP). Oracle = the identical
+    // block + levenshtein in DuckDB — exact hash-compare.
+    QDef("l14_edit_distance_pairs",
+      (s, dir) =>
+        Dedup.editDistancePairs(
+          Tables(s, dir, "documents"),
+          idCol = "doc_id", textCol = "text",
+          prefixLen = 8, lenBand = 16, sigLen = 64, maxDist = 16)
+          ,
+      Some("""WITH b AS (
+        |  SELECT doc_id, substr(text, 1, 8) AS p, length(text) // 16 AS lb,
+        |    substr(text, 1, 64) AS sig
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT a.doc_id AS d1, c.doc_id AS d2,
+        |  levenshtein(a.sig, c.sig) AS dist
+        |FROM b a JOIN b c ON a.p = c.p AND a.lb = c.lb AND a.doc_id < c.doc_id
+        |WHERE levenshtein(a.sig, c.sig) <= 16""".stripMargin)),
+
     // L5: composed training-data-prep pipeline — exact dedup → quality +
     // language gates → per-(lang, source) corpus statistics. The
     // one-query version of what a 100 TB preprocessing job does.
@@ -297,6 +319,33 @@ object LlmOps extends QGroup {
         |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
         |  COUNT(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY 1""".stripMargin)),
+
+    // L15: weighted source-mixture sampling — THE data-mixing primitive
+    // for training-set construction: each source gets a keep-rate (per
+    // mille), unlisted sources fall to a default, and the keep decision
+    // is a deterministic hash of the id (no rand(): reproducible across
+    // runs, engines, retries, and partitionings — rand() changes with
+    // task re-execution and ruins caches/oracles alike). Scale shape:
+    // scan-only — a map-side filter with a broadcast-literal rate table,
+    // zero shuffles at any corpus size. The multiplier-mod hash keeps
+    // the oracle portable (xxhash64 isn't in DuckDB); ids up to ~2e14
+    // stay below Long overflow at this multiplier.
+    QDef("l15_source_mixture",
+      (s, dir) => {
+        val rates = typedlit(Map("src1" -> 700, "src4" -> 300, "src7" -> 50))
+        Tables(s, dir, "documents")
+          .withColumn("rate_permille",
+            coalesce(element_at(rates, col("source")), lit(150)))
+          .filter(pmod(col("doc_id") * 40503 + 17, lit(1000)) < col("rate_permille"))
+          .select(col("doc_id"), col("source"), col("rate_permille"))
+      },
+      Some("""SELECT doc_id, source,
+        |  CASE source WHEN 'src1' THEN 700 WHEN 'src4' THEN 300
+        |              WHEN 'src7' THEN 50 ELSE 150 END AS rate_permille
+        |FROM documents
+        |WHERE (doc_id * 40503 + 17) % 1000 <
+        |  CASE source WHEN 'src1' THEN 700 WHEN 'src4' THEN 300
+        |              WHEN 'src7' THEN 50 ELSE 150 END""".stripMargin)),
 
     // L7b: stratified deterministic take — first K docs per language by
     // doc_id (window top-k per stratum, one shuffle on the stratum key);

@@ -206,6 +206,38 @@ class DedupSpec extends SparkSpec {
     assert(ham(fp(1L), fp(3L)) >= 10)
   }
 
+  test("editDistancePairs pairs within blocks, bounds distance, skips cross-block") {
+    val corpus = Seq(
+      (1L, "prefix__ alpha beta gamma delta"),
+      (2L, "prefix__ alpha beta gamma delt"),   // 1 edit from doc 1, same block
+      (3L, "prefix__ " + "x" * 200),            // same prefix, different length band
+      (4L, "OTHER___ alpha beta gamma delta"),  // different prefix block
+      (5L, null.asInstanceOf[String])           // null text must not crash or pair
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(corpus, "doc_id", "text",
+        prefixLen = 8, lenBand = 16, sigLen = 64, maxDist = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 1, "near-dup in the same block pairs with its true distance")
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "length-band mismatch must block the comparison")
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "prefix mismatch must block the comparison")
+    assert(pairs.values.forall(d => d >= 0 && d <= 16), "threshold respected")
+  }
+
+  test("editDistancePairs distance is computed over the bounded signature only") {
+    // identical first 64 chars, wildly different tails -> dist 0
+    val corpus = Seq(
+      (1L, "a" * 64 + " tail one two three"),
+      (2L, "a" * 64 + " completely different ending of much greater length")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(corpus, "doc_id", "text",
+        prefixLen = 8, lenBand = 1000, sigLen = 64, maxDist = 4)
+      .collect()
+    assert(pairs.length == 1 && pairs.head.getInt(2) == 0,
+      "tails beyond sigLen are out of contract")
+  }
+
   test("incrementalDedup equals the naive anti-join and collapses in-batch dups") {
     import org.apache.spark.sql.functions._
     val history = Seq((1L, "seen before"), (2L, "also seen"))
