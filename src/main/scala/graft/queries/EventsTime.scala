@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
+import graft.operators.AsOfJoin
 
 /** Event-time aggregations in batch mode (SURVEY §2B G1/G2 oracle half;
   * the watermark/late-data semantics half lives in StreamingSpec).
@@ -100,6 +101,73 @@ object EventsTime extends QGroup {
         |)
         |SELECT user_id, sess, COUNT(*) AS n, MIN(tus) AS start_us, MAX(tus) AS end_us,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
-        |FROM g GROUP BY user_id, sess""".stripMargin))
+        |FROM g GROUP BY user_id, sess""".stripMargin)),
+
+    // G7: time-series resample + gap-fill (LOCF) — regularize irregular
+    // observations onto a fixed daily grid per key, carrying the last
+    // observation forward; NULL before a key's first observation. The
+    // time-series normalization primitive (feature tables, metric
+    // dashboards) that turns event logs into aligned series.
+    //
+    // Scale shape: the grid is generated per key from that key's own
+    // [min, max] span (sequence + explode — linear, never a global
+    // calendar cross-join), and the fill is AsOfJoin's union+window
+    // plan: ONE shuffle on the key, no row amplification. Observations
+    // are pre-collapsed to one row per (key, µs) so the as-of match is
+    // unambiguous on both engines (DuckDB ASOF leaves same-instant ties
+    // unspecified).
+    QDef("g7_resample_locf",
+      (s, dir) => {
+        val dayUs = 86400000000L
+        val obs = Tables(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), expr("ts div 1000").as("tus"), col("value"))
+          .groupBy(col("user_id"), col("tus")).agg(max(col("value")).as("value"))
+        val grid = obs.groupBy(col("user_id"))
+          .agg(expr(s"min(tus) div $dayUs").as("dlo"),
+            expr(s"max(tus) div $dayUs").as("dhi"))
+          .select(col("user_id"), explode(sequence(col("dlo"), col("dhi"))).as("day"))
+          .withColumn("tus", col("day") * dayUs)
+        AsOfJoin.asOf(grid, obs, key = "user_id", ts = "tus",
+            rightPayload = Seq("value"), tieCols = Seq("day"))
+          .select(col("user_id"), col("day"), col("r_value").as("value"))
+      },
+      Some(s"""WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |o AS (SELECT user_id, tus, MAX(value) AS value FROM e GROUP BY 1, 2),
+        |b AS (SELECT user_id, MIN(tus) // 86400000000 AS dlo,
+        |        MAX(tus) // 86400000000 AS dhi FROM o GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(dlo, dhi)) AS day FROM b)
+        |SELECT g.user_id, g.day, o.value
+        |FROM g ASOF LEFT JOIN o
+        |  ON g.user_id = o.user_id AND o.tus <= g.day * 86400000000""".stripMargin)),
+
+    // G8: SCD2 validity intervals (change-data-capture build): each
+    // key's change events become [valid_from, valid_to) rows via
+    // lead() over (key, time) — the dimension-history primitive.
+    // One window shuffle on the key; ordering made total with the
+    // event id so duplicate timestamps stay deterministic.
+    QDef("g8_scd2_intervals",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus").asc_nulls_first, col("event_id").asc_nulls_first)
+        Tables(s, dir, "events")
+          .filter(col("event_type") === "signup")
+          .select(col("user_id"), col("event_id"), col("value"),
+            expr("ts div 1000").as("tus"))
+          .withColumn("valid_to_us", lead(col("tus"), 1).over(w))
+          .select(col("user_id"), col("event_id"), col("value"),
+            col("tus").as("valid_from_us"), col("valid_to_us"),
+            when(col("valid_to_us").isNull, 1).otherwise(0).as("is_current"))
+      },
+      Some("""SELECT user_id, event_id, value,
+        |  tus AS valid_from_us,
+        |  LEAD(tus) OVER w AS valid_to_us,
+        |  CASE WHEN LEAD(tus) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM (SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus
+        |      FROM events WHERE event_type = 'signup') t
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY tus ASC NULLS FIRST, event_id ASC NULLS FIRST)""".stripMargin))
   )
 }

@@ -91,6 +91,48 @@ object SetOps extends QGroup {
         |  COUNT(*) AS n_dups
         |FROM events GROUP BY user_id, event_type""".stripMargin)),
 
+    // T4: snapshot reconciliation — classify every key of two table
+    // versions as added / deleted / changed with the changed column
+    // names (operators.Reconcile). The two "snapshots" are derived
+    // deterministically from orders: the old side drops keys ≡3 mod 11,
+    // the new side drops keys ≡5 mod 13 and bumps totalprice on keys
+    // ≡2 mod 17 — so all three classes are exercised. One full-outer
+    // shuffle join; bucketed snapshots reconcile exchange-free.
+    QDef("t4_snapshot_diff",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val oldSnap = orders.filter(col("o_orderkey") % 11 =!= 3)
+        val newSnap = orders.filter(col("o_orderkey") % 13 =!= 5)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 17 === 2, col("o_totalprice") + 100.0)
+              .otherwise(col("o_totalprice")))
+        graft.operators.Reconcile.snapshotDiff(oldSnap, newSnap,
+          keys = Seq("o_orderkey"), compare = Seq("o_orderstatus", "o_totalprice"))
+      },
+      Some("""WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 != 3),
+        |n AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 17 = 2 THEN o_totalprice + 100.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 != 5)
+        |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |       WHEN n.o_orderkey IS NULL THEN 'deleted'
+        |       ELSE 'changed' END AS change,
+        |  CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+        |       THEN concat_ws(',',
+        |         CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |              THEN 'o_orderstatus' END,
+        |         CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |              THEN 'o_totalprice' END) END AS changed_cols
+        |FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice""".stripMargin)),
+
     // P3: null-safe equality (<=> / IS NOT DISTINCT FROM).
     QDef("p3_null_safe_eq",
       (s, dir) =>

@@ -45,6 +45,40 @@ class AsOfJoinSpec extends SparkSpec {
   }
 }
 
+class ReconcileSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Reconcile
+
+  test("snapshotDiff classifies added/deleted/changed and names the changed columns") {
+    val oldSnap = Seq(
+      (1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0), (4L, "D", 40.0)
+    ).toDF("k", "status", "price")
+    val newSnap = Seq(
+      (1L, "A", 10.0),   // unchanged -> dropped
+      (2L, "B", 99.0),   // price changed
+      (3L, "X", 31.0),   // both changed
+      (5L, "E", 50.0)    // added; 4 deleted
+    ).toDF("k", "status", "price")
+    val out = Reconcile.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("status", "price"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(out == Map(
+      2L -> (("changed", "price")),
+      3L -> (("changed", "status,price")),
+      4L -> (("deleted", null)),
+      5L -> (("added", null))))
+  }
+
+  test("snapshotDiff null-safe compare: null==null is unchanged, null vs value is changed") {
+    val oldSnap = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("k", "v")
+    val newSnap = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "v")
+    val out = Reconcile.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "changed"), "null<=>null must not report a change")
+  }
+}
+
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
