@@ -168,6 +168,78 @@ object EventsTime extends QGroup {
         |FROM (SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus
         |      FROM events WHERE event_type = 'signup') t
         |WINDOW w AS (PARTITION BY user_id
-        |  ORDER BY tus ASC NULLS FIRST, event_id ASC NULLS FIRST)""".stripMargin))
+        |  ORDER BY tus ASC NULLS FIRST, event_id ASC NULLS FIRST)""".stripMargin)),
+
+    // G9: strict-order funnel — how many users signed up, then viewed
+    // AFTER the signup, then purchased AFTER that view. Each stage is a
+    // per-user MIN-timestamp aggregation joined back onto the event
+    // scan with a strict time bound — the sequencing can't be one
+    // conditional aggregate (each stage's window depends on the
+    // previous stage's result), so the plan is K stage-aggregations
+    // all shuffling on the SAME user key (exchange reuse; the stage
+    // tables shrink monotonically). Stage label carries its rank so
+    // the funnel reads in order.
+    QDef("g9_funnel_stages",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+        def stage(of: DataFrame, evType: String): DataFrame = {
+          val bound = of.withColumnRenamed("stage_ts", "prev_ts")
+          ev.filter(col("event_type") === evType)
+            .join(bound, "user_id")
+            .filter(col("tus") > col("prev_ts"))
+            .groupBy(col("user_id")).agg(min(col("tus")).as("stage_ts"))
+        }
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("tus")).as("stage_ts"))
+        val s2 = stage(s1, "view")
+        val s3 = stage(s2, "purchase")
+        s1.agg(count(lit(1)).as("n_users")).select(lit("1_signup").as("stage"), col("n_users"))
+          .unionByName(s2.agg(count(lit(1)).as("n_users"))
+            .select(lit("2_view_after_signup").as("stage"), col("n_users")))
+          .unionByName(s3.agg(count(lit(1)).as("n_users"))
+            .select(lit("3_purchase_after_view").as("stage"), col("n_users")))
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |s1 AS (SELECT user_id, MIN(tus) AS stage_ts FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(tus) AS stage_ts
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND tus > s1.stage_ts GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(tus) AS stage_ts
+        |       FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tus > s2.stage_ts GROUP BY 1)
+        |SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s1
+        |UNION ALL
+        |SELECT '2_view_after_signup', COUNT(*) FROM s2
+        |UNION ALL
+        |SELECT '3_purchase_after_view', COUNT(*) FROM s3""".stripMargin)),
+
+    // G10: retention cohorts — users grouped by first-seen day, counted
+    // on each later active day as (cohort_day, day_offset) cells; the
+    // standard triangle that product analytics reads retention from.
+    // Two aggregations on the user key (first-seen + distinct active
+    // days) and one count shuffle on the cohort cell — no windows, no
+    // self-join over the raw log.
+    QDef("g10_retention_cohorts",
+      (s, dir) => {
+        val dayUs = 86400000000L
+        val active = Tables(s, dir, "events")
+          .select(col("user_id"), expr(s"(ts div 1000) div $dayUs").as("day"))
+          .distinct()
+        val cohort = active.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        active.join(cohort, "user_id")
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH a AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  COUNT(*) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -71,6 +71,28 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("j12: Q5 shape broadcasts dims, shuffles facts, pushes the date filter") {
+    val p = planOf("j12_q5_shape")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, "nation+region should broadcast\n" + p)
+    assert(p.contains("Exchange hashpartitioning"), "fact-fact joins should shuffle\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(o_orderdate"),
+      "orders date range must reach the parquet scan\n" + p)
+  }
+
+  test("t4: snapshot diff is a single keyed full-outer join, no nested loop") {
+    val p = planOf("t4_snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("g7: resample fill is exchanges + window, never a range product") {
+    val p = planOf("g7_resample_locf")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "LOCF must use the union+window as-of plan\n" + p)
+  }
+
   test("l6: sequence packing is one shard exchange, no global sort below the window") {
     val p = planOf("l6_sequence_packing")
     assert(p.contains("Window"), p)
