@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomMightContain, CosineSimilarity, MinHashSignature, UnicodeNormalize}
+import graft.functions.{BloomMightContain, CosineSimilarity, LangId, MinHashSignature, TokenFingerprint, UnicodeNormalize}
 
 /** Session extension registering graft's native expressions, for use via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(BloomMightContain.name), BloomMightContain.info,
         BloomMightContain.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(LangId.name), LangId.info, LangId.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(TokenFingerprint.name), TokenFingerprint.info,
+        TokenFingerprint.builder))
     ext.injectOptimizerRule(graft.plans.CorruptDateRebaseRule.apply)
   }
 }
@@ -44,6 +49,12 @@ object GraftFunctions {
     val bc = FunctionIdentifier(BloomMightContain.name)
     if (!reg.functionExists(bc))
       reg.registerFunction(bc, BloomMightContain.info, BloomMightContain.builder)
+    val li = FunctionIdentifier(LangId.name)
+    if (!reg.functionExists(li))
+      reg.registerFunction(li, LangId.info, LangId.builder)
+    val fp = FunctionIdentifier(TokenFingerprint.name)
+    if (!reg.functionExists(fp))
+      reg.registerFunction(fp, TokenFingerprint.info, TokenFingerprint.builder)
     // sessions built without withExtensions still get the transparent
     // corrupt-date rebase via the user-provided optimizer batch; skip
     // when the extensions path already injected it (double installation
@@ -67,6 +78,18 @@ object GraftFunctions {
     ensureRegistered(spark)
     call_function(MinHashSignature.name, hashes,
       org.apache.spark.sql.functions.lit(numHashes))
+  }
+
+  /** Column API for the native one-pass language ID. */
+  def langIdNative(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    call_function(LangId.name, text)
+  }
+
+  /** Column API for the native rolling token fingerprint. */
+  def fingerprintNative(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    call_function(TokenFingerprint.name, text)
   }
 
   /** Column API for native Unicode normalization (NFC/NFD/NFKC/NFKD). */

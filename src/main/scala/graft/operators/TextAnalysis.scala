@@ -22,7 +22,12 @@ object TextAnalysis {
   /** Heuristic language ID: argmax of stopword hits per language, with a
     * CJK-character override; "und" (undetermined) when nothing matches.
     * Argmax via array_max over (score, -langIndex) structs — pure
-    * Column, deterministic tie-break by list order. */
+    * Column, deterministic tie-break by list order.
+    *
+    * This is the REFERENCE composition: five array_intersect passes per
+    * row. The hot path is the native one-pass
+    * [[graft.functions.LangId]] (`GraftFunctions.langIdNative`),
+    * property-tested bit-identical against this form. */
   def languageId(text: Column): Column = {
     val toks = split(lower(text), "\\s+")
     val scored = stopwords.toSeq.sortBy(_._1).zipWithIndex.map {
@@ -72,7 +77,13 @@ object TextAnalysis {
       lit("'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"), lit(0)))
 
   /** Rolling polynomial fingerprint over word tokens, computed mod
-    * 2^31-1 so the accumulator never overflows (ANSI-safe). */
+    * 2^31-1 so the accumulator never overflows (ANSI-safe).
+    *
+    * This is the REFERENCE composition: an interpreted HOF fold over a
+    * materialized token array. The hot path is the native zero-alloc
+    * [[graft.functions.TokenFingerprint]]
+    * (`GraftFunctions.fingerprintNative`), property-tested bit-identical
+    * against this form. */
   def rollingFingerprint(text: Column): Column = {
     val M = 2147483647L
     aggregate(split(text, " "), lit(0L),
@@ -226,10 +237,13 @@ object TextAnalysis {
         size(split(col("col"), " ")).as("n_tokens"))
   }
 
-  /** Convenience: annotate a corpus with all analysis columns. */
+  /** Convenience: annotate a corpus with all analysis columns (native
+    * one-pass lang-id / fingerprint — the corpus-scan hot path). */
   def annotate(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("lang_id", languageId(col(textCol)))
+    df.withColumn("lang_id",
+        graft.GraftFunctions.langIdNative(df.sparkSession, col(textCol)))
       .withColumn("quality", qualityMetrics(col(textCol)))
       .withColumn("n_bpeish_tokens", bpeishTokenCount(col(textCol)))
-      .withColumn("fingerprint", rollingFingerprint(col(textCol)))
+      .withColumn("fingerprint",
+        graft.GraftFunctions.fingerprintNative(df.sparkSession, col(textCol)))
 }

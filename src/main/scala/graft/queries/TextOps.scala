@@ -63,7 +63,9 @@ object TextOps extends QGroup {
         |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS INTEGER) AS n_bpeish
         |FROM documents""".stripMargin)),
 
-    // Language ID heuristic — oracle mirrors the stopword-intersection
+    // Language ID heuristic (native one-pass graft_langid; the Column
+    // composition it is property-tested against is
+    // TextAnalysis.languageId) — oracle mirrors the stopword-intersection
     // argmax exactly: DuckDB list_intersect has the same set semantics
     // as Spark array_intersect, regexp_split_to_array('\s+') matches
     // Spark's split(\s+) tokenizer on any whitespace, and
@@ -72,7 +74,8 @@ object TextOps extends QGroup {
     QDef("l3f_language_id",
       (s, dir) =>
         Tables(s, dir, "documents")
-          .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_id"))
+          .select(col("doc_id"),
+            graft.GraftFunctions.langIdNative(s, col("text")).as("lang_id"))
           ,
       Some("""WITH langs(lang, ord, words) AS (VALUES
         |  ('de', 0, ['der','die','und','das','ist','von','zu','den','ein','nicht']),
@@ -94,11 +97,14 @@ object TextOps extends QGroup {
         |       ELSE 'und' END AS lang_id
         |FROM best WHERE rn = 1""".stripMargin)),
 
-    // Rolling-hash document fingerprint (rows-only; stability asserted in spec).
+    // Rolling-hash document fingerprint via native graft_fingerprint
+    // (bit-identical to the HOF form TextAnalysis.rollingFingerprint,
+    // property-tested; rows-only, stability asserted in spec).
     QDef("l3g_fingerprint",
       (s, dir) =>
         Tables(s, dir, "documents")
-          .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+          .select(col("doc_id"),
+            graft.GraftFunctions.fingerprintNative(s, col("text")).as("fp"))
           ,
       None),
 

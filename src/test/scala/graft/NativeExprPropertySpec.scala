@@ -51,6 +51,63 @@ class NativeExprPropertySpec extends SparkSpec {
         (col("hof").isNotNull && col("hof") =!= col("native"))).count()
     assert(diff == 0)
   }
+
+  /** Generated text: whitespace-heavy, stopword-seeded, occasional CJK
+    * and empty strings — the edge surface of both tokenizers (leading/
+    * trailing/repeated separators, ties, case folding). */
+  private def textGen = {
+    val stop = graft.operators.TextAnalysis.stopwords.values.flatten.toSeq
+    val word = Gen.oneOf(
+      Gen.oneOf(stop), Gen.oneOf(stop.map(_.toUpperCase)),
+      Gen.alphaNumStr.map(_.take(12)), Gen.const("中文"),
+      Gen.const(""), Gen.const("the,"))
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n", " \r ")
+    for {
+      n <- Gen.chooseNum(0, 40)
+      ws <- Gen.listOfN(n, word)
+      ss <- Gen.listOfN(n, sep)
+      lead <- Gen.oneOf("", " ", "\t")
+    } yield lead + ws.zip(ss).map { case (w, s) => w + s }.mkString
+  }
+
+  test("graft_langid == Column composition on generated multilingual text") {
+    val rows = (1 to 150).map(seed =>
+      Tuple1(textGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))))
+    val df = rows.toDF("text")
+    val both = df.select(
+      graft.operators.TextAnalysis.languageId(col("text")).as("hof"),
+      graft.GraftFunctions.langIdNative(spark, col("text")).as("native"))
+    val diff = both.filter(
+      (col("hof").isNull =!= col("native").isNull) ||
+        (col("hof").isNotNull && col("hof") =!= col("native"))).count()
+    assert(diff == 0)
+    // sanity: the generator actually exercises >1 language + zh + und
+    assert(both.select(col("native")).distinct().count() >= 3)
+  }
+
+  test("graft_fingerprint == HOF composition on generated token text") {
+    val rows = (1 to 150).map(seed =>
+      Tuple1(textGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))))
+    val df = rows.toDF("text")
+    val both = df.select(
+      graft.operators.TextAnalysis.rollingFingerprint(col("text")).as("hof"),
+      graft.GraftFunctions.fingerprintNative(spark, col("text")).as("native"))
+    val diff = both.filter(
+      (col("hof").isNull =!= col("native").isNull) ||
+        (col("hof").isNotNull && col("hof") =!= col("native"))).count()
+    assert(diff == 0)
+  }
+
+  test("graft_langid / graft_fingerprint on the documents corpus (sf0.001)") {
+    val docs = spark.read.parquet(sf("documents"))
+    val both = docs.select(
+      graft.operators.TextAnalysis.languageId(col("text")).as("lh"),
+      graft.GraftFunctions.langIdNative(spark, col("text")).as("ln"),
+      graft.operators.TextAnalysis.rollingFingerprint(col("text")).as("fh"),
+      graft.GraftFunctions.fingerprintNative(spark, col("text")).as("fn"))
+    assert(both.filter(col("lh") =!= col("ln") || col("fh") =!= col("fn"))
+      .count() == 0)
+  }
 }
 
 /** Property tests for the round-4 operators: the bucketed interval join
