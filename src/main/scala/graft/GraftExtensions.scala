@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomMightContain, CosineSimilarity, LangId, MinHashSignature, TokenFingerprint, UnicodeNormalize}
+import graft.functions.{BloomMightContain, CosineSimilarity, LangId, MinHashSignature, RepetitionStats, TokenFingerprint, UnicodeNormalize}
 
 /** Session extension registering graft's native expressions, for use via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(TokenFingerprint.name), TokenFingerprint.info,
         TokenFingerprint.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(RepetitionStats.name), RepetitionStats.info,
+        RepetitionStats.builder))
     ext.injectOptimizerRule(graft.plans.CorruptDateRebaseRule.apply)
   }
 }
@@ -55,6 +58,9 @@ object GraftFunctions {
     val fp = FunctionIdentifier(TokenFingerprint.name)
     if (!reg.functionExists(fp))
       reg.registerFunction(fp, TokenFingerprint.info, TokenFingerprint.builder)
+    val rp = FunctionIdentifier(RepetitionStats.name)
+    if (!reg.functionExists(rp))
+      reg.registerFunction(rp, RepetitionStats.info, RepetitionStats.builder)
     // sessions built without withExtensions still get the transparent
     // corrupt-date rebase via the user-provided optimizer batch; skip
     // when the extensions path already injected it (double installation
@@ -90,6 +96,12 @@ object GraftFunctions {
   def fingerprintNative(spark: SparkSession, text: Column): Column = {
     ensureRegistered(spark)
     call_function(TokenFingerprint.name, text)
+  }
+
+  /** Column API for the native one-pass repetition metrics struct. */
+  def repetitionNative(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    call_function(RepetitionStats.name, text)
   }
 
   /** Column API for native Unicode normalization (NFC/NFD/NFKC/NFKD). */

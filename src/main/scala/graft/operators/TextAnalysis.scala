@@ -101,7 +101,14 @@ object TextAnalysis {
     * and the accumulator, so nothing is re-evaluated per element.
     *
     * Struct fields: n_words, n_distinct_words, top_word_ratio,
-    * distinct_frac (ratios rounded to 6 dp, matching the SQL oracle). */
+    * distinct_frac (ratios rounded to 6 dp, matching the SQL oracle).
+    *
+    * This is the REFERENCE composition: an interpreted HOF fold over a
+    * sorted token array. The hot path is the native one-pass
+    * [[graft.functions.RepetitionStats]]
+    * (`GraftFunctions.repetitionNative`), property-tested bit-identical
+    * against this form — the max word multiplicity it counts equals the
+    * longest sorted-run this fold finds. */
   def repetitionMetrics(text: Column): Column = {
     val ws = split(text, " ")
     val nWords = size(ws)

@@ -118,7 +118,7 @@ object TextOps extends QGroup {
       (s, dir) =>
         Tables(s, dir, "documents")
           .filter(col("text").isNotNull)
-          .withColumn("r", graft.operators.TextAnalysis.repetitionMetrics(col("text")))
+          .withColumn("r", graft.GraftFunctions.repetitionNative(s, col("text")))
           .select(col("doc_id"),
             col("r.n_words").as("n_words"),
             col("r.n_distinct_words").as("n_distinct_words"),

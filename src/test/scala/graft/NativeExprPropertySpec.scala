@@ -98,15 +98,30 @@ class NativeExprPropertySpec extends SparkSpec {
     assert(diff == 0)
   }
 
-  test("graft_langid / graft_fingerprint on the documents corpus (sf0.001)") {
+  test("graft_repetition == HOF composition on generated token text") {
+    val rows = (1 to 150).map(seed =>
+      Tuple1(textGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))))
+    val df = rows.toDF("text")
+    val both = df.select(
+      graft.operators.TextAnalysis.repetitionMetrics(col("text")).as("hof"),
+      graft.GraftFunctions.repetitionNative(spark, col("text")).as("native"))
+    val diff = both.filter(
+      (col("hof").isNull =!= col("native").isNull) ||
+        (col("hof").isNotNull && col("hof") =!= col("native"))).count()
+    assert(diff == 0)
+  }
+
+  test("native text expressions on the documents corpus (sf0.001)") {
     val docs = spark.read.parquet(sf("documents"))
     val both = docs.select(
       graft.operators.TextAnalysis.languageId(col("text")).as("lh"),
       graft.GraftFunctions.langIdNative(spark, col("text")).as("ln"),
       graft.operators.TextAnalysis.rollingFingerprint(col("text")).as("fh"),
-      graft.GraftFunctions.fingerprintNative(spark, col("text")).as("fn"))
-    assert(both.filter(col("lh") =!= col("ln") || col("fh") =!= col("fn"))
-      .count() == 0)
+      graft.GraftFunctions.fingerprintNative(spark, col("text")).as("fn"),
+      graft.operators.TextAnalysis.repetitionMetrics(col("text")).as("rh"),
+      graft.GraftFunctions.repetitionNative(spark, col("text")).as("rn"))
+    assert(both.filter(col("lh") =!= col("ln") || col("fh") =!= col("fn") ||
+      col("rh") =!= col("rn")).count() == 0)
   }
 }
 
