@@ -334,6 +334,32 @@ object Dedup {
         expr("(n_hits * 1000) div n_grams").as("cpm"))
   }
 
+  /** Within-corpus duplicated n-gram fraction per document (the
+    * memorization-risk signal from exact-substring dedup work: spans
+    * repeated across documents are what models memorize first). For
+    * each doc, the share of its distinct word n-grams whose corpus
+    * document-frequency exceeds 1.
+    *
+    * Scale shape: gram rows → one keyed aggregation for document
+    * frequency, then gram rows join that aggregate ON THE SAME gram key
+    * (the exchange is reused, not repeated), then one per-doc count.
+    * Never a doc↔doc self-join — cost is linear in corpus grams, and
+    * the df table is the only intermediate bigger than the output.
+    *
+    * Output: (doc_id, n_grams, n_dup, dpm); dpm = duplicated grams per
+    * mille (integer-div, oracle-stable). */
+  def ngramDupFraction(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val grams = ngramRows(df, idCol, textCol, n)
+    val dfreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    grams.join(dfreq, Seq("gram"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("id").as("doc_id"), col("n_grams"), col("n_dup"),
+        expr("(n_dup * 1000) div n_grams").as("dpm"))
+  }
+
   /** Incremental exact dedup — the append-only production pattern: a
     * new batch arrives daily and must be deduplicated against a 100 TB
     * history WITHOUT rescanning or shuffling the history per batch.

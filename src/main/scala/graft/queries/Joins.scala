@@ -275,6 +275,62 @@ object Joins extends QGroup {
           col("l_partkey"), col("l_quantity")),
       Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
         |FROM lineitem
-        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)""".stripMargin))
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)""".stripMargin)),
+
+    // J13: TPC-H Q18 shape — large-volume orders: aggregate the fact,
+    // HAVING-filter, join back to orders + customer. Scale shape: the
+    // lineitem aggregation and the orders join shuffle on the SAME
+    // orderkey (one exchange reused); the HAVING threshold prunes to a
+    // sliver before any join, and AQE sizes the customer join off the
+    // surviving row count (at TPC-H scale customer is too big to
+    // broadcast statically but the filtered order set is tiny).
+    QDef("j13_q18_shape",
+      (s, dir) => {
+        val bigOrders = Tables(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast(dec)).as("sum_qty"))
+          .filter(col("sum_qty") > 250)
+        Tables(s, dir, "orders")
+          .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+          .join(Tables(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_orderdate").cast("date").cast("string").as("o_day"),
+            col("sum_qty").cast("double").as("sum_qty"))
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_day,
+        |  CAST(sum_qty AS DOUBLE) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 250) big
+        |  ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin)),
+
+    // J14: correlated scalar subqueries (TPC-H Q17 shape) — "parts
+    // priced below their type's average", written as genuine correlated
+    // subqueries through spark.sql so Catalyst's decorrelation rewrites
+    // them into per-type aggregates + joins (RewriteCorrelatedScalarSubquery;
+    // the per-type aggregate is 6 rows here and broadcast back).
+    // Determinism: the avg compare is decomposed into exact decimal
+    // cross-multiplication (price × count < sum) — no decimal division,
+    // whose result scale the two engines round differently.
+    QDef("j14_scalar_subquery",
+      (s, dir) => {
+        Tables(s, dir, "part").createOrReplaceTempView("j14_part")
+        s.sql("""SELECT p_partkey, p_type, p_retailprice
+          |FROM j14_part p
+          |WHERE CAST(p_retailprice AS DECIMAL(38,6)) *
+          |      (SELECT COUNT(*) FROM j14_part p2 WHERE p2.p_type = p.p_type)
+          |    < (SELECT SUM(CAST(p_retailprice AS DECIMAL(38,6)))
+          |       FROM j14_part p2 WHERE p2.p_type = p.p_type)""".stripMargin)
+      },
+      Some("""SELECT p_partkey, p_type, p_retailprice
+        |FROM part p
+        |WHERE CAST(p_retailprice AS DECIMAL(38,6)) *
+        |      (SELECT COUNT(*) FROM part p2 WHERE p2.p_type = p.p_type)
+        |    < (SELECT SUM(CAST(p_retailprice AS DECIMAL(38,6)))
+        |       FROM part p2 WHERE p2.p_type = p.p_type)""".stripMargin))
   )
 }

@@ -265,6 +265,34 @@ object LlmOps extends QGroup {
         |SELECT s.doc_id, n_grams, n_hits, (n_hits*1000)//n_grams AS cpm
         |FROM sizes s JOIN hits h ON s.doc_id = h.doc_id""".stripMargin)),
 
+    // L17: within-corpus duplicated n-gram fraction — the exact-
+    // substring-dedup signal (spans repeated across documents are what
+    // models memorize first). n=4 matches l9's rationale on this
+    // synthetic corpus; production runs n=8–13, same plan. One keyed
+    // aggregation for gram document-frequency + a reused-exchange join
+    // back + a per-doc count — linear in corpus grams, never a doc↔doc
+    // self-join (Dedup.ngramDupFraction).
+    QDef("l17_ngram_dupfrac",
+      (s, dir) => Dedup.ngramDupFraction(
+        Tables(s, dir, "documents"), idCol = "doc_id", textCol = "text", n = 4),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), pos AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t)-3, 1))) AS i
+        |  FROM toks
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g FROM pos
+        |), dfreq AS (
+        |  SELECT g, COUNT(*) AS df FROM grams GROUP BY 1
+        |)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  (CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+        |    // COUNT(*) AS dpm
+        |FROM grams JOIN dfreq USING (g) GROUP BY doc_id""".stripMargin)),
+
     // L6: sequence packing for pretraining batches — greedy cumulative
     // token count per shard, bin = floor(tokens-before / ctx). Shard-
     // partitioned window (one shuffle, no global sort) so it scales:

@@ -146,6 +146,52 @@ object SetOps extends QGroup {
       Some("""SELECT (f IS NOT DISTINCT FROM st) AS same, COUNT(*) AS cnt
         |FROM (SELECT NULLIF(l_returnflag, 'N') AS f, NULLIF(l_linestatus, 'O') AS st
         |      FROM lineitem) t
-        |GROUP BY 1""".stripMargin))
+        |GROUP BY 1""".stripMargin)),
+
+    // T5: MERGE-style upsert (SCD1 apply) — a deterministic change
+    // batch (updates for custkey%7=0, deletes for custkey%13=0 taking
+    // priority, inserts at custkey+1000000 for custkey%97=0) applied to
+    // the customer snapshot via one full-outer keyed join: matched
+    // deletes drop, matched updates take the source value, unmatched
+    // target rows persist, unmatched source rows insert. Spark has no
+    // MERGE INTO outside table formats; this is the engine-level
+    // composition it lowers to, and the scale shape is a single
+    // co-partitioned exchange on the key (a broadcast can't help:
+    // full-outer keeps both unmatched sides).
+    QDef("t5_merge_upsert",
+      (s, dir) => {
+        val target = Tables(s, dir, "customer")
+          .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+        val source = Tables(s, dir, "customer")
+          .filter(col("c_custkey") % 13 === 0 || col("c_custkey") % 7 === 0)
+          .select(col("c_custkey").as("s_key"),
+            when(col("c_custkey") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
+            (col("c_acctbal") + 100.0).as("s_bal"))
+          .unionByName(
+            Tables(s, dir, "customer").filter(col("c_custkey") % 97 === 0)
+              .select((col("c_custkey") + 1000000L).as("s_key"),
+                lit("I").as("op"), lit(0.0).as("s_bal")))
+        target.join(source, col("key") === col("s_key"), "full_outer")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(
+            coalesce(col("key"), col("s_key")).as("custkey"),
+            when(col("op").isNotNull, col("s_bal")).otherwise(col("bal")).as("acctbal"),
+            coalesce(col("op"), lit("K")).as("action"))
+      },
+      Some("""WITH target AS (
+        |  SELECT c_custkey AS key, c_acctbal AS bal FROM customer),
+        |source AS (
+        |  SELECT c_custkey AS s_key,
+        |    CASE WHEN c_custkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    c_acctbal + 100.0 AS s_bal
+        |  FROM customer WHERE c_custkey % 13 = 0 OR c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS s_key, 'I' AS op, 0.0 AS s_bal
+        |  FROM customer WHERE c_custkey % 97 = 0)
+        |SELECT COALESCE(key, s_key) AS custkey,
+        |  CASE WHEN op IS NOT NULL THEN s_bal ELSE bal END AS acctbal,
+        |  COALESCE(op, 'K') AS action
+        |FROM target FULL OUTER JOIN source ON key = s_key
+        |WHERE op IS NULL OR op != 'D'""".stripMargin))
   )
 }

@@ -269,6 +269,71 @@ object TextOps extends QGroup {
         |  CAST(len(string_split(
         |    array_to_string(list_slice(toks, s + 1, s + 64), ' '), ' '))
         |    AS INTEGER) AS n_tokens
-        |FROM c""".stripMargin))
+        |FROM c""".stripMargin)),
+
+    // L16: PMI collocations — adjacent-token bigrams scored by
+    // pointwise mutual information against corpus unigram frequencies
+    // (phrase mining / tokenizer-merge candidates). Shapes: adjacency
+    // pairs via two aligned slices zipped (no positional self-join);
+    // one keyed aggregation each for bigram and unigram counts; the
+    // frequency joins run on the bigram set already HAVING-pruned to
+    // c >= 5, so AQE broadcasts it against the vocab-sized count
+    // tables. Determinism: PMI is a fixed expression tree over
+    // exact-integer-derived doubles, FLOOR-scaled to micro-nats
+    // (floor of identical IEEE doubles, the l10/l11 recipe).
+    QDef("l16_pmi_bigrams",
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(split(col("text"), " ").as("t"))
+        val pairs = toks
+          .select(slice(col("t"), lit(1), size(col("t")) - 1).as("xs"),
+            slice(col("t"), lit(2), size(col("t")) - 1).as("ys"))
+          .select(explode(arrays_zip(col("xs"), col("ys"))).as("p"))
+          .select(col("p.xs").as("x"), col("p.ys").as("y"))
+        val uni = toks.select(explode(col("t")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c_tok"))
+        // grand total off the vocab counts (reused exchange), not a
+        // third corpus pass — the l10 recipe
+        val totals = uni.agg(sum(col("c_tok")).as("n_toks"))
+        val big = pairs.groupBy(col("x"), col("y"))
+          .agg(count(lit(1)).as("c_xy"))
+          .filter(col("c_xy") >= 5)
+        val nBig = pairs.agg(count(lit(1)).as("n_big"))
+        big
+          .join(uni.select(col("tok").as("x"), col("c_tok").as("c_x")), Seq("x"))
+          .join(uni.select(col("tok").as("y"), col("c_tok").as("c_y")), Seq("y"))
+          .crossJoin(broadcast(totals))
+          .crossJoin(broadcast(nBig))
+          .select(col("x"), col("y"), col("c_xy"),
+            floor((log(col("c_xy").cast("double"))
+              + log(col("n_toks").cast("double")) * 2.0
+              - log(col("n_big").cast("double"))
+              - log(col("c_x").cast("double"))
+              - log(col("c_y").cast("double"))) * 1e6).as("pmi_micro"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
+        |pairs AS (
+        |  SELECT t[i] AS x, t[i+1] AS y
+        |  FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i FROM toks)),
+        |uni AS (
+        |  SELECT tok, COUNT(*) AS c_tok
+        |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+        |totals AS (SELECT SUM(c_tok) AS n_toks FROM uni),
+        |big AS (
+        |  SELECT x, y, COUNT(*) AS c_xy FROM pairs GROUP BY x, y
+        |  HAVING COUNT(*) >= 5),
+        |nbig AS (SELECT COUNT(*) AS n_big FROM pairs)
+        |SELECT x, y, c_xy,
+        |  CAST(FLOOR((ln(CAST(c_xy AS DOUBLE))
+        |    + ln(CAST(n_toks AS DOUBLE)) * 2.0
+        |    - ln(CAST(n_big AS DOUBLE))
+        |    - ln(CAST(c_x AS DOUBLE))
+        |    - ln(CAST(c_y AS DOUBLE))) * 1e6) AS BIGINT) AS pmi_micro
+        |FROM big
+        |JOIN (SELECT tok AS x, c_tok AS c_x FROM uni) ux USING (x)
+        |JOIN (SELECT tok AS y, c_tok AS c_y FROM uni) uy USING (y)
+        |CROSS JOIN totals CROSS JOIN nbig""".stripMargin))
   )
 }

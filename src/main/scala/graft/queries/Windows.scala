@@ -150,6 +150,43 @@ object Windows extends QGroup {
       Some("""SELECT c_custkey, NULLIF(c_mktsegment, 'AUTOMOBILE') AS seg_or_null, c_acctbal
         |FROM customer
         |ORDER BY seg_or_null ASC NULLS FIRST, c_acctbal DESC NULLS LAST,
-        |  c_custkey ASC NULLS FIRST""".stripMargin))
+        |  c_custkey ASC NULLS FIRST""".stripMargin)),
+
+    // W5: gaps-and-islands — maximal runs of consecutive order days per
+    // customer via the classic row_number difference: day − rn is
+    // constant exactly within a consecutive run. Scale shape: ONE
+    // exchange on custkey up front serves the distinct, the window, AND
+    // the island aggregation (HashPartitioning(custkey) satisfies both
+    // the (custkey, dt) and (custkey, grp) clusterings — without the
+    // explicit repartition, distinct plans its own pair-keyed exchange
+    // and the window re-exchanges by custkey).
+    QDef("w5_gaps_islands",
+      (s, dir) => {
+        val days = Tables(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderdate").cast("date").as("dt"))
+          .repartition(col("o_custkey"))
+          .distinct()
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("dt").asc_nulls_first)
+        days
+          .withColumn("grp", date_sub(col("dt"), row_number().over(w)))
+          .groupBy(col("o_custkey"), col("grp"))
+          .agg(min(col("dt")).cast("string").as("island_start"),
+            max(col("dt")).cast("string").as("island_end"),
+            count(lit(1)).as("n_days"))
+          .drop("grp")
+      },
+      Some("""WITH d AS (
+        |  SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS dt FROM orders),
+        |i AS (
+        |  SELECT o_custkey, dt,
+        |    dt - TO_DAYS(CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY o_custkey ORDER BY dt ASC NULLS FIRST) AS INTEGER)) AS grp
+        |  FROM d)
+        |SELECT o_custkey,
+        |  CAST(MIN(dt) AS VARCHAR) AS island_start,
+        |  CAST(MAX(dt) AS VARCHAR) AS island_end,
+        |  COUNT(*) AS n_days
+        |FROM i GROUP BY o_custkey, grp""".stripMargin))
   )
 }
