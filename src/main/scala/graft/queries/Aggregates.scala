@@ -398,6 +398,37 @@ object Aggregates extends QGroup {
         |UNION ALL SELECT 'l_partkey', n_rows, nn2, nd2, mn2, mx2 FROM s
         |UNION ALL SELECT 'l_suppkey', n_rows, nn3, nd3, mn3, mx3 FROM s
         |UNION ALL SELECT 'l_returnflag', n_rows, nn4, nd4, mn4, mx4 FROM s
-        |UNION ALL SELECT 'l_linestatus', n_rows, nn5, nd5, mn5, mx5 FROM s""".stripMargin))
+        |UNION ALL SELECT 'l_linestatus', n_rows, nn5, nd5, mn5, mx5 FROM s""".stripMargin)),
+
+    // A14: median-absolute-deviation outlier stats per group — the
+    // robust twin of a12's z-score (a single 10^6× price typo shifts a
+    // mean/stddev fence but barely moves MAD). Two passes over the same
+    // group key: exact median per group, broadcast back, then median of
+    // absolute deviations — both reusing one returnflag exchange; the
+    // same hot-key caveat as a10/u2 applies, with a10b's sketch as the
+    // bounded-memory path. round(,6) on the interpolated doubles is the
+    // a10-certified portable rendering.
+    QDef("a14_mad",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"))
+        val med = li.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+        li.join(broadcast(med), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(round(max(col("med")), 6).as("med"),
+            round(expr("percentile(abs(l_extendedprice - med), 0.5)"), 6)
+              .as("mad"),
+            count(lit(1)).as("n"))
+      },
+      Some("""WITH med AS (
+        |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  round(max(med), 6) AS med,
+        |  round(quantile_cont(abs(l_extendedprice - med), 0.5), 6) AS mad,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN med USING (l_returnflag)
+        |GROUP BY l_returnflag""".stripMargin))
   )
 }

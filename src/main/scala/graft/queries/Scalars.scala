@@ -220,6 +220,39 @@ object Scalars extends QGroup {
         |  nfc_normalize(p_name || ' cafe' || chr(769)) AS nfc,
         |  CAST(length(p_name || ' cafe' || chr(769)) AS INTEGER) AS len_raw,
         |  CAST(length(nfc_normalize(p_name || ' cafe' || chr(769))) AS INTEGER) AS len_nfc
-        |FROM part""".stripMargin))
+        |FROM part""".stripMargin)),
+
+    // X9: URL parsing — host/path/query/param extraction (crawl-corpus
+    // provenance analysis: per-domain counts, dedup keys, robots
+    // filtering all start here). URLs are synthesized deterministically
+    // from customer rows; Spark's parse_url (Hive-compatible java.net
+    // parsing) is cross-checked against an independent regexp
+    // formulation in DuckDB — the oracle certifies the two mechanisms
+    // agree, not that one copies the other.
+    QDef("x9_url_parse",
+      (s, dir) => {
+        val url = concat(lit("https://shop"), col("c_custkey") % 5,
+          lit(".example.com/seg/"), col("c_mktsegment"),
+          lit("/item?cust="), col("c_custkey"),
+          lit("&nation="), col("c_nationkey"))
+        Tables(s, dir, "customer").select(
+          col("c_custkey"),
+          parse_url(url, lit("HOST")).as("host"),
+          parse_url(url, lit("PATH")).as("path"),
+          parse_url(url, lit("QUERY")).as("query"),
+          parse_url(url, lit("QUERY"), lit("nation")).as("nation_param"))
+      },
+      Some("""WITH u AS (
+        |  SELECT c_custkey,
+        |    'https://shop' || (c_custkey % 5) || '.example.com/seg/' ||
+        |    c_mktsegment || '/item?cust=' || c_custkey ||
+        |    '&nation=' || c_nationkey AS url
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+        |  regexp_extract(url, '[?&]nation=([^&#]*)', 1) AS nation_param
+        |FROM u""".stripMargin))
   )
 }

@@ -334,6 +334,61 @@ object TextOps extends QGroup {
         |FROM big
         |JOIN (SELECT tok AS x, c_tok AS c_x FROM uni) ux USING (x)
         |JOIN (SELECT tok AS y, c_tok AS c_y FROM uni) uy USING (y)
-        |CROSS JOIN totals CROSS JOIN nbig""".stripMargin))
+        |CROSS JOIN totals CROSS JOIN nbig""".stripMargin)),
+
+    // L18: curriculum binning — documents bucketed by global quality-
+    // score quartiles (curriculum schedules feed easy/clean buckets
+    // first; data mixes are rebalanced per bucket). The three quartile
+    // edges are one tiny global aggregate broadcast back over the
+    // corpus scan; bin assignment is a case-when against identical
+    // interpolated doubles in both engines, so boundary comparisons
+    // cannot diverge. Per-bin stats stay exact (counts + 4dp-rounded
+    // min/max of an already-4dp score).
+    QDef("l18_curriculum_bins",
+      (s, dir) => {
+        val scored = Tables(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            TextAnalysis.qualityMetrics(col("text")).getField("quality")
+              .as("q"))
+        val edges = scored.agg(
+          expr("percentile(q, 0.25)").as("e1"),
+          expr("percentile(q, 0.5)").as("e2"),
+          expr("percentile(q, 0.75)").as("e3"))
+        scored.crossJoin(broadcast(edges))
+          .select(col("doc_id"), col("q"),
+            when(col("q") < col("e1"), 0)
+              .when(col("q") < col("e2"), 1)
+              .when(col("q") < col("e3"), 2)
+              .otherwise(3).as("bin"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("q")).as("q_min"), max(col("q")).as("q_max"))
+      },
+      Some("""WITH scored AS (
+        |  SELECT doc_id,
+        |    round(greatest(0.0, least(1.0,
+        |      1.0
+        |      - (CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |         / greatest(length(text), 1)) * 2.0
+        |      - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |        / greatest(length(text), 1)
+        |      - CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |                  / (length(text) - length(replace(text, ' ', '')) + 1) < 2.0
+        |               OR CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |                  / (length(text) - length(replace(text, ' ', '')) + 1) > 12.0
+        |             THEN 0.3 ELSE 0.0 END
+        |      - CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 < 5
+        |             THEN 0.3 ELSE 0.0 END)), 4) AS q
+        |  FROM documents WHERE text IS NOT NULL),
+        |edges AS (
+        |  SELECT quantile_cont(q, 0.25) AS e1, quantile_cont(q, 0.5) AS e2,
+        |         quantile_cont(q, 0.75) AS e3
+        |  FROM scored)
+        |SELECT CASE WHEN q < e1 THEN 0 WHEN q < e2 THEN 1
+        |            WHEN q < e3 THEN 2 ELSE 3 END AS bin,
+        |  COUNT(*) AS n_docs, MIN(q) AS q_min, MAX(q) AS q_max
+        |FROM scored CROSS JOIN edges
+        |GROUP BY 1""".stripMargin))
   )
 }

@@ -187,6 +187,37 @@ object Windows extends QGroup {
         |  CAST(MIN(dt) AS VARCHAR) AS island_start,
         |  CAST(MAX(dt) AS VARCHAR) AS island_end,
         |  COUNT(*) AS n_days
-        |FROM i GROUP BY o_custkey, grp""".stripMargin))
+        |FROM i GROUP BY o_custkey, grp""".stripMargin)),
+
+    // W6: ratio-to-report — each order's share of its day's total value
+    // (market-share / contribution analysis; Oracle's RATIO_TO_REPORT).
+    // One exchange on the day key for the unbounded window sum.
+    // Determinism: price is lifted to exact integer micros through
+    // DECIMAL (double→decimal is value-exact, decimal→bigint is
+    // truncation in BOTH engines, where a straight double→bigint cast
+    // rounds in DuckDB and truncates in Spark), so share_pm is pure
+    // BIGINT arithmetic — order-independent and division-free.
+    QDef("w6_ratio_to_report",
+      (s, dir) => {
+        val w = Window.partitionBy(col("day"))
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"),
+            col("o_orderdate").cast("date").cast("string").as("day"),
+            (col("o_totalprice").cast(dec) * 1000000).cast("long")
+              .as("price_micro"))
+          .withColumn("share_pm",
+            expr("(price_micro * 1000) div sum(price_micro) over (partition by day)"))
+          .select(col("o_orderkey"), col("day"), col("price_micro"),
+            col("share_pm"))
+      },
+      Some("""SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+        |  CAST(CAST(o_totalprice AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS price_micro,
+        |  (CAST(CAST(o_totalprice AS DECIMAL(38,6)) * 1000000 AS BIGINT) * 1000)
+        |    // CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(38,6)) * 1000000 AS BIGINT))
+        |           OVER (PARTITION BY CAST(CAST(o_orderdate AS DATE) AS VARCHAR))
+        |         AS BIGINT)
+        |    AS share_pm
+        |FROM orders""".stripMargin))
   )
 }
