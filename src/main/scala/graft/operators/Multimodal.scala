@@ -33,8 +33,14 @@ object Multimodal {
       md.digest(bytes).map("%02x".format(_)).mkString
     }
     /** "Decode": dimensions/duration are pure functions of the digest. */
-    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Long) = {
-      val h = java.lang.Long.parseUnsignedLong(digestOf(bytes).take(15), 16)
+    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Long) =
+      decodeFromDigest(kind, digestOf(bytes))
+
+    /** Same, for callers that already hashed the payload — the feature
+      * extractor needs the digest as an output column anyway, and
+      * re-hashing a multi-KB payload per row doubles the decode cost. */
+    def decodeFromDigest(kind: String, digest: String): (Int, Int, Long) = {
+      val h = java.lang.Long.parseUnsignedLong(digest.take(15), 16)
       kind match {
         case "image" => ((h % 1920 + 1).toInt, (h / 1920 % 1080 + 1).toInt, 0L)
         case "audio" => (0, 0, h % 600000L)
@@ -57,8 +63,9 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val bytes = Option(r.payload).getOrElse(Array.empty[Byte])
-        val (w, h, d) = FakeCodec.decode(r.kind, bytes)
-        MediaFeatures(r.id, r.kind, bytes.length.toLong, FakeCodec.digestOf(bytes),
+        val digest = FakeCodec.digestOf(bytes) // hash once: digest column + decode seed
+        val (w, h, d) = FakeCodec.decodeFromDigest(r.kind, digest)
+        MediaFeatures(r.id, r.kind, bytes.length.toLong, digest,
           w, h, d, FakeCodec.sampleFrames(bytes.length.toLong))
       }
     }

@@ -119,6 +119,35 @@ class PlanSpec extends SparkSpec {
       "scalar projection must sit inside a codegen span")
   }
 
+  test("w5: gaps-and-islands runs on ONE exchange (distinct + window + agg share it)") {
+    val p = planOf("w5_gaps_islands")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"single custkey exchange expected:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("j13: Q18 shape aggregates the fact before any join") {
+    val p = planOf("j13_q18_shape")
+    // the lineitem agg's exchange precedes the joins; the pruned agg and
+    // customer sides broadcast at this scale
+    assert(p.contains("Exchange hashpartitioning(l_orderkey"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("j14: correlated scalar subqueries decorrelate to aggregate joins") {
+    val p = planOf("j14_scalar_subquery")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"decorrelation failed — per-row subquery execution:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("t5: merge upsert is a single keyed full-outer join") {
+    val p = planOf("t5_merge_upsert")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("count(*) over parquet compiles to a metadata-friendly scan") {
     val df = spark.read.parquet(s"$dir/lineitem.parquet").groupBy().count()
     val p = df.queryExecution.executedPlan.toString
