@@ -429,6 +429,26 @@ object Aggregates extends QGroup {
         |  round(quantile_cont(abs(l_extendedprice - med), 0.5), 6) AS mad,
         |  COUNT(*) AS n
         |FROM lineitem JOIN med USING (l_returnflag)
-        |GROUP BY l_returnflag""".stripMargin))
+        |GROUP BY l_returnflag""".stripMargin)),
+
+    // A15: weighted average — quantity-weighted mean price per flag.
+    // Both sums are exact DECIMAL (order-independent); only the final
+    // single division happens in DOUBLE, on identical operands in both
+    // engines (the j3/Q.scala decimal-through-double rendering rule).
+    QDef("a15_weighted_avg",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            (sum((col("l_extendedprice").cast(dec)) * (col("l_quantity").cast(dec)))
+              .cast("double") /
+              sum(col("l_quantity").cast(dec)).cast("double")).as("wavg_price"),
+            sum(col("l_quantity").cast(dec)).cast("double").as("total_qty"))
+          ,
+      Some("""SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS wavg_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin))
   )
 }

@@ -240,6 +240,40 @@ object EventsTime extends QGroup {
         |SELECT cohort_day, day - cohort_day AS day_offset,
         |  COUNT(*) AS n_users
         |FROM a JOIN c USING (user_id)
-        |GROUP BY 1, 2""".stripMargin))
+        |GROUP BY 1, 2""".stripMargin)),
+
+    // G11: day-over-day event-rate anomaly — the pipeline-monitoring
+    // primitive (ingest volume drops and duplicate storms both show up
+    // as rate spikes first). The raw log aggregates to a day-grain
+    // series DISTRIBUTED (one keyed count), and only that tiny series
+    // flows through the single-partition lag window — the unavoidable
+    // global order costs nothing at day grain. Change is integer
+    // per-mille (div), flags at ±500pm.
+    QDef("g11_rate_anomaly",
+      (s, dir) => {
+        val dayUs = 86400000000L
+        val daily = Tables(s, dir, "events")
+          .select(expr(s"(ts div 1000) div $dayUs").as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+        val w = Window.orderBy(col("day").asc_nulls_first)
+        daily
+          .withColumn("prev", lag(col("n_events"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("day"), col("n_events"), col("prev"),
+            expr("((n_events - prev) * 1000) div prev").as("change_pm"))
+          .withColumn("anomaly", abs(col("change_pm")) > 500)
+      },
+      Some(s"""WITH daily AS (
+        |  SELECT (epoch_ns(ts) // 1000) // 86400000000 AS day,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |lagged AS (
+        |  SELECT day, n_events,
+        |    lag(n_events, 1) OVER (ORDER BY day ASC) AS prev
+        |  FROM daily)
+        |SELECT day, n_events, prev,
+        |  ((n_events - prev) * 1000) // prev AS change_pm,
+        |  abs(((n_events - prev) * 1000) // prev) > 500 AS anomaly
+        |FROM lagged WHERE prev IS NOT NULL""".stripMargin))
   )
 }

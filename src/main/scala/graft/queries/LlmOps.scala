@@ -35,6 +35,47 @@ object LlmOps extends QGroup {
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin)),
 
+    // L19: cluster-representative selection — the step AFTER dedup
+    // grouping: keep the best-quality member of each exact-content
+    // cluster rather than the arbitrary minimum id (quality-aware dedup
+    // retains the cleanest copy of boilerplate families). Shapes: one
+    // digest-keyed exchange serves the window; rank ties break on
+    // doc_id so the kept row is deterministic. The same window runs
+    // unchanged over l1g's LSH cluster labels for near-dup families.
+    QDef("l19_cluster_representatives",
+      (s, dir) => {
+        val w = Window.partitionBy(col("digest"))
+          .orderBy(col("quality").desc_nulls_last, col("doc_id").asc_nulls_first)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), sha2(col("text"), 256).as("digest"),
+            graft.operators.TextAnalysis.qualityMetrics(col("text"))
+              .getField("quality").as("quality"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("digest"), col("doc_id").as("keep_doc"), col("quality"))
+      },
+      Some("""WITH scored AS (
+        |  SELECT doc_id, sha256(text) AS digest,
+        |    round(greatest(0.0, least(1.0,
+        |      1.0
+        |      - (CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |         / greatest(length(text), 1)) * 2.0
+        |      - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |        / greatest(length(text), 1)
+        |      - CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |                  / (length(text) - length(replace(text, ' ', '')) + 1) < 2.0
+        |               OR CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |                  / (length(text) - length(replace(text, ' ', '')) + 1) > 12.0
+        |             THEN 0.3 ELSE 0.0 END
+        |      - CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 < 5
+        |             THEN 0.3 ELSE 0.0 END)), 4) AS quality
+        |  FROM documents)
+        |SELECT digest, doc_id AS keep_doc, quality FROM (
+        |  SELECT digest, doc_id, quality,
+        |    row_number() OVER (PARTITION BY digest
+        |      ORDER BY quality DESC NULLS LAST, doc_id ASC NULLS FIRST) AS rn
+        |  FROM scored) WHERE rn = 1""".stripMargin)),
+
     // L1b: near-dup families by 5-token prefix fingerprint.
     QDef("l1b_prefix_family_dedup",
       (s, dir) =>

@@ -253,6 +253,35 @@ object Scalars extends QGroup {
         |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
         |  regexp_extract(url, '\?([^#]*)', 1) AS query,
         |  regexp_extract(url, '[?&]nation=([^&#]*)', 1) AS nation_param
-        |FROM u""".stripMargin))
+        |FROM u""".stripMargin)),
+
+    // X10: bitwise scalars + bit aggregates — flag-mask analytics
+    // (feature bitmaps, permission masks, partition-id math all live on
+    // these). Scalar &, |, ^, shifts per row; bit_and/bit_or/bit_xor
+    // fold per group (all three are commutative+associative, so
+    // map-side partials make them order-independent by construction).
+    QDef("x10_bitwise",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
+            (col("l_orderkey").bitwiseAND(255)).as("low_byte"),
+            (col("l_orderkey").bitwiseOR(col("l_linenumber"))).as("or_line"),
+            (col("l_orderkey").bitwiseXOR(col("l_partkey"))).as("xor_part"),
+            shiftleft(col("l_linenumber"), 4).as("line_shl4"),
+            shiftright(col("l_partkey"), 3).as("part_shr3"))
+          .groupBy(col("l_returnflag"))
+          .agg(expr("bit_and(low_byte)").as("band"),
+            expr("bit_or(or_line)").as("bor"),
+            expr("bit_xor(xor_part)").as("bxor"),
+            sum(col("line_shl4")).as("sum_shl"),
+            sum(col("part_shr3")).as("sum_shr"))
+          ,
+      Some("""SELECT l_returnflag,
+        |  bit_and(l_orderkey & 255) AS band,
+        |  bit_or(l_orderkey | l_linenumber) AS bor,
+        |  bit_xor(xor(l_orderkey, l_partkey)) AS bxor,
+        |  CAST(SUM(l_linenumber * 16) AS BIGINT) AS sum_shl,
+        |  CAST(SUM(l_partkey // 8) AS BIGINT) AS sum_shr
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin))
   )
 }
