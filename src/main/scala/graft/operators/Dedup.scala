@@ -360,6 +360,49 @@ object Dedup {
         expr("(n_dup * 1000) div n_grams").as("dpm"))
   }
 
+  /** Winnowing fingerprints (the MOSS local-fingerprinting scheme):
+    * hash every k-token gram, slide a w-hash window over each document,
+    * keep the minimum hash of every window, dedupe. Guarantees: any
+    * shared token run of length >= k + w - 1 between two documents
+    * yields at least one SHARED fingerprint (detection), and the kept
+    * set is ~2/(w+1) of the grams (density) — the bounded-size
+    * robust-to-edits signature that pure MinHash (global min, no
+    * position locality) cannot give for partial overlap detection.
+    *
+    * Scale shape: gram construction is scan-local (positions come from
+    * the gram array index, no lead() chain); ONE doc-keyed exchange
+    * serves the window min AND the per-doc aggregation. Fingerprints
+    * are hex-prefix strings of sha2 so lexicographic window MIN equals
+    * numeric min of the hash value in any engine.
+    *
+    * Output: (doc_id, n_windows, n_fp, fp_min, fp_max). */
+  def winnowedFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("__t"))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), greatest(size(col("__t")) - k, lit(0))), i =>
+          concat_ws(" ", slice(col("__t"), i + 1, lit(k))))))
+      .select(col("id"), col("pos"),
+        substring(sha2(col("col"), 256), 1, 16).as("fp"))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos").asc_nulls_first)
+      .rowsBetween(Window.currentRow, w - 1)
+    val cnt = Window.partitionBy(col("id"))
+    grams
+      .withColumn("wmin", min(col("fp")).over(win))
+      .withColumn("n_grams", count(lit(1)).over(cnt))
+      // clamp so short docs (< w grams) keep their one partial window
+      // instead of vanishing from the signature set
+      .filter(col("pos") <= greatest(col("n_grams") - w, lit(0)))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct(col("wmin")).as("n_fp"),
+        min(col("wmin")).as("fp_min"), max(col("wmin")).as("fp_max"))
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Incremental exact dedup — the append-only production pattern: a
     * new batch arrives daily and must be deduplicated against a 100 TB
     * history WITHOUT rescanning or shuffling the history per batch.

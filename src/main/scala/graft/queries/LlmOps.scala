@@ -76,6 +76,41 @@ object LlmOps extends QGroup {
         |      ORDER BY quality DESC NULLS LAST, doc_id ASC NULLS FIRST) AS rn
         |  FROM scored) WHERE rn = 1""".stripMargin)),
 
+    // L20: winnowing fingerprints (MOSS local fingerprinting) — the
+    // partial-overlap dedup signature: any shared >= k+w-1 token run
+    // between two docs yields a shared fingerprint, and the kept set is
+    // ~2/(w+1) of the grams. Positions come from the gram-array index
+    // (scan-local), one doc-keyed exchange serves window min + per-doc
+    // agg (Dedup.winnowedFingerprints).
+    QDef("l20_winnowing",
+      (s, dir) => Dedup.winnowedFingerprints(
+        Tables(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+        k = 4, w = 4),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), pos AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t)-3, 1))) AS i
+        |  FROM toks
+        |), grams AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    substring(sha256(array_to_string(t[i:i+3], ' ')), 1, 16) AS fp
+        |  FROM pos
+        |), wins AS (
+        |  SELECT doc_id, pos,
+        |    MIN(fp) OVER (PARTITION BY doc_id ORDER BY pos ASC
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+        |  FROM grams
+        |)
+        |SELECT doc_id, COUNT(*) AS n_windows,
+        |  COUNT(DISTINCT wmin) AS n_fp,
+        |  MIN(wmin) AS fp_min, MAX(wmin) AS fp_max
+        |FROM wins
+        |WHERE pos <= greatest(n_grams - 4, 0)
+        |GROUP BY doc_id""".stripMargin)),
+
     // L1b: near-dup families by 5-token prefix fingerprint.
     QDef("l1b_prefix_family_dedup",
       (s, dir) =>

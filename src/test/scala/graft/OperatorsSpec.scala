@@ -89,6 +89,46 @@ class DedupSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog again and again")  // exact dup of 1
   ).toDF("doc_id", "text")
 
+  test("winnowing: shared >= k+w-1 token run yields a shared fingerprint; short docs survive") {
+    // doc 10 and 11 share a 12-token run (>= k+w-1 = 7): at least one
+    // winnowed fingerprint must be common. doc 12 is unrelated. doc 13
+    // is shorter than w grams and must still emit its partial window.
+    val d = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu UNIQUE1 TAIL1"),
+      (11L, "HEAD2 alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu OTHER2"),
+      (12L, "one two three four five six seven eight nine ten eleven twelve"),
+      (13L, "tiny doc here")
+    ).toDF("doc_id", "text")
+    // fingerprint SETS per doc (the operator returns per-doc stats; the
+    // set itself comes from re-running the window internals)
+    val fps = {
+      import org.apache.spark.sql.expressions.Window
+      val grams = d
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), posexplode(
+          expr("transform(sequence(0, greatest(size(t) - 4, 0)), i -> concat_ws(' ', slice(t, i + 1, 4)))")))
+        .select(col("doc_id"), col("pos"),
+          substring(sha2(col("col"), 256), 1, 16).as("fp"))
+      val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, 3)
+      val cnt = Window.partitionBy(col("doc_id"))
+      grams.withColumn("wmin", min(col("fp")).over(win))
+        .withColumn("n", count(lit(1)).over(cnt))
+        .filter(col("pos") <= greatest(col("n") - 4, lit(0)))
+        .select(col("doc_id"), col("wmin")).distinct()
+        .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    }
+    assert((fps(10L) & fps(11L)).nonEmpty, "shared run must share a fingerprint")
+    assert((fps(10L) & fps(12L)).isEmpty, "unrelated docs must not share")
+    assert(fps(13L).size == 1, "short doc keeps exactly its one partial window")
+    // operator stats agree with the density guarantee: kept set is a
+    // small fraction of windows for the long docs
+    val stats = Dedup.winnowedFingerprints(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats(10L)._2 <= stats(10L)._1 && stats(10L)._2 == fps(10L).size)
+    assert(stats(13L) == ((1L, 1L)))
+  }
+
   test("minhash LSH finds near and exact dup pairs, not unrelated ones") {
     val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", numHashes = 64, bands = 32)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
