@@ -545,6 +545,43 @@ object LlmOps extends QGroup {
             .drop("sse")),
       None),
 
+    // L21: embedding L2-normalization + int8 scalar quantization — the
+    // vector-index prep step (SQ8 cuts index memory 4× before IVF/LSH
+    // bucketing; every major ANN stack runs it). Scan-linear,
+    // shuffle-free. Determinism: the norm is a fixed left-to-right fold
+    // over float elements cast exactly to double, so sqrt/divide/floor
+    // see identical IEEE values in both engines; zero vectors quantize
+    // to zeros rather than dividing by zero.
+    QDef("l21_embedding_quantize",
+      (s, dir) =>
+        Tables(s, dir, "embeddings")
+          .withColumn("norm",
+            sqrt(aggregate(col("embedding"), lit(0.0),
+              (a, x) => a + x.cast("double") * x.cast("double"))))
+          .select(col("vec_id"),
+            size(col("embedding")).as("dim"),
+            floor(col("norm") * 1e6).cast("long").as("norm_micro"),
+            array_join(
+              transform(col("embedding"), x =>
+                when(col("norm") === 0.0, lit(0L))
+                  .otherwise(floor(x.cast("double") / col("norm") * 127.0))
+                  .cast("string")),
+              ",").as("q8")),
+      Some("""WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_aggregate(
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |      'sum')) AS norm
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  CAST(FLOOR(norm * 1e6) AS BIGINT) AS norm_micro,
+        |  array_to_string(list_transform(embedding, x ->
+        |    CAST(CASE WHEN norm = 0 THEN 0
+        |              ELSE CAST(FLOOR(CAST(x AS DOUBLE) / norm * 127.0) AS BIGINT)
+        |         END AS VARCHAR)), ',') AS q8
+        |FROM n""".stripMargin)),
+
     // L3: per-document text statistics (integer-only output).
     QDef("l3_text_stats",
       (s, dir) =>

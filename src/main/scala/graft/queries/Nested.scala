@@ -152,6 +152,27 @@ object Nested extends QGroup {
         |  CAST(NULL AS VARCHAR) AS m_missing,
         |  CAST(cardinality(MAP {'t': event_type, 'u': CAST(user_id AS VARCHAR)}) AS INTEGER) AS m_card,
         |  array_to_string(list_sort(map_keys(MAP {'t': event_type, 'u': CAST(user_id AS VARCHAR)})), ',') AS keys_sorted
-        |FROM events""".stripMargin))
+        |FROM events""".stripMargin)),
+
+    // F6: inline — the array-of-structs generator (explode + struct
+    // field flattening in one op), the shape event payloads and API
+    // responses land in. Built per order from its own columns, then
+    // inlined back to rows; DuckDB mirrors with unnest(list_of_rows)
+    // field access.
+    QDef("f6_inline_structs",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey"),
+            inline(array(
+              struct(lit("status").as("k"), col("o_orderstatus").as("v")),
+              struct(lit("priority").as("k"), col("o_orderpriority").as("v")))))
+          ,
+      Some("""SELECT o_orderkey, u.k AS k, u.v AS v
+        |FROM (
+        |  SELECT o_orderkey,
+        |    unnest([{'k': 'status', 'v': o_orderstatus},
+        |            {'k': 'priority', 'v': o_orderpriority}]) AS u
+        |  FROM orders WHERE o_orderkey % 100 = 0)""".stripMargin))
   )
 }
