@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions.MedianAggregator
@@ -430,6 +431,30 @@ object Aggregates extends QGroup {
         |  COUNT(*) AS n
         |FROM lineitem JOIN med USING (l_returnflag)
         |GROUP BY l_returnflag""".stripMargin)),
+
+    // A17: deterministic mode — most frequent quantity per flag with an
+    // explicit (count DESC, value ASC) tie-break, because both engines'
+    // built-in mode() pick an ARBITRARY tie winner and can't be
+    // hash-compared. One (flag, qty) count + a flag-keyed ranking
+    // window — the count's exchange re-clusters by flag for the window,
+    // standard two-exchange shape.
+    QDef("a17_mode",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("cnt").desc_nulls_last, col("l_quantity").asc_nulls_first)
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+      },
+      Some("""SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |WHERE rn = 1""".stripMargin)),
 
     // A15: weighted average — quantity-weighted mean price per flag.
     // Both sums are exact DECIMAL (order-independent); only the final

@@ -255,6 +255,37 @@ object Scalars extends QGroup {
         |  regexp_extract(url, '[?&]nation=([^&#]*)', 1) AS nation_param
         |FROM u""".stripMargin)),
 
+    // X6c: malformed-JSON resilience — real pipelines meet truncated
+    // payloads; the engine must null them out, not fail the scan. A
+    // deterministic 1-in-7 slice of rows gets a truncated payload;
+    // Spark's get_json_object/from_json return NULL on malformed input,
+    // mirrored by DuckDB's json_valid guard. Integer-only JSON values
+    // so the rendered text is engine-independent.
+    QDef("x6c_json_malformed",
+      (s, dir) => {
+        val js = when(col("event_id") % 7 === 0,
+          concat(lit("{\"u\":"), col("user_id").cast("string")))  // truncated
+          .otherwise(concat(lit("{\"u\":"), col("user_id").cast("string"),
+            lit(",\"t\":\""), col("event_type"), lit("\"}")))
+        Tables(s, dir, "events")
+          .filter(col("event_id") < 2000)
+          .select(col("event_id"),
+            get_json_object(js, "$.u").as("u"),
+            get_json_object(js, "$.t").as("t"),
+            get_json_object(js, "$.u").isNull.as("is_corrupt"))
+      },
+      Some("""WITH j AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN '{"u":' || CAST(user_id AS VARCHAR)
+        |         ELSE '{"u":' || CAST(user_id AS VARCHAR) || ',"t":"' || event_type || '"}'
+        |    END AS js
+        |  FROM events WHERE event_id < 2000)
+        |SELECT event_id,
+        |  CASE WHEN json_valid(js) THEN json_extract_string(js, '$.u') END AS u,
+        |  CASE WHEN json_valid(js) THEN json_extract_string(js, '$.t') END AS t,
+        |  (CASE WHEN json_valid(js) THEN json_extract_string(js, '$.u') END) IS NULL AS is_corrupt
+        |FROM j""".stripMargin)),
+
     // X10: bitwise scalars + bit aggregates — flag-mask analytics
     // (feature bitmaps, permission masks, partition-id math all live on
     // these). Scalar &, |, ^, shifts per row; bit_and/bit_or/bit_xor
