@@ -66,6 +66,15 @@ object ScaleProbe {
           .groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
           .agg(sum(col("n"))).head(); d.count()
       }
+      // both should scale ~linearly: grams are a keyed aggregation +
+      // reused-exchange join (dup fraction) and a doc-local window
+      // (winnowing) — no pair materialization in either
+      time(s"ngram_dup_fraction x$mult") {
+        operators.Dedup.ngramDupFraction(d, "doc_id", "text", n = 4).count()
+      }
+      time(s"winnowing_fp x$mult") {
+        operators.Dedup.winnowedFingerprints(d, "doc_id", "text").count()
+      }
       d.unpersist(); e.unpersist()
     }
     spark.stop()
