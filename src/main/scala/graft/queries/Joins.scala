@@ -331,6 +331,35 @@ object Joins extends QGroup {
         |WHERE CAST(p_retailprice AS DECIMAL(38,6)) *
         |      (SELECT COUNT(*) FROM part p2 WHERE p2.p_type = p.p_type)
         |    < (SELECT SUM(CAST(p_retailprice AS DECIMAL(38,6)))
-        |       FROM part p2 WHERE p2.p_type = p.p_type)""".stripMargin))
+        |       FROM part p2 WHERE p2.p_type = p.p_type)""".stripMargin)),
+
+    // J15: correlated EXISTS / NOT EXISTS through spark.sql —
+    // RewritePredicateSubquery lowers them to a left-semi and a
+    // left-anti join on the correlation key (the J4 operators, reached
+    // through the SQL front door). Both subqueries filter before
+    // correlating, so each join's build side is pre-pruned.
+    QDef("j15_exists_subquery",
+      (s, dir) => {
+        Tables(s, dir, "customer").createOrReplaceTempView("j15_customer")
+        Tables(s, dir, "orders").createOrReplaceTempView("j15_orders")
+        s.sql("""SELECT c_custkey, c_acctbal
+          |FROM j15_customer c
+          |WHERE EXISTS (SELECT 1 FROM j15_orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 400000)
+          |  AND NOT EXISTS (SELECT 1 FROM j15_orders o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_orderstatus = 'F'
+          |                    AND o.o_totalprice < 50000)""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_acctbal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F'
+        |                    AND o.o_totalprice < 50000)""".stripMargin))
   )
 }

@@ -141,6 +141,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("j15: correlated EXISTS/NOT EXISTS lower to semi + anti joins") {
+    val p = planOf("j15_exists_subquery")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"predicate subqueries must decorrelate:\n$p")
+  }
+
   test("t5: merge upsert is a single keyed full-outer join") {
     val p = planOf("t5_merge_upsert")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
