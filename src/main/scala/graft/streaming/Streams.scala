@@ -109,4 +109,41 @@ object Streams {
           }
       }
   }
+
+  /** Streaming corpus ingest with incremental dedup against a durable
+    * parquet history — the production LLM-ingest pattern: every
+    * micro-batch runs [[graft.operators.Dedup.incrementalDedup]]
+    * (bloom fast-path + exact anti-join) against the history AS OF that
+    * trigger and appends only novel documents, so the history file set
+    * is itself the dedup state. foreachBatch rather than
+    * dropDuplicates-with-state because the state must (a) survive
+    * restarts WITHOUT replay, (b) be readable by batch jobs mid-stream,
+    * and (c) scale as a table (the engine's stream-state store keys
+    * live in executor/RocksDB memory; a 100 TB corpus's digest set does
+    * not).
+    *
+    * The returned query must be stopped by the caller. `historyDir`
+    * must exist with at least the schema written once (seed it with an
+    * empty write if starting cold). */
+  def dedupIngest(
+      docs: DataFrame,
+      historyDir: String,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery = {
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val history = spark.read.parquet(historyDir)
+        val novel = graft.operators.Dedup
+          .incrementalDedup(batch, history, idCol, textCol)
+          .select(col(idCol))
+        // join novel ids back to full rows; batch is tiny vs history
+        batch.join(novel, Seq(idCol), "left_semi")
+          .write.mode("append").parquet(historyDir)
+      }
+      .start()
+  }
 }

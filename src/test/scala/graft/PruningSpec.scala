@@ -76,3 +76,25 @@ class PruningSpec extends SparkSpec {
     }
   }
 }
+
+/** Pipeline observability: Dataset.observe rides data-quality counters
+  * on an existing action — at 100 TB the difference between "free
+  * metrics on the scan you were already doing" and "a second scan to
+  * count nulls" is the whole cost of the audit. */
+class ObservabilitySpec extends SparkSpec {
+
+  test("observe() collects quality counters on the same pass as the real action") {
+    val obs = new org.apache.spark.sql.Observation("quality")
+    val li = spark.read.parquet(sf("lineitem"))
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity").isNull, 1).otherwise(0)).as("n_null_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .filter(col("l_quantity") > 10)
+    val kept = li.count() // one action drives both the filter and the metrics
+    val m = obs.get
+    assert(m("n_rows").asInstanceOf[Long] > kept, "metrics see pre-filter rows")
+    assert(m("n_null_qty").asInstanceOf[Long] == 0L)
+    assert(m("max_qty").asInstanceOf[Double] <= 50.0)
+  }
+}

@@ -257,4 +257,30 @@ class StreamingSpec extends SparkSpec {
       assert(rows.head.getAs[Long]("n") == 2, "first session spans events 1+2")
     } finally q.stop()
   }
+
+  test("streaming ingest dedups each micro-batch against the durable history") {
+    val base = tmpDir("ingest")
+    val hist = base + "/history"
+    val ckpt = base + "/ckpt"
+    // seed: history holds doc 1
+    Seq((1L, "the original document")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(hist)
+    val in = MemoryStream[(Long, String)](spark, 1)
+    val q = Streams.dedupIngest(
+      in.toDF().toDF("doc_id", "text"), hist, ckpt)
+    try {
+      // batch 1: a dup of the seeded doc + one novel doc
+      in.addData((2L, "the original document"), (3L, "a brand new document"))
+      q.processAllAvailable()
+      // batch 2: a dup of batch 1's novel doc + one more novel doc +
+      // an IN-BATCH dup pair (5/6) that must collapse to its min id
+      in.addData((4L, "a brand new document"), (5L, "another novel one"),
+        (6L, "another novel one"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(hist).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 5L),
+        s"history must hold seed + first-seen of each content: $ids")
+    } finally q.stop()
+  }
 }
