@@ -53,6 +53,22 @@ object Aggregates extends QGroup {
           ,
       None),
 
+    // A3b: MERGEABLE sketch tables (Spark 4 DataSketches HLL) — the
+    // pre-aggregation pattern that makes 100 TB distinct-count rollups
+    // cheap: fine-grain groups each keep a fixed-size hll_sketch_agg
+    // state, coarser grains hll_union_agg the BINARY sketches without
+    // touching raw data again. Estimates aren't portable SQL (rows-only
+    // here); ApproxSpec bounds them against exact counts.
+    QDef("a3b_sketch_rollup",
+      (s, dir) => {
+        val fine = Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"))
+        fine.groupBy(col("l_returnflag"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_orders"))
+      },
+      None),
+
     // A4: ROLLUP + grouping_id (same bit order in Spark and DuckDB:
     // first grouping column = MSB).
     QDef("a4_rollup",

@@ -286,6 +286,27 @@ object Scalars extends QGroup {
         |  (CASE WHEN json_valid(js) THEN json_extract_string(js, '$.u') END) IS NULL AS is_corrupt
         |FROM j""".stripMargin)),
 
+    // X11: error-safe arithmetic — ANSI mode (Spark 4 default) makes
+    // x/0 and overflow THROW mid-scan; try_divide/try_multiply turn the
+    // poison rows into NULLs so one bad record can't kill a 100 TB job.
+    // DuckDB's plain operators already yield NULL on /0 (and the
+    // multiply is CASE-guarded), making the NULL surface comparable.
+    QDef("x11_try_arith",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 3000)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            try_divide(col("l_quantity"), col("l_linenumber") - 1).as("q_over_lm1"),
+            try_divide(lit(1.0), col("l_quantity") - col("l_quantity")).as("one_over_zero"),
+            try_multiply(col("l_orderkey"), lit(2L)).as("ok2"))
+          ,
+      Some("""SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_linenumber - 1 = 0 THEN NULL
+        |       ELSE l_quantity / (l_linenumber - 1) END AS q_over_lm1,
+        |  CAST(NULL AS DOUBLE) AS one_over_zero,
+        |  l_orderkey * 2 AS ok2
+        |FROM lineitem WHERE l_orderkey < 3000""".stripMargin)),
+
     // X10: bitwise scalars + bit aggregates — flag-mask analytics
     // (feature bitmaps, permission masks, partition-id math all live on
     // these). Scalar &, |, ^, shifts per row; bit_and/bit_or/bit_xor

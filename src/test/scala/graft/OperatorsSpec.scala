@@ -501,6 +501,20 @@ class NativeExprSpec extends SparkSpec {
 }
 
 class ApproxSpec extends SparkSpec {
+  test("a3b: unioned HLL sketches estimate distinct orders within 5%") {
+    val dir = "/root/testdata/sf0.001"
+    val est = SparkEntry.queries("a3b_sketch_rollup")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    for ((k, ex) <- exact)
+      assert(math.abs(est(k) - ex) <= ex * 0.05 + 1,
+        s"flag $k: sketch=${est(k)} exact=$ex")
+  }
+
   test("percentile_approx median tracks the exact median aggregator") {
     val exact = SparkEntry.queries("u2_median_udaf")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
