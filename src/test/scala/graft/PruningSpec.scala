@@ -98,3 +98,42 @@ class ObservabilitySpec extends SparkSpec {
     assert(m("max_qty").asInstanceOf[Double] <= 50.0)
   }
 }
+
+/** Physical-strategy control a 100 TB operator needs on demand: join
+  * hints override the planner when its size estimates are wrong (the
+  * classic "stats say broadcast, runtime says OOM"), and
+  * maxRecordsPerFile bounds output file sizes so a petabyte write
+  * doesn't emit unsplittable monsters or a million tiny files. */
+class StrategyControlSpec extends SparkSpec {
+
+  test("join hints select the physical strategy: shuffle_hash / merge / broadcast") {
+    val li = spark.read.parquet(sf("lineitem"))
+    val ord = spark.read.parquet(sf("orders"))
+    val shj = li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(shj.contains("ShuffledHashJoin"), shj)
+    val smj = li.join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(smj.contains("SortMergeJoin"), smj)
+    val bhj = li.join(ord.hint("broadcast"), col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(bhj.contains("BroadcastHashJoin"), bhj)
+  }
+
+  test("maxRecordsPerFile bounds output file sizes") {
+    val out = tmpDir("mrpf") + "/orders_sized"
+    spark.read.parquet(sf("orders"))
+      .repartition(2)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 500)
+      .parquet(out)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    val total = spark.read.parquet(sf("orders")).count()
+    assert(files.length >= (total / 500).toInt,
+      s"expected >= ${total / 500} files, got ${files.length}")
+    // every file individually respects the cap
+    for (f <- files)
+      assert(spark.read.parquet(f.getAbsolutePath).count() <= 500, f.getName)
+  }
+}
