@@ -274,6 +274,60 @@ object EventsTime extends QGroup {
         |SELECT day, n_events, prev,
         |  ((n_events - prev) * 1000) // prev AS change_pm,
         |  abs(((n_events - prev) * 1000) // prev) > 500 AS anomaly
-        |FROM lagged WHERE prev IS NOT NULL""".stripMargin))
+        |FROM lagged WHERE prev IS NOT NULL""".stripMargin)),
+
+    // G13: dynamic-gap sessionization — per-user inactivity gaps (here:
+    // every 5th user gets 30 min, others 10) via the lag + running-sum
+    // formulation; g2's session_window covers the fixed-gap fast path,
+    // this is the general form (per-entity gap policies, A/B windows).
+    // A new session starts when the gap SINCE THE PREVIOUS EVENT
+    // exceeds the previous event's gap allowance — pure integer
+    // microsecond math. ONE user-keyed exchange serves the lag window,
+    // the running sum, and the final (user, session) aggregation.
+    QDef("g13_dynamic_sessions",
+      (s, dir) => {
+        val gapUs = when(col("user_id") % 5 === 0, 1800000000L)
+          .otherwise(600000000L)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus").asc_nulls_first, col("event_id").asc_nulls_first)
+        val run = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus").asc_nulls_first, col("event_id").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("tus"))
+          .withColumn("gap_us", gapUs)
+          .withColumn("new_s",
+            when(lag(col("tus"), 1).over(w).isNull, 1L)
+              .when(col("tus") >=
+                lag(col("tus"), 1).over(w) + lag(col("gap_us"), 1).over(w), 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_s")).over(run))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("tus")).as("session_start_us"),
+            max(col("tus")).as("session_end_us"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus,
+        |    CASE WHEN user_id % 5 = 0 THEN 1800000000 ELSE 600000000 END AS gap_us
+        |  FROM events),
+        |flags AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN lag(tus, 1) OVER w IS NULL THEN 1
+        |         WHEN tus >= lag(tus, 1) OVER w + lag(gap_us, 1) OVER w THEN 1
+        |         ELSE 0 END AS new_s,
+        |    event_id
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC, event_id ASC)),
+        |sess AS (
+        |  SELECT user_id, tus,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flags)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id""".stripMargin))
   )
 }
