@@ -111,6 +111,51 @@ object LlmOps extends QGroup {
         |WHERE pos <= greatest(n_grams - 4, 0)
         |GROUP BY doc_id""".stripMargin)),
 
+    // L22: leakage-safe dataset split — the eval-integrity pattern l7's
+    // per-doc split cannot give: when duplicate documents straddle
+    // train/test, the eval set leaks into training. Splitting on a hash
+    // of the CLUSTER (content digest), not the document, puts every
+    // member of a dup family in the same split by construction. The
+    // output carries its own proof: splits_per_cluster_max aggregates
+    // to 1 only if no cluster spans splits. One digest exchange + one
+    // split-grain aggregation.
+    QDef("l22_leakage_safe_split",
+      (s, dir) => {
+        // split key = the digest's first hex char (uniform over 16
+        // values, engine-portable where xxhash64/hash() builtins are
+        // not): 0-d train (87.5%), e valid, f test
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+          .withColumn("split",
+            when(substring(col("digest"), 1, 1) === "f", "test")
+              .when(substring(col("digest"), 1, 1) === "e", "valid")
+              .otherwise("train"))
+        val perCluster = docs.groupBy(col("digest"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("split")).as("n_splits"),
+            min(col("split")).as("split"))
+        perCluster.groupBy(col("split"))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            count(lit(1)).as("n_clusters"),
+            max(col("n_splits")).as("splits_per_cluster_max"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, sha256(text) AS digest FROM documents),
+        |sp AS (
+        |  SELECT doc_id, digest,
+        |    CASE WHEN substring(digest, 1, 1) = 'f' THEN 'test'
+        |         WHEN substring(digest, 1, 1) = 'e' THEN 'valid'
+        |         ELSE 'train' END AS split
+        |  FROM d),
+        |pc AS (
+        |  SELECT digest, COUNT(*) AS n_docs,
+        |    COUNT(DISTINCT split) AS n_splits, MIN(split) AS split
+        |  FROM sp GROUP BY digest)
+        |SELECT split, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_clusters,
+        |  CAST(MAX(n_splits) AS BIGINT) AS splits_per_cluster_max
+        |FROM pc GROUP BY split""".stripMargin)),
+
     // L1b: near-dup families by 5-token prefix fingerprint.
     QDef("l1b_prefix_family_dedup",
       (s, dir) =>
