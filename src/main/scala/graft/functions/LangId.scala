@@ -1,8 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -35,12 +37,25 @@ case class LangId(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = LangId.name
 
-  override protected def nullSafeEval(v: Any): Any =
-    LangId.detect(v.asInstanceOf[UTF8String])
+  // NULL text classifies as "und", exactly like the Column composition
+  // (whose when-chain falls through to otherwise("und") on NULL) and
+  // the l3f oracle's ELSE 'und' — so the expression is never null.
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) LangId.undResult else LangId.detect(v.asInstanceOf[UTF8String])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helper = LangId.getClass.getName.stripSuffix("$")
-    defineCodeGen(ctx, ev, c => s"$helper.detect($c)")
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code +
+        code"""
+        org.apache.spark.unsafe.types.UTF8String ${ev.value} =
+          ${c.isNull} ? $helper.undResult() : $helper.detect(${c.value});""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): LangId =
@@ -60,6 +75,8 @@ object LangId {
     langs.map(UTF8String.fromString)
   private val ZH = UTF8String.fromString("zh")
   private val UND = UTF8String.fromString("und")
+  /** eval/codegen target for the NULL→"und" branch */
+  def undResult(): UTF8String = UND
 
   /** token → bitmask over (lang lane × 10 + word slot) bits. A mask,
     * not a single index: shared function words ("la" is Spanish, French

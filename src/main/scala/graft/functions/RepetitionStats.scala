@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -33,12 +34,26 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = RepetitionStats.name
 
-  override protected def nullSafeEval(v: Any): Any =
-    RepetitionStats.compute(v.asInstanceOf[UTF8String])
+  // NULL text yields a NON-null struct whose four fields are NULL,
+  // exactly like the Column composition (struct() of null-input
+  // computations is itself non-null) — so the expression is never null.
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) RepetitionStats.nullFields
+    else RepetitionStats.compute(v.asInstanceOf[UTF8String])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helper = RepetitionStats.getClass.getName.stripSuffix("$")
-    defineCodeGen(ctx, ev, c => s"$helper.compute($c)")
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code +
+        code"""
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+          ${c.isNull} ? $helper.nullFields() : $helper.compute(${c.value});""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
@@ -49,11 +64,16 @@ object RepetitionStats {
   val name = "graft_repetition"
   val info = new ExpressionInfo(classOf[RepetitionStats].getName, name)
 
+  // fields nullable: NULL input produces a struct of NULLs (above)
   val schema: StructType = StructType(Seq(
-    StructField("n_words", LongType, nullable = false),
-    StructField("n_distinct_words", LongType, nullable = false),
-    StructField("top_word_ratio", DoubleType, nullable = false),
-    StructField("distinct_frac", DoubleType, nullable = false)))
+    StructField("n_words", LongType),
+    StructField("n_distinct_words", LongType),
+    StructField("top_word_ratio", DoubleType),
+    StructField("distinct_frac", DoubleType)))
+
+  /** eval/codegen target for the NULL-input branch. */
+  def nullFields(): InternalRow =
+    new GenericInternalRow(Array[Any](null, null, null, null))
 
   /** Spark's round(x, 6): decimal HALF_UP, not IEEE rint. */
   private def round6(x: Double): Double =

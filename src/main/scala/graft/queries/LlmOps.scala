@@ -54,21 +54,9 @@ object LlmOps extends QGroup {
           .filter(col("rn") === 1)
           .select(col("digest"), col("doc_id").as("keep_doc"), col("quality"))
       },
-      Some("""WITH scored AS (
+      Some(s"""WITH scored AS (
         |  SELECT doc_id, sha256(text) AS digest,
-        |    round(greatest(0.0, least(1.0,
-        |      1.0
-        |      - (CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-        |         / greatest(length(text), 1)) * 2.0
-        |      - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-        |        / greatest(length(text), 1)
-        |      - CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
-        |                  / (length(text) - length(replace(text, ' ', '')) + 1) < 2.0
-        |               OR CAST(length(replace(text, ' ', '')) AS DOUBLE)
-        |                  / (length(text) - length(replace(text, ' ', '')) + 1) > 12.0
-        |             THEN 0.3 ELSE 0.0 END
-        |      - CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 < 5
-        |             THEN 0.3 ELSE 0.0 END)), 4) AS quality
+        |    ${QShared.qualityScoreSql} AS quality
         |  FROM documents)
         |SELECT digest, doc_id AS keep_doc, quality FROM (
         |  SELECT digest, doc_id, quality,

@@ -42,6 +42,26 @@ object QShared {
   def sink(dir: String, name: String): String =
     s"/tmp/graft_sink/${name}_${Integer.toHexString(dir.hashCode)}"
 
+  /** DuckDB rendering of `TextAnalysis.qualityMetrics`' composite
+    * score over a `text` column — ONE definition interpolated into
+    * every oracle that scores quality (l3d, l18, l19): three drifting
+    * copies of a 16-line formula is how oracle parity silently breaks
+    * for exactly one query. */
+  val qualityScoreSql: String =
+    """round(greatest(0.0, least(1.0,
+      |    1.0
+      |    - (CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |       / greatest(length(text), 1)) * 2.0
+      |    - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+      |      / greatest(length(text), 1)
+      |    - CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |                / (length(text) - length(replace(text, ' ', '')) + 1) < 2.0
+      |             OR CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |                / (length(text) - length(replace(text, ' ', '')) + 1) > 12.0
+      |           THEN 0.3 ELSE 0.0 END
+      |    - CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 < 5
+      |           THEN 0.3 ELSE 0.0 END)), 4)""".stripMargin
+
   /** Render every array/map/struct column as its JSON string. The
     * driver's comparator sorts result rows with pandas, which crashes on
     * ndarray cells ("unhashable type: numpy.ndarray", VERDICT r1 §2) —

@@ -29,26 +29,14 @@ object TextOps extends QGroup {
             col("q.mean_tok_len").as("mean_tok_len"),
             col("q.quality").as("quality"))
           ,
-      Some("""SELECT doc_id,
+      Some(s"""SELECT doc_id,
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS n_tokens,
         |  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS INTEGER) AS n_upper,
         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INTEGER) AS n_digit,
         |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INTEGER) AS n_punct,
         |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
         |        / (length(text) - length(replace(text, ' ', '')) + 1), 4) AS mean_tok_len,
-        |  round(greatest(0.0, least(1.0,
-        |    1.0
-        |    - (CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-        |       / greatest(length(text), 1)) * 2.0
-        |    - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-        |      / greatest(length(text), 1)
-        |    - CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
-        |                / (length(text) - length(replace(text, ' ', '')) + 1) < 2.0
-        |             OR CAST(length(replace(text, ' ', '')) AS DOUBLE)
-        |                / (length(text) - length(replace(text, ' ', '')) + 1) > 12.0
-        |           THEN 0.3 ELSE 0.0 END
-        |    - CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 < 5
-        |           THEN 0.3 ELSE 0.0 END)), 4) AS quality
+        |  ${QShared.qualityScoreSql} AS quality
         |FROM documents""".stripMargin)),
 
     // BPE-ish token count via the GPT-2-style pre-tokenizer regex.
@@ -298,10 +286,12 @@ object TextOps extends QGroup {
         // grand total off the vocab counts (reused exchange), not a
         // third corpus pass — the l10 recipe
         val totals = uni.agg(sum(col("c_tok")).as("n_toks"))
-        val big = pairs.groupBy(col("x"), col("y"))
+        val bigAll = pairs.groupBy(col("x"), col("y"))
           .agg(count(lit(1)).as("c_xy"))
-          .filter(col("c_xy") >= 5)
-        val nBig = pairs.agg(count(lit(1)).as("n_big"))
+        val big = bigAll.filter(col("c_xy") >= 5)
+        // total bigrams from the counts already aggregated — the same
+        // reused-exchange trick as `totals`, not a second corpus pass
+        val nBig = bigAll.agg(sum(col("c_xy")).as("n_big"))
         big
           .join(uni.select(col("tok").as("x"), col("c_tok").as("c_x")), Seq("x"))
           .join(uni.select(col("tok").as("y"), col("c_tok").as("c_y")), Seq("y"))
@@ -323,10 +313,9 @@ object TextOps extends QGroup {
         |  SELECT tok, COUNT(*) AS c_tok
         |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
         |totals AS (SELECT SUM(c_tok) AS n_toks FROM uni),
-        |big AS (
-        |  SELECT x, y, COUNT(*) AS c_xy FROM pairs GROUP BY x, y
-        |  HAVING COUNT(*) >= 5),
-        |nbig AS (SELECT COUNT(*) AS n_big FROM pairs)
+        |bigall AS (SELECT x, y, COUNT(*) AS c_xy FROM pairs GROUP BY x, y),
+        |big AS (SELECT * FROM bigall WHERE c_xy >= 5),
+        |nbig AS (SELECT SUM(c_xy) AS n_big FROM bigall)
         |SELECT x, y, c_xy,
         |  CAST(FLOOR((ln(CAST(c_xy AS DOUBLE))
         |    + ln(CAST(n_toks AS DOUBLE)) * 2.0
@@ -367,21 +356,8 @@ object TextOps extends QGroup {
           .agg(count(lit(1)).as("n_docs"),
             min(col("q")).as("q_min"), max(col("q")).as("q_max"))
       },
-      Some("""WITH scored AS (
-        |  SELECT doc_id,
-        |    round(greatest(0.0, least(1.0,
-        |      1.0
-        |      - (CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-        |         / greatest(length(text), 1)) * 2.0
-        |      - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-        |        / greatest(length(text), 1)
-        |      - CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
-        |                  / (length(text) - length(replace(text, ' ', '')) + 1) < 2.0
-        |               OR CAST(length(replace(text, ' ', '')) AS DOUBLE)
-        |                  / (length(text) - length(replace(text, ' ', '')) + 1) > 12.0
-        |             THEN 0.3 ELSE 0.0 END
-        |      - CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 < 5
-        |             THEN 0.3 ELSE 0.0 END)), 4) AS q
+      Some(s"""WITH scored AS (
+        |  SELECT doc_id, ${QShared.qualityScoreSql} AS q
         |  FROM documents WHERE text IS NOT NULL),
         |edges AS (
         |  SELECT quantile_cont(q, 0.25) AS e1, quantile_cont(q, 0.5) AS e2,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -111,16 +111,30 @@ object Streams {
   }
 
   /** Streaming corpus ingest with incremental dedup against a durable
-    * parquet history — the production LLM-ingest pattern: every
-    * micro-batch runs [[graft.operators.Dedup.incrementalDedup]]
-    * (bloom fast-path + exact anti-join) against the history AS OF that
-    * trigger and appends only novel documents, so the history file set
-    * is itself the dedup state. foreachBatch rather than
-    * dropDuplicates-with-state because the state must (a) survive
-    * restarts WITHOUT replay, (b) be readable by batch jobs mid-stream,
-    * and (c) scale as a table (the engine's stream-state store keys
-    * live in executor/RocksDB memory; a 100 TB corpus's digest set does
-    * not).
+    * parquet history — the production LLM-ingest pattern. foreachBatch
+    * rather than dropDuplicates-with-state because the state must (a)
+    * survive restarts WITHOUT replay, (b) be readable by batch jobs
+    * mid-stream, and (c) scale as a table (the engine's stream-state
+    * store keys live in executor/RocksDB memory; a 100 TB corpus's
+    * digest set does not).
+    *
+    * The history is NOT rescanned per batch. Dedup state is two
+    * incrementally-maintained structures:
+    *  - a driver-side bloom over digest hashes, seeded ONCE at stream
+    *    start (size it with `expectedHistoryItems` — an undersized
+    *    filter only costs extra exact checks, never correctness) and
+    *    extended in place with each batch's novel digests;
+    *  - a digest-only parquet SIDECAR (`historyDir + "_digests"`,
+    *    created from one history pass if absent) that the exact
+    *    anti-join probes — a pruned single-column scan, and only for
+    *    the bloom-positive slice; a batch with no maybe-seen rows
+    *    touches no history files at all.
+    * In-batch duplicates collapse to their min id before the checks.
+    *
+    * Delivery: at-least-once. foreachBatch replays an epoch after a
+    * crash, and the history/sidecar appends are not atomic — a failure
+    * between them can re-append that batch's rows on recovery.
+    * Exactly-once needs a transactional table format under the sink.
     *
     * The returned query must be stopped by the caller. `historyDir`
     * must exist with at least the schema written once (seed it with an
@@ -130,19 +144,58 @@ object Streams {
       historyDir: String,
       checkpointDir: String,
       idCol: String = "doc_id",
-      textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery = {
+      textCol: String = "text",
+      expectedHistoryItems: Long = 1L << 20,
+      fpp: Double = 0.02): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.BloomJoin
+    val sidecarDir = historyDir + "_digests"
+    def digestOf(c: Column): Column = sha2(coalesce(c, lit("")), 256)
+    val spark0 = docs.sparkSession
+    graft.GraftFunctions.ensureRegistered(spark0)
+    // one-time sidecar bootstrap: the only full history pass in the op
+    val fs = new org.apache.hadoop.fs.Path(sidecarDir)
+      .getFileSystem(spark0.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(sidecarDir)))
+      spark0.read.parquet(historyDir)
+        .select(digestOf(col(textCol)).as("digest")).distinct()
+        .write.mode("overwrite").parquet(sidecarDir)
+    val filter = BloomJoin.buildFilter(
+      spark0.read.parquet(sidecarDir)
+        .select(xxhash64(col("digest")).as("k")),
+      "k", expectedHistoryItems, fpp)
+
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val history = spark.read.parquet(historyDir)
-        val novel = graft.operators.Dedup
-          .incrementalDedup(batch, history, idCol, textCol)
-          .select(col(idCol))
-        // join novel ids back to full rows; batch is tiny vs history
-        batch.join(novel, Seq(idCol), "left_semi")
-          .write.mode("append").parquet(historyDir)
+        val sp = batch.sparkSession
+        val keyed = batch.withColumn("digest", digestOf(col(textCol)))
+          .groupBy(col("digest")).agg(min(col(idCol)).as(idCol))
+          .localCheckpoint(true) // tiny; reused by 2 filters + 2 joins
+        val bloomBytes = BloomJoin.serialize(filter)
+        val probe = BloomJoin.mightContain(xxhash64(col("digest")), bloomBytes)
+        val maybeSeen = keyed.filter(probe)
+        // bloom-positive slice pays the exact check; skip even the
+        // pruned sidecar scan when the slice is empty
+        val checked =
+          if (maybeSeen.isEmpty) maybeSeen
+          else maybeSeen.join(sp.read.parquet(sidecarDir), Seq("digest"), "left_anti")
+        val novelKeys = keyed.filter(!probe).unionByName(checked)
+          .localCheckpoint(true)
+        if (!novelKeys.isEmpty) {
+          // min-id row per novel digest, original schema
+          batch.withColumn("digest", digestOf(col(textCol)))
+            .join(novelKeys.select(col(idCol), col("digest")),
+              Seq(idCol, "digest"), "left_semi")
+            .drop("digest")
+            .write.mode("append").parquet(historyDir)
+          novelKeys.select(col("digest"))
+            .write.mode("append").parquet(sidecarDir)
+          // extend the driver-side bloom in place — same xxhash64 the
+          // probe uses, so next batch's fast path sees these digests
+          novelKeys.select(xxhash64(col("digest")).as("k"))
+            .collect().foreach(r => filter.putLong(r.getLong(0)))
+        }
       }
       .start()
   }

@@ -70,45 +70,41 @@ class NativeExprPropertySpec extends SparkSpec {
     } yield lead + ws.zip(ss).map { case (w, s) => w + s }.mkString
   }
 
+  /** SQL-NULL text rows included: the null branch of the bit-identical
+    * contract (NULL→'und' for langid, NULL for fingerprint, struct of
+    * NULLs for repetition) must be tested, and with NULL-SAFE compares
+    * — a plain =!= evaluates to NULL on a one-sided NULL and silently
+    * filters the very divergence it should catch. */
+  private def textRows = (1 to 150).map(seed =>
+    Tuple1(textGen.pureApply(Gen.Parameters.default, Seed(seed.toLong)))) ++
+    Seq(Tuple1(null: String), Tuple1(""))
+
   test("graft_langid == Column composition on generated multilingual text") {
-    val rows = (1 to 150).map(seed =>
-      Tuple1(textGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))))
-    val df = rows.toDF("text")
+    val df = textRows.toDF("text")
     val both = df.select(
       graft.operators.TextAnalysis.languageId(col("text")).as("hof"),
       graft.GraftFunctions.langIdNative(spark, col("text")).as("native"))
-    val diff = both.filter(
-      (col("hof").isNull =!= col("native").isNull) ||
-        (col("hof").isNotNull && col("hof") =!= col("native"))).count()
-    assert(diff == 0)
+    assert(both.filter(!(col("hof") <=> col("native"))).count() == 0)
     // sanity: the generator actually exercises >1 language + zh + und
     assert(both.select(col("native")).distinct().count() >= 3)
+    // the NULL row classifies as 'und' on BOTH surfaces
+    assert(both.filter(col("hof").isNull || col("native").isNull).count() == 0)
   }
 
   test("graft_fingerprint == HOF composition on generated token text") {
-    val rows = (1 to 150).map(seed =>
-      Tuple1(textGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))))
-    val df = rows.toDF("text")
+    val df = textRows.toDF("text")
     val both = df.select(
       graft.operators.TextAnalysis.rollingFingerprint(col("text")).as("hof"),
       graft.GraftFunctions.fingerprintNative(spark, col("text")).as("native"))
-    val diff = both.filter(
-      (col("hof").isNull =!= col("native").isNull) ||
-        (col("hof").isNotNull && col("hof") =!= col("native"))).count()
-    assert(diff == 0)
+    assert(both.filter(!(col("hof") <=> col("native"))).count() == 0)
   }
 
   test("graft_repetition == HOF composition on generated token text") {
-    val rows = (1 to 150).map(seed =>
-      Tuple1(textGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))))
-    val df = rows.toDF("text")
+    val df = textRows.toDF("text")
     val both = df.select(
       graft.operators.TextAnalysis.repetitionMetrics(col("text")).as("hof"),
       graft.GraftFunctions.repetitionNative(spark, col("text")).as("native"))
-    val diff = both.filter(
-      (col("hof").isNull =!= col("native").isNull) ||
-        (col("hof").isNotNull && col("hof") =!= col("native"))).count()
-    assert(diff == 0)
+    assert(both.filter(!(col("hof") <=> col("native"))).count() == 0)
   }
 
   test("native text expressions on the documents corpus (sf0.001)") {
@@ -120,8 +116,8 @@ class NativeExprPropertySpec extends SparkSpec {
       graft.GraftFunctions.fingerprintNative(spark, col("text")).as("fn"),
       graft.operators.TextAnalysis.repetitionMetrics(col("text")).as("rh"),
       graft.GraftFunctions.repetitionNative(spark, col("text")).as("rn"))
-    assert(both.filter(col("lh") =!= col("ln") || col("fh") =!= col("fn") ||
-      col("rh") =!= col("rn")).count() == 0)
+    assert(both.filter(!(col("lh") <=> col("ln")) || !(col("fh") <=> col("fn")) ||
+      !(col("rh") <=> col("rn"))).count() == 0)
   }
 }
 

@@ -282,5 +282,19 @@ class StreamingSpec extends SparkSpec {
       assert(ids == Set(1L, 3L, 5L),
         s"history must hold seed + first-seen of each content: $ids")
     } finally q.stop()
+    // RESTART: a fresh query on the same dirs must re-seed its dedup
+    // state from the digest sidecar — dups of pre-restart content stay
+    // out, novel content still lands
+    val in2 = MemoryStream[(Long, String)](spark, 1)
+    val q2 = Streams.dedupIngest(
+      in2.toDF().toDF("doc_id", "text"), hist, base + "/ckpt2")
+    try {
+      in2.addData((7L, "another novel one"), (8L, "post restart content"))
+      q2.processAllAvailable()
+      val ids2 = spark.read.parquet(hist).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids2 == Set(1L, 3L, 5L, 8L),
+        s"restart must keep pre-restart digests deduped: $ids2")
+    } finally q2.stop()
   }
 }
