@@ -49,9 +49,18 @@ object BloomJoin {
   def buildFilter(
       dim: DataFrame, dimKey: String,
       expectedItems: Long, fpp: Double): BloomFilter =
-    dim.select(col(dimKey).cast("long").as("__k"))
-      .filter(col("__k").isNotNull)
-      .stat.bloomFilter("__k", expectedItems, fpp)
+    // an EMPTY build side NPEs inside stat.bloomFilter itself (the
+    // zero-row aggregation deserializes a null buffer). A day-one
+    // history and a fully-filtered dim are routine inputs, not errors:
+    // substitute a valid match-nothing filter, which keeps the fast
+    // path sound (everything reads "definitely novel").
+    try
+      dim.select(col(dimKey).cast("long").as("__k"))
+        .filter(col("__k").isNotNull)
+        .stat.bloomFilter("__k", expectedItems, fpp)
+    catch {
+      case _: NullPointerException => BloomFilter.create(1, fpp)
+    }
 
   /** `fact LEFT SEMI JOIN dim ON fact(factKey) = dim(dimKey)`, with the
     * fact side pre-filtered through the dim key set's bloom filter.

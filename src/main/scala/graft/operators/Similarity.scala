@@ -248,7 +248,13 @@ object Similarity {
       .orderBy(xxhash64(col("id")).asc_nulls_first, col("id").asc_nulls_first)
       .limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
-    require(centroids.nonEmpty, "kmeans: corpus has no non-null vectors")
+    // an empty corpus trains nothing — return zero cells with the
+    // contract schema rather than failing the pipeline (at scale an
+    // empty slice after filtering is routine, not an error)
+    if (centroids.isEmpty)
+      return spark.createDataFrame(
+        Seq.empty[(Int, Seq[Double], Long, Double)])
+        .toDF("cell", "centroid", "n_members", "sse")
 
     // a single ragged row would null-poison its zip_with distance (cell
     // -1, silently dropped) AND corrupt the mean update's dimensionality

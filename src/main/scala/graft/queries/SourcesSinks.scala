@@ -83,9 +83,13 @@ object SourcesSinks extends QGroup {
     QDef("s6_partitioned_write",
       (s, dir) => {
         val out = sink(dir, "s6_partitioned_write")
-        Tables(s, dir, "orders")
+        val orders = Tables(s, dir, "orders")
+        orders
           .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-        s.read.parquet(out)
+        // explicit schema on read-back: a zero-row partitioned write
+        // leaves nothing to infer from (routine for an empty slice),
+        // and a stable read contract beats re-inference regardless
+        s.read.schema(orders.schema).parquet(out)
           .filter(col("o_orderstatus") === "F") // prunes to one directory
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("cnt"),
