@@ -33,6 +33,10 @@ object Custom extends QGroup {
       (s, dir) => {
         import s.implicits._
         Tables(s, dir, "documents")
+          // null rows filtered BEFORE the typed boundary: NULL can't
+          // deserialize into primitive Long, and the oracle's LATERAL
+          // over string_split(NULL) generates no rows for them either
+          .filter(col("doc_id").isNotNull && col("text").isNotNull)
           .select(col("doc_id"), col("text")).as[(Long, String)]
           .flatMap { case (id, text) =>
             // limit -1 keeps trailing empty tokens (matches DuckDB
