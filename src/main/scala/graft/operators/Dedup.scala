@@ -554,6 +554,82 @@ object Dedup {
     * Output: (d1, d2, dist) with d1 < d2 and dist ≤ maxDist. Exactly
     * mirrored by portable SQL (`levenshtein` + the same block key), so
     * the l14 oracle hash-verifies this operator. */
+  /** Exact all-pairs Jaccard join with AllPairs/PPJoin prefix filtering
+    * (Bayardo et al., WWW'07; Xiao et al., WWW'08 — public algorithms).
+    * Returns EXACTLY the pairs a full quadratic Jaccard join at the same
+    * threshold would (filtering is lossless), but candidate generation
+    * touches only each document's PREFIX tokens under a global
+    * (document-frequency asc, token asc) canonical order.
+    *
+    * Why it's lossless: J(x,y) ≥ θ forces |x∩y| ≥ ⌈θ·|x|⌉; if the
+    * smallest common token (in canonical order) sat outside x's first
+    * |x| − ⌈θ|x|⌉ + 1 tokens, all common tokens would have to fit in
+    * the remaining ⌈θ|x|⌉ − 1 suffix slots — contradiction. The same
+    * argument on y puts that token in BOTH prefixes, so the prefix
+    * equi-join cannot miss a qualifying pair.
+    *
+    * Why it scales where [[jaccardPairs]] degrades: the inverted-index
+    * join explodes on EVERY shared token — a token appearing in k docs
+    * contributes k² candidate rows, so common vocabulary dominates the
+    * shuffle. Canonical ordering puts the RAREST tokens in prefixes, so
+    * the candidate join's fan-out is driven by df of rare tokens (≈1–2),
+    * not the vocabulary head; the exact verification join then runs only
+    * on the surviving candidate pairs against collected token sets.
+    * Cost: one token-keyed df aggregation, one doc-keyed ranking window,
+    * a prefix-only self-join, and a candidate-sized verify join — each
+    * a standard keyed exchange with no driver-side state.
+    *
+    * Output: (d1, d2, n_inter, jpm) with d1 < d2 and
+    * jpm = ⌊1000·J⌋ ≥ minJpm — the [[jaccardPairs]] output contract. */
+  def prefixFilteredJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJpm: Int = 500): DataFrame = {
+    require(minJpm >= 1 && minJpm <= 1000, s"minJpm must be in [1,1000]: $minJpm")
+    val toks = df
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("tok"))
+    val cand = ppjoinCandidates(toks, minJpm)
+    val sets = toks.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tok"))).as("tokset"),
+        count(lit(1)).as("n_tok"))
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("tokset").as("t1"),
+        col("n_tok").as("n1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("tokset").as("t2"),
+        col("n_tok").as("n2")), "d2")
+      .withColumn("n_inter", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("jpm", expr("(n_inter * 1000) div (n1 + n2 - n_inter)"))
+      .filter(col("jpm") >= minJpm)
+      .select(col("d1"), col("d2"), col("n_inter"), col("jpm"))
+  }
+
+  /** Candidate (d1, d2) pairs sharing a canonical-prefix token — the
+    * prefix-filter stage of [[prefixFilteredJaccardPairs]], exposed so
+    * the spec can assert the shrink vs the full inverted index. Input
+    * must be distinct (doc_id, tok) rows. */
+  private[graft] def ppjoinCandidates(toks: DataFrame, minJpm: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // rank each doc's tokens by the GLOBAL canonical order; both the
+    // rank and the doc's token count come off one doc-keyed exchange
+    val byCanon = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("tok").asc)
+    val ranked = toks.join(dfreq, "tok")
+      .select(col("doc_id"), col("tok"),
+        row_number().over(byCanon).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n_tok"))
+    // prefix length p = n − ⌈θn⌉ + 1, θ = minJpm/1000 in exact integer
+    // arithmetic: ⌈minJpm·n/1000⌉ = (minJpm·n + 999) div 1000
+    val prefix = ranked.filter(
+      col("rn") <= expr(s"n_tok - (($minJpm * n_tok + 999) div 1000) + 1"))
+    prefix.select(col("doc_id").as("d1"), col("tok"))
+      .join(prefix.select(col("doc_id").as("d2"), col("tok")), Seq("tok"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
   def editDistancePairs(
       df: DataFrame,
       idCol: String,

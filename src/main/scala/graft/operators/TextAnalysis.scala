@@ -244,6 +244,35 @@ object TextAnalysis {
         size(split(col("col"), " ")).as("n_tokens"))
   }
 
+  /** Hashed bag-of-words linear scorer — the fastText-style shape every
+    * model-based quality filter at corpus scale reduces to: token →
+    * feature bucket by hashing (no vocabulary to fit in memory), bucket
+    * → weight lookup, document score = Σ weights, keep/drop by sign.
+    * A trained model would broadcast its weight vector; here the weight
+    * is a fixed affine function of the bucket id so the whole scorer is
+    * deterministic and portable to the oracle engine (the md5-hex
+    * bucketing and the (b·37+11) mod 257 − 128 weight are pure integer
+    * arithmetic both engines evaluate identically).
+    *
+    * Scale shape: explode + scalar hash + one doc-keyed sum — partial
+    * aggregation absorbs the token fan-out map-side, so the exchange
+    * carries one row per document, not per token.
+    *
+    * Output: (doc_id, n_tok, score, label). */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("w", expr(
+        "((((instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16" +
+          " + (instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1))" +
+          " * 37 + 11) % 257 - 128)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("w")).cast("long").as("score"))
+      .withColumn("label",
+        when(col("score") >= 0, lit("keep")).otherwise(lit("drop")))
+
   /** Convenience: annotate a corpus with all analysis columns (native
     * one-pass lang-id / fingerprint — the corpus-scan hot path). */
   def annotate(df: DataFrame, textCol: String): DataFrame =

@@ -69,6 +69,41 @@ object Aggregates extends QGroup {
       },
       None),
 
+    // A16: count-min-sketch heavy hitters — the mergeable FREQUENCY
+    // sketch beside a3b's distinct-count HLL: fixed-size state per
+    // partition, linear merge (add order can't change the estimate), so
+    // the 100 TB "top sellers without a full groupBy" pattern holds.
+    // The one collected row is the finished sketch itself (KBs), not
+    // data; probes run against the exact top-10 — overestimate-only and
+    // ε·N bounds are pinned in ApproxSpec. Estimates aren't portable
+    // SQL → rows-only by design.
+    QDef("a16_cms_heavy_hitters",
+      (s, dir) => {
+        // NULL keys carry no frequency signal and would poison both the
+        // sketch probe and the typed result row — drop them up front
+        // (an all-null or empty slice then yields an empty result, not
+        // a crash; routine at 100 TB)
+        val li = Tables(s, dir, "lineitem").filter(col("l_suppkey").isNotNull)
+        val top = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("l_suppkey")).limit(10)
+          .collect() // the 10-row final result, not a data path
+        val rows =
+          if (top.isEmpty) Seq.empty[(Long, Long, Long)]
+          else {
+            val skBytes = li
+              .agg(expr("count_min_sketch(l_suppkey, cast(0.001 as double)," +
+                " cast(0.99 as double), 42)").as("sk"))
+              .head().getAs[Array[Byte]](0)
+            val cms = org.apache.spark.util.sketch.CountMinSketch
+              .readFrom(new java.io.ByteArrayInputStream(skBytes))
+            top.toSeq.map(r =>
+              (r.getLong(0), r.getLong(1), cms.estimateCount(r.getLong(0))))
+          }
+        s.createDataFrame(rows)
+          .toDF("l_suppkey", "exact_cnt", "est_cnt")
+      },
+      None),
+
     // A4: ROLLUP + grouping_id (same bit order in Spark and DuckDB:
     // first grouping column = MSB).
     QDef("a4_rollup",

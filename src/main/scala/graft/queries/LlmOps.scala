@@ -223,6 +223,38 @@ object LlmOps extends QGroup {
         |JOIN sizes s2 ON s2.doc_id = d2
         |WHERE (n_inter * 1000) // (s1.n_tok + s2.n_tok - n_inter) >= 500""".stripMargin)),
 
+    // L23: prefix-filtered exact Jaccard pairs (AllPairs/PPJoin). The
+    // ORACLE is the plain quadratic inverted-index join at the same
+    // threshold — prefix filtering is provably lossless, so the outputs
+    // must hash-match exactly; what changes is the plan: candidates are
+    // generated only from rare canonical-prefix tokens, so the shuffle
+    // scales with rare-token df, not the vocabulary head (the l1c
+    // inverted index pays k² rows for every k-doc token). No df cap
+    // needed here — the canonical order pushes hot tokens out of every
+    // prefix instead of dropping them.
+    QDef("l23_ppjoin_pairs",
+      (s, dir) =>
+        Dedup.prefixFilteredJaccardPairs(
+          Tables(s, dir, "documents").filter(col("doc_id") < 150),
+          idCol = "doc_id", textCol = "text", minJpm = 500)
+          ,
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents WHERE doc_id < 150
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d1, d2, n_inter,
+        |  (n_inter * 1000) // (s1.n_tok + s2.n_tok - n_inter) AS jpm
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = d1
+        |JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE (n_inter * 1000) // (s1.n_tok + s2.n_tok - n_inter) >= 500""".stripMargin)),
+
     // L1d: MinHash-LSH candidate pairs (banding not expressible in
     // portable SQL → rows-only here; recall vs exact Jaccard is asserted
     // in DedupSpec).

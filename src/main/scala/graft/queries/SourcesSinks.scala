@@ -189,6 +189,31 @@ object SourcesSinks extends QGroup {
       },
       Some("""SELECT doc_id, lang, source,
         |  sha256(COALESCE(text, '')) AS text_sha, n_chars
-        |FROM documents""".stripMargin))
+        |FROM documents""".stripMargin)),
+
+    // S11: compression-codec matrix — at 100 TB the parquet codec choice
+    // is a first-order storage/scan-cost decision (zstd ≈ gzip-grade
+    // ratio at lz4-grade decode speed; Spark 4 default). One write +
+    // read-back per codec; every read-back must reproduce the identical
+    // corpus, certified row by row: (codec, doc_id, text_sha, n_chars)
+    // for all five codecs must hash-match the source table fanned across
+    // the codec list. File-size trade-offs are measured in
+    // CompressionSpec, not hashed (absolute sizes are writer-specific).
+    QDef("s11_compression_matrix",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val codecs = Seq("none", "snappy", "gzip", "lz4", "zstd")
+        codecs.map { c =>
+          val out = sink(dir, s"s11_compression_$c")
+          docs.write.mode("overwrite").option("compression", c).parquet(out)
+          s.read.schema(docs.schema).parquet(out)
+            .select(lit(c).as("codec"), col("doc_id"),
+              sha2(coalesce(col("text"), lit("")), 256).as("text_sha"),
+              col("n_chars"))
+        }.reduce(_.unionAll(_))
+      },
+      Some("""SELECT codec, doc_id, sha256(COALESCE(text, '')) AS text_sha, n_chars
+        |FROM documents
+        |CROSS JOIN (VALUES ('none'), ('snappy'), ('gzip'), ('lz4'), ('zstd')) c(codec)""".stripMargin))
   )
 }

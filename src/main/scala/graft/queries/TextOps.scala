@@ -335,6 +335,27 @@ object TextOps extends QGroup {
     // interpolated doubles in both engines, so boundary comparisons
     // cannot diverge. Per-bin stats stay exact (counts + 4dp-rounded
     // min/max of an already-4dp score).
+    // L24: model-based quality filtering via a hashed linear scorer —
+    // the fastText-shaped classifier pass (hash-bucket features, weight
+    // lookup, Σ-score, sign → keep/drop). The md5 bucketing and the
+    // integer weight function evaluate identically in DuckDB, so the
+    // whole "ML" scoring pass is hash-certified end to end.
+    QDef("l24_hashed_classifier",
+      (s, dir) =>
+        TextAnalysis.hashedLinearScore(
+          Tables(s, dir, "documents"), idCol = "doc_id", textCol = "text")
+          ,
+      Some("""SELECT doc_id, COUNT(*) AS n_tok,
+        |  CAST(SUM(((((instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1))
+        |    * 37 + 11) % 257 - 128)) AS BIGINT) AS score,
+        |  CASE WHEN SUM(((((instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1))
+        |    * 37 + 11) % 257 - 128)) >= 0 THEN 'keep' ELSE 'drop' END AS label
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents WHERE text IS NOT NULL)
+        |GROUP BY doc_id""".stripMargin)),
+
     QDef("l18_curriculum_bins",
       (s, dir) => {
         val scored = Tables(s, dir, "documents")

@@ -226,6 +226,45 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.contains((3L, 4L)) && uncapped((1L, 2L)) == 666L)
   }
 
+  test("ppjoin prefix filtering is lossless vs the full quadratic jaccard") {
+    // mixed corpus: exact dup, near-dup, unrelated docs, a universal
+    // token — the prefix-filtered join must return EXACTLY what the
+    // uncapped inverted-index join returns at the same threshold
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely different content about spark query engines at scale"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again"),
+      (5L, "the apple banana cherry date"),
+      (6L, "the apple banana cherry fig"),
+      (7L, "the zz yy xx ww")
+    ).toDF("doc_id", "text")
+    for (thr <- Seq(300, 500, 800, 1000)) {
+      val pp = Dedup.prefixFilteredJaccardPairs(corpus, "doc_id", "text", thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+      val full = Dedup.jaccardPairs(corpus, "doc_id", "text",
+          minJpm = thr, maxDfRatio = 1.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt, r.getLong(3))).toSet
+      assert(pp == full, s"threshold $thr: ppjoin $pp != full $full")
+    }
+  }
+
+  test("ppjoin candidates shrink: a universal token generates no candidate pairs") {
+    // every doc shares "the"; pairwise jaccard through it alone is far
+    // below θ=0.5, and the canonical order puts it LAST in every doc —
+    // outside every prefix. The inverted index would emit C(6,2)=15
+    // candidate rows for it; the prefix join must emit none of them.
+    val corpus = Seq(
+      (1L, "the a1 a2 a3 a4"), (2L, "the b1 b2 b3 b4"),
+      (3L, "the c1 c2 c3 c4"), (4L, "the d1 d2 d3 d4"),
+      (5L, "the e1 e2 e3 e4"), (6L, "the f1 f2 f3 f4")
+    ).toDF("doc_id", "text")
+    val toks = corpus.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val cand = Dedup.ppjoinCandidates(toks, minJpm = 500).count()
+    assert(cand == 0L, s"hot-token-only pairs must be pruned, got $cand")
+  }
+
   test("ngram contamination flags benchmark overlap via a broadcast bench side") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // shares a 4-gram with bench
@@ -513,6 +552,36 @@ class ApproxSpec extends SparkSpec {
     for ((k, ex) <- exact)
       assert(math.abs(est(k) - ex) <= ex * 0.05 + 1,
         s"flag $k: sketch=${est(k)} exact=$ex")
+  }
+
+  test("a16: count-min estimates overestimate-only, within eps*N; merge is linear") {
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val n = li.count()
+    val rows = SparkEntry.queries("a16_cms_heavy_hitters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 10)
+    for ((k, exact, est) <- rows) {
+      assert(est >= exact, s"suppkey $k: CMS must never underestimate ($est < $exact)")
+      assert(est <= exact + (0.001 * n).toLong + 1,
+        s"suppkey $k: est=$est exceeds exact=$exact + eps*N")
+    }
+    // linearity: per-flag partial sketches merged == the global sketch,
+    // estimate-for-estimate (same seed/eps/confidence) — the property
+    // that makes the sketch a safe map-side partial at 100 TB
+    def sketchOf(df: org.apache.spark.sql.DataFrame) =
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(
+          df.agg(expr("count_min_sketch(l_suppkey, cast(0.001 as double)," +
+            " cast(0.99 as double), 42)").as("sk"))
+            .head().getAs[Array[Byte]](0)))
+    val global = sketchOf(li)
+    val parts = li.select(col("l_returnflag")).distinct().collect()
+      .map(r => sketchOf(li.filter(col("l_returnflag") === r.getString(0))))
+    val merged = parts.reduce((a, b) => { a.mergeInPlace(b); a })
+    for ((k, _, _) <- rows)
+      assert(merged.estimateCount(k) == global.estimateCount(k),
+        s"suppkey $k: merged partials must equal the single-pass sketch")
   }
 
   test("percentile_approx median tracks the exact median aggregator") {

@@ -417,3 +417,29 @@ class ZOrderSpec extends SparkSpec {
       s"z-order should rule out most files for a min-partkey probe, skipped=${skippable(zPath)}")
   }
 }
+
+class CompressionSpec extends SparkSpec {
+  test("s11: every codec round-trips identical bytes; real codecs beat 'none' on text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = tmpDir("graft-compression")
+    def sizeOf(codec: String): Long = {
+      val out = s"$base/$codec"
+      docs.write.mode("overwrite").option("compression", codec).parquet(out)
+      val back = spark.read.schema(docs.schema).parquet(out)
+      assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty,
+        s"codec $codec must round-trip the exact multiset")
+      new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    }
+    val sizes = Seq("none", "snappy", "gzip", "lz4", "zstd")
+      .map(c => c -> sizeOf(c)).toMap
+    // token text compresses well under every real codec; the heavier
+    // codecs must also beat snappy's fast-path ratio on this corpus
+    for (c <- Seq("snappy", "gzip", "lz4", "zstd"))
+      assert(sizes(c) < sizes("none"),
+        s"$c (${sizes(c)}B) should be smaller than uncompressed (${sizes("none")}B)")
+    for (c <- Seq("gzip", "zstd"))
+      assert(sizes(c) < sizes("snappy"),
+        s"$c (${sizes(c)}B) should out-compress snappy (${sizes("snappy")}B)")
+  }
+}
