@@ -26,8 +26,8 @@ object Scratch {
       println(f"[scratch] $name%-30s min=${math.min(t1 - t0, t2 - t1) / 1e9}%.3f")
     }
 
-    time("l1g_lsh_clusters") {
-      SparkEntry.queries("l1g_lsh_clusters")(spark, sfDir)
+    time("l25_connected_components") {
+      SparkEntry.queries("l25_connected_components")(spark, sfDir)
     }
     spark.stop()
   }

@@ -154,41 +154,65 @@ object Aggregates extends QGroup {
     // partial float states in partition order (nondeterministic at
     // scale), while decimal SUMs are exact, so the final double formula
     // is bit-identical on both engines.
+    // Moments are accumulated in INTEGER units (quantity is integral by
+    // data contract, price is lifted to exact cents via round(p*100) —
+    // 1e-9 from an integer, never at a rounding tie, so both engines
+    // land on the same cent): per-row work is long multiplies and the
+    // DECIMAL(38,0) sums stay on Spark's long-backed fast path instead
+    // of per-row BigDecimal churn (the precision-38 multiply path
+    // measured 1.8 s for this one aggregation at sf0.1; this shape runs
+    // ~4× faster with identical results). Unit conversions back to
+    // (qty, price) happen once per GROUP in DOUBLE, mirrored verbatim
+    // in the oracle.
     QDef("a9_corr_covar",
       (s, dir) => {
-        val x = col("l_quantity").cast(dec)
-        val y = col("l_extendedprice").cast(dec)
-        val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+        val qc = col("l_quantity").cast("bigint") // integral: trunc == round
+        val pc = round(col("l_extendedprice") * 100).cast("bigint") // exact cents
+        val dec0 = "decimal(38,0)"
         Tables(s, dir, "lineitem")
+          .select(col("l_returnflag"), qc.as("qc"), pc.as("pc"))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
-            sum(x).as("sx"), sum(y).as("sy"),
-            sum((col("l_quantity") * col("l_extendedprice")).cast(dec)).as("sxy"),
-            sum((col("l_quantity") * col("l_quantity")).cast(dec)).as("sxx"),
-            sum((col("l_extendedprice") * col("l_extendedprice")).cast(dec)).as("syy"))
+            sum(col("qc").cast(dec0)).as("sxq"),
+            sum(col("pc").cast(dec0)).as("syc"),
+            sum((col("qc") * col("pc")).cast(dec0)).as("sxyc"),
+            sum((col("qc") * col("qc")).cast(dec0)).as("sxxq"),
+            sum((col("pc") * col("pc")).cast(dec0)).as("syyc"))
           .select(col("l_returnflag"), col("n"),
-            round(((d(col("sxy")) - d(col("sx")) * d(col("sy")) / col("n")) /
+            col("sxq").cast("double").as("sx"),
+            (col("syc").cast("double") / 100.0).as("sy"),
+            (col("sxyc").cast("double") / 100.0).as("sxy"),
+            col("sxxq").cast("double").as("sxx"),
+            (col("syyc").cast("double") / 10000.0).as("syy"))
+          .select(col("l_returnflag"), col("n"),
+            round(((col("sxy") - col("sx") * col("sy") / col("n")) /
               nullif(col("n") - 1, lit(0))), 4).as("covar_samp"),
-            round(((col("n") * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
-              nullif(sqrt(col("n") * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
-                sqrt(col("n") * d(col("syy")) - d(col("sy")) * d(col("sy"))), lit(0.0))), 6)
+            round(((col("n") * col("sxy") - col("sx") * col("sy")) /
+              nullif(sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy")), lit(0.0))), 6)
               .as("corr"))
-          
       },
       Some("""SELECT l_returnflag, n,
-        |  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-        |        / nullif(n - 1, 0), 4) AS covar_samp,
-        |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |        / nullif(sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |                 * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0), 6) AS corr
+        |  round((sxy - sx * sy / n) / nullif(n - 1, 0), 4) AS covar_samp,
+        |  round((n * sxy - sx * sy)
+        |        / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0), 6) AS corr
         |FROM (
-        |  SELECT l_returnflag, COUNT(*) AS n,
-        |    SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sx,
-        |    SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sy,
-        |    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS sxy,
-        |    SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS sxx,
-        |    SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS syy
-        |  FROM lineitem GROUP BY l_returnflag) t""".stripMargin)),
+        |  SELECT l_returnflag, n,
+        |    CAST(sxq AS DOUBLE) AS sx,
+        |    CAST(syc AS DOUBLE) / 100.0 AS sy,
+        |    CAST(sxyc AS DOUBLE) / 100.0 AS sxy,
+        |    CAST(sxxq AS DOUBLE) AS sxx,
+        |    CAST(syyc AS DOUBLE) / 10000.0 AS syy
+        |  FROM (
+        |    SELECT l_returnflag, COUNT(*) AS n,
+        |      SUM(CAST(l_quantity AS BIGINT)) AS sxq,
+        |      SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS syc,
+        |      SUM(CAST(l_quantity AS BIGINT)
+        |          * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxyc,
+        |      SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxxq,
+        |      SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |          * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syyc
+        |    FROM lineitem GROUP BY l_returnflag) s) t""".stripMargin)),
 
     // A12: per-group z-score outlier detection — the data-quality gate
     // that flags anomalous rows against their segment's distribution.
@@ -460,27 +484,63 @@ object Aggregates extends QGroup {
     // same hot-key caveat as a10/u2 applies, with a10b's sketch as the
     // bounded-memory path. round(,6) on the interpolated doubles is the
     // a10-certified portable rendering.
+    // Medians come from explicit order statistics — row_number over the
+    // group sort, average of the ⌈(n+1)/2⌉ / ⌈(n+2)/2⌉ middle values
+    // (= R-7 at q=0.5) — rather than percentile()/quantile_cont: the
+    // typed-imperative percentile aggregate buffered every group value
+    // twice and was the suite's slowest query (2.1 s → ~0.9 s at sf0.1),
+    // and midpoint averaging in BOTH engines replaces "two sketchless
+    // quantile implementations that happen to agree" with the same
+    // two-term IEEE expression. The sort's per-group fan-in keeps the
+    // usual exact-percentile hot-key caveat (a10b is the bounded path).
     QDef("a14_mad",
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val li = Tables(s, dir, "lineitem")
           .select(col("l_returnflag"), col("l_extendedprice"))
-        val med = li.groupBy(col("l_returnflag"))
-          .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
-        li.join(broadcast(med), Seq("l_returnflag"))
-          .groupBy(col("l_returnflag"))
-          .agg(round(max(col("med")), 6).as("med"),
-            round(expr("percentile(abs(l_extendedprice - med), 0.5)"), 6)
-              .as("mad"),
-            count(lit(1)).as("n"))
+        def medianOf(df: DataFrame, v: String, out: String): DataFrame = {
+          val w = Window.partitionBy(col("l_returnflag")).orderBy(col(v).asc)
+          df.select(col("l_returnflag"), col(v),
+              row_number().over(w).as("rn"),
+              count(lit(1)).over(Window.partitionBy(col("l_returnflag"))).as("n"))
+            .filter(col("rn") === expr("(n + 1) div 2") ||
+              col("rn") === expr("(n + 2) div 2"))
+            .groupBy(col("l_returnflag"))
+            .agg(avg(col(v)).as(out), max(col("n")).as(s"${out}_n"))
+        }
+        val med = medianOf(li, "l_extendedprice", "med")
+        val dev = li.join(broadcast(med), Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            abs(col("l_extendedprice") - col("med")).as("dev"))
+        medianOf(dev, "dev", "mad")
+          .join(broadcast(med), Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            round(col("med"), 6).as("med"),
+            round(col("mad"), 6).as("mad"),
+            col("mad_n").as("n"))
       },
-      Some("""WITH med AS (
-        |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
-        |  FROM lineitem GROUP BY l_returnflag)
+      Some("""WITH ranked AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |med AS (
+        |  SELECT l_returnflag, AVG(l_extendedprice) AS med
+        |  FROM ranked WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+        |  GROUP BY l_returnflag),
+        |devr AS (
+        |  SELECT l.l_returnflag, abs(l.l_extendedprice - m.med) AS dev, m.med
+        |  FROM lineitem l JOIN med m USING (l_returnflag)),
+        |ranked2 AS (
+        |  SELECT l_returnflag, dev, med,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY dev) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM devr)
         |SELECT l_returnflag,
         |  round(max(med), 6) AS med,
-        |  round(quantile_cont(abs(l_extendedprice - med), 0.5), 6) AS mad,
-        |  COUNT(*) AS n
-        |FROM lineitem JOIN med USING (l_returnflag)
+        |  round(AVG(dev), 6) AS mad,
+        |  max(n) AS n
+        |FROM ranked2 WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
         |GROUP BY l_returnflag""".stripMargin)),
 
     // A17: deterministic mode — most frequent quantity per flag with an

@@ -255,6 +255,50 @@ object LlmOps extends QGroup {
         |JOIN sizes s2 ON s2.doc_id = d2
         |WHERE (n_inter * 1000) // (s1.n_tok + s2.n_tok - n_inter) >= 500""".stripMargin)),
 
+    // L25: connected components over share-a-4-gram edges — the
+    // transitive dup-family closure (A~B, B~C ⟹ one family even when
+    // A,C share nothing). Spark runs iterative min-label propagation on
+    // the bipartite (doc, gram) incidence list; the ORACLE computes the
+    // same components via a DuckDB RECURSIVE CTE reachability closure —
+    // two entirely different fixpoint algorithms that must agree
+    // exactly. The subset has singletons, small families, and a
+    // 140-doc chained component, so convergence takes real multi-hop
+    // rounds, not one.
+    QDef("l25_connected_components",
+      (s, dir) => {
+        val grams = Dedup.ngramRows(
+          Tables(s, dir, "documents").filter(col("doc_id") < 300),
+          idCol = "doc_id", textCol = "text", n = 4)
+        val comp = Dedup.componentsByKey(grams, "id", "gram")
+          .select(col("id").as("doc_id"), col("label").as("cluster"))
+        val sizes = comp.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+        comp.join(broadcast(sizes), "cluster")
+          .select(col("doc_id"), col("cluster"), col("cluster_size"))
+      },
+      Some("""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL AND doc_id < 300
+        |), pos AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t)-3, 1))) AS i
+        |  FROM toks
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g FROM pos
+        |), edges AS (
+        |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM grams a JOIN grams b ON a.g = b.g
+        |), reach AS (
+        |  SELECT src AS id, src AS label FROM (SELECT DISTINCT src FROM edges)
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+        |), comp AS (
+        |  SELECT id, min(label) AS cluster FROM reach GROUP BY id
+        |)
+        |SELECT c.id AS doc_id, c.cluster, cz.cluster_size
+        |FROM comp c
+        |JOIN (SELECT cluster, COUNT(*) AS cluster_size FROM comp GROUP BY 1) cz
+        |  USING (cluster)""".stripMargin)),
+
     // L1d: MinHash-LSH candidate pairs (banding not expressible in
     // portable SQL → rows-only here; recall vs exact Jaccard is asserted
     // in DedupSpec).

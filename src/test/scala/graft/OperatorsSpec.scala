@@ -226,6 +226,27 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.contains((3L, 4L)) && uncapped((1L, 2L)) == 666L)
   }
 
+  test("componentsByKey: star contraction finds exact components on chains, hubs, singletons") {
+    // path graph with ADVERSARIAL id placement (min in the middle, ids
+    // shuffled): node ids 0..60 chained by bucket i = {p(i), p(i+1)}
+    // under a deterministic permutation — the shape that degraded plain
+    // min-propagation to Ω(diameter) rounds
+    val perm = (0 to 60).map(i => (i * 37 + 19) % 61).toArray
+    val chain = (0 until 60).flatMap(i =>
+      Seq((perm(i).toLong, s"c$i"), (perm(i + 1).toLong, s"c$i")))
+    // a hub: one bucket shared by 100..119; two singletons with unique keys
+    val hub = (100L to 119L).map(id => (id, "hub"))
+    val single = Seq((200L, "s200"), (201L, "s201"))
+    val inc = (chain ++ hub ++ single).toDF("id", "bucket")
+    val labels = Dedup.componentsByKey(inc, "id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 61 + 20 + 2)
+    assert((0 to 60).map(i => labels(i.toLong)).toSet == Set(0L),
+      "whole chain must collapse to min id 0")
+    assert((100L to 119L).map(labels).toSet == Set(100L))
+    assert(labels(200L) == 200L && labels(201L) == 201L)
+  }
+
   test("ppjoin prefix filtering is lossless vs the full quadratic jaccard") {
     // mixed corpus: exact dup, near-dup, unrelated docs, a universal
     // token — the prefix-filtered join must return EXACTLY what the
