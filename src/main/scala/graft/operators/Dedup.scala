@@ -626,7 +626,11 @@ object Dedup {
     var round = 0
     while (!converged && round < maxIterations) {
       round += 1
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // materialize the large-star half: the small-star half's symmetric
+      // self-joins would otherwise inline (and re-execute) its plan ~4×
+      val ls = largeStar(edges).localCheckpoint(true)
+      val next = smallStar(ls).localCheckpoint(true)
+      unpersistCheckpoint(ls)
       val sum = checksum(next)
       converged = sum == prev
       prev = sum

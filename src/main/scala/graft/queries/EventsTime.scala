@@ -276,6 +276,48 @@ object EventsTime extends QGroup {
         |  abs(((n_events - prev) * 1000) // prev) > 500 AS anomaly
         |FROM lagged WHERE prev IS NOT NULL""".stripMargin)),
 
+    // G14: EWMA smoothing of the daily revenue series — exponential
+    // decay α = 1/2 over a 15-day lookback, in EXACT integer
+    // arithmetic: weights are powers of two (shiftleft — x10-certified
+    // portable), revenue is exact cents (the a9 round(p*100) lift), and
+    // the smoothed value is an integer-div milli-cent ratio, so no
+    // float summation order or pow() libm difference can leak in.
+    // Scale shape: the raw scan collapses to day grain in one
+    // aggregation; the 15-way offset fan-out and the self-join run on
+    // the tiny day series (broadcast). Headroom: Σ cents·2^14 over 15
+    // days stays under 2^63 up to ~10^13 cents/day.
+    QDef("g14_ewma_smoothing",
+      (s, dir) => {
+        val series = Tables(s, dir, "orders")
+          .groupBy(
+            datediff(col("o_orderdate").cast("date"),
+              lit("1992-01-01").cast("date")).as("di"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")
+            .cast(DecimalType(38, 0))).cast("long").as("cents"))
+        val off = s.range(0, 15).toDF("o")
+        val w = expr("shiftleft(1L, cast(14 - o AS int))")
+        series.select(col("di").as("tdi"), col("day"), col("cents").as("tcents"))
+          .crossJoin(broadcast(off))
+          .join(broadcast(series.select(col("di").as("sdi"), col("cents").as("scents"))),
+            col("tdi") - col("o") === col("sdi"))
+          .groupBy(col("day"), col("tcents"))
+          .agg(sum(col("scents") * w).as("num"), sum(w).as("den"))
+          .select(col("day"), col("tcents").as("cents"),
+            expr("(num * 1000) div den").as("ewma_milli"))
+      },
+      Some("""WITH series AS (
+        |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS di,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |off AS (SELECT unnest(generate_series(0, 14)) AS o)
+        |SELECT t.day, t.cents,
+        |  (CAST(SUM(s.cents * (1 << (14 - o))) AS BIGINT) * 1000)
+        |    // CAST(SUM(1 << (14 - o)) AS BIGINT) AS ewma_milli
+        |FROM series t CROSS JOIN off JOIN series s ON s.di = t.di - o
+        |GROUP BY t.day, t.cents""".stripMargin)),
+
     // G13: dynamic-gap sessionization — per-user inactivity gaps (here:
     // every 5th user gets 30 min, others 10) via the lag + running-sum
     // formulation; g2's session_window covers the fixed-gap fast path,
