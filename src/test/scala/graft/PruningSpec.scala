@@ -75,6 +75,33 @@ class PruningSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_sb")
     }
   }
+
+  test("nested schema pruning: selecting one struct field narrows the parquet ReadSchema") {
+    // event-payload shape: a wide struct column where queries touch one
+    // leaf. At 100 TB the scan must read ONLY that leaf's pages —
+    // Spark's nestedSchemaPruning (on by default) rewrites the read
+    // schema; pin it so a regression (or an accidental opt-out) that
+    // silently re-reads whole structs can't land.
+    val out = tmpDir("nested-prune") + "/events_struct"
+    spark.read.parquet(sf("orders"))
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"),
+          col("o_orderdate").as("odate"),
+          col("o_orderpriority").as("priority")).as("payload"))
+      .write.mode("overwrite").parquet(out)
+    val q = spark.read.parquet(out)
+      .select(col("o_orderkey"), col("payload.status").as("status"))
+      .filter(col("status") === "O")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("status"),
+      s"pruned schema must keep the selected leaf: $readSchema")
+    for (dropped <- Seq("price", "odate", "priority"))
+      assert(!readSchema.contains(dropped),
+        s"leaf '$dropped' must be pruned from the scan: $readSchema")
+  }
 }
 
 /** Pipeline observability: Dataset.observe rides data-quality counters
