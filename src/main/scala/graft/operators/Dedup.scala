@@ -157,7 +157,7 @@ object Dedup {
     * not the checkpointed RDD's blocks, which otherwise linger until
     * driver GC runs the ContextCleaner — a storage-pressure leak when an
     * iterative loop checkpoints a snapshot per round at corpus scale. */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+  private[operators] def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

@@ -214,6 +214,65 @@ object TextAnalysis {
       .select(col("id"), col("tok"), col("rank"), col("tfidf_micro"))
   }
 
+  /** BM25 retrieval scores for a fixed term set — the ranking function
+    * behind corpus search / eval-set retrieval (Robertson-Sparck Jones,
+    * the `+1` idf variant so scores stay positive for terms in >half
+    * the corpus).
+    *
+    * Determinism contract: idf is floor-scaled to integer micro-nats
+    * FIRST (ln is the only transcendental, and floor of identical
+    * doubles is stable where round() near midpoints is not); the
+    * saturation fraction tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is pure
+    * IEEE +,*,/ on doubles — bit-identical across engines given the
+    * same operation order, which the DuckDB oracle mirrors token for
+    * token — and the per-doc total sums the floored BIGINT micro
+    * scores, so it is summation-order-independent.
+    *
+    * Scale shape: corpus stats (N, avgdl, per-term df) are tiny
+    * broadcast sides; the only shuffle is the (id, tok) tf aggregation
+    * over query-term postings (the `isin` filter prunes the token
+    * stream to the terms, so the exchange carries O(postings), not the
+    * corpus); top-k is TakeOrdered (per-partition heads + driver merge
+    * of k rows), never a global sort. */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+    val docLen = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    // N and avgdl: one row, broadcast; avgdl division mirrored in SQL
+    val stats = docLen.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"),
+        floor(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))) * 1e6).cast("long").as("idfm"),
+        col("avgdl"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("tok"))
+      .join(docLen, Seq("id"))
+      .select(col("id"),
+        floor(col("idfm") * (col("tf").cast("double") * lit(k1 + 1.0)
+          / (col("tf").cast("double")
+            + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))))
+          .cast("long").as("score_micro"))
+      .groupBy(col("id"))
+      .agg(sum(col("score_micro")).as("bm25_micro"),
+        count(lit(1)).as("n_terms"))
+    scored
+      .orderBy(col("bm25_micro").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Sliding token-window chunking — the context-window prep step
     * between a cleaned corpus and a tokenizer: each document becomes
     * ceil(n_tokens / stride) chunks of up to `chunkSize` whitespace

@@ -585,6 +585,68 @@ object Aggregates extends QGroup {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
         |    / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS wavg_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // A18: declarative data-quality constraint suite (the Deequ-style
+    // validation report a pipeline runs before promoting a drop):
+    // completeness, numeric range, domain membership, temporal sanity
+    // in ONE conditional-aggregation scan; key uniqueness as a grouped
+    // excess count (lineitem's duplicate (orderkey, linenumber) pairs
+    // are real, so this rule fires); referential integrity as an
+    // anti-join count (broadcastable key side at this shape; at 100 TB
+    // the same anti-join shuffles on the key, still one exchange).
+    // count(when(...)) not sum(when(...)): count over zero rows is 0 on
+    // both engines where SUM would render NULL (EmptyInputSpec).
+    QDef("a18_constraint_check",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val rowLevel = li.agg(
+          count(when(col("l_returnflag").isNull, 1)).as("v1"),
+          count(when(not(col("l_quantity").between(1, 50)), 1)).as("v2"),
+          count(when(not(col("l_discount").between(0, 0.10)), 1)).as("v3"),
+          count(when(not(col("l_returnflag").isin("A", "N", "R")), 1)).as("v4"),
+          count(when(col("l_shipdate") < lit("1992-01-01").cast("timestamp") ||
+            col("l_shipdate") >= lit("1999-01-01").cast("timestamp"), 1)).as("v5"))
+          .selectExpr("""stack(5,
+            'complete_returnflag', v1,
+            'quantity_in_1_50', v2,
+            'discount_in_0_10pct', v3,
+            'returnflag_domain', v4,
+            'shipdate_in_epoch', v5) AS (rule, violations)""")
+        val uniq = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L))
+            .as("violations"))
+          .select(lit("unique_order_line").as("rule"), col("violations"))
+        val fk = li.join(
+            Tables(s, dir, "orders").select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("fk_order_exists").as("rule"), col("violations"))
+        rowLevel.unionByName(uniq).unionByName(fk)
+      },
+      Some("""SELECT 'complete_returnflag' AS rule,
+        |  COUNT(*) FILTER (WHERE l_returnflag IS NULL) AS violations FROM lineitem
+        |UNION ALL
+        |SELECT 'quantity_in_1_50',
+        |  COUNT(*) FILTER (WHERE NOT (l_quantity BETWEEN 1 AND 50)) FROM lineitem
+        |UNION ALL
+        |SELECT 'discount_in_0_10pct',
+        |  COUNT(*) FILTER (WHERE NOT (l_discount BETWEEN 0 AND 0.10)) FROM lineitem
+        |UNION ALL
+        |SELECT 'returnflag_domain',
+        |  COUNT(*) FILTER (WHERE NOT (l_returnflag IN ('A', 'N', 'R'))) FROM lineitem
+        |UNION ALL
+        |SELECT 'shipdate_in_epoch',
+        |  COUNT(*) FILTER (WHERE l_shipdate < TIMESTAMP '1992-01-01'
+        |                      OR l_shipdate >= TIMESTAMP '1999-01-01') FROM lineitem
+        |UNION ALL
+        |SELECT 'unique_order_line', CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM (
+        |  SELECT COUNT(*) AS c FROM lineitem
+        |  GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+        |UNION ALL
+        |SELECT 'fk_order_exists', COUNT(*) FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_orderkey = l.l_orderkey)""".stripMargin))
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Graph, Similarity}
 
 /** LLM-data-pipeline surface (SURVEY §2B L1–L4 + the north-star ops):
   * exact/near dedup, cosine similarity search, text analysis, multimodal
@@ -762,6 +762,52 @@ object LlmOps extends QGroup {
       Some("""SELECT doc_id, md5(text) AS payload_md5,
         |  CAST(strlen(text) AS INTEGER) AS payload_bytes,
         |  lang, n_chars
-        |FROM documents""".stripMargin))
+        |FROM documents""".stripMargin)),
+
+    // L26: PageRank over the customer↔supplier interaction graph — the
+    // link-analysis primitive behind crawl-corpus sampling weights
+    // (page importance) and domain-authority quality priors. Exact
+    // BIGINT fixed-point recurrence (operators.Graph) so two engines
+    // running two implementations (Spark Pregel-style loop vs DuckDB
+    // chained CTEs) agree bit-for-bit; supplier ids are offset by 1e6
+    // because customer and supplier keys share the small-int space.
+    // Three iterations on both sides — the oracle pins the *recurrence*,
+    // GraphSpec pins convergence/topology properties.
+    QDef("l26_pagerank",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("a"),
+            (col("l_suppkey") + lit(1000000L)).as("b"))
+          .distinct()
+        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+        Graph.pageRank(edges, "src", "dst", iterations = 3)
+      },
+      Some("""WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS rank_micro FROM deg),
+        |r1 AS (
+        |  SELECT e.dst AS id,
+        |    CAST(150000 + (85 * SUM(r.rank_micro // g.d)) // 100 AS BIGINT) AS rank_micro
+        |  FROM edges e JOIN r0 r ON r.id = e.src JOIN deg g ON g.src = e.src
+        |  GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT e.dst AS id,
+        |    CAST(150000 + (85 * SUM(r.rank_micro // g.d)) // 100 AS BIGINT) AS rank_micro
+        |  FROM edges e JOIN r1 r ON r.id = e.src JOIN deg g ON g.src = e.src
+        |  GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT e.dst AS id,
+        |    CAST(150000 + (85 * SUM(r.rank_micro // g.d)) // 100 AS BIGINT) AS rank_micro
+        |  FROM edges e JOIN r2 r ON r.id = e.src JOIN deg g ON g.src = e.src
+        |  GROUP BY e.dst)
+        |SELECT id, rank_micro FROM r3""".stripMargin))
   )
 }

@@ -388,6 +388,43 @@ object TextOps extends QGroup {
         |            WHEN q < e3 THEN 2 ELSE 3 END AS bin,
         |  COUNT(*) AS n_docs, MIN(q) AS q_min, MAX(q) AS q_max
         |FROM scored CROSS JOIN edges
-        |GROUP BY 1""".stripMargin))
+        |GROUP BY 1""".stripMargin)),
+
+    // L27: BM25 top-k retrieval for a fixed query — the eval-set /
+    // corpus-search ranking primitive (tf saturation + length
+    // normalization, which raw tf-idf l11 lacks). idf floor-scaled to
+    // micro-nats before any sum; the saturation fraction is pure IEEE
+    // double arithmetic mirrored operation-for-operation in the oracle;
+    // per-doc totals sum BIGINT micro scores. Top-k is a total order
+    // (score desc, doc_id) so LIMIT is deterministic.
+    QDef("l27_bm25",
+      (s, dir) =>
+        TextAnalysis.bm25TopK(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("hash", "join", "dup"), k = 20)
+          .withColumnRenamed("id", "doc_id"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |dlen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        |          FROM dlen),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |       WHERE tok IN ('hash', 'join', 'dup') GROUP BY doc_id, tok),
+        |idf AS (
+        |  SELECT tok,
+        |    CAST(floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1e6) AS BIGINT) AS idfm
+        |  FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+        |  CROSS JOIN stats),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(idfm * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |      / (CAST(tf AS DOUBLE)
+        |        + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))) AS BIGINT) AS score_micro
+        |  FROM tf JOIN idf USING (tok) JOIN dlen USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS bm25_micro, COUNT(*) AS n_terms
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25_micro DESC, doc_id ASC LIMIT 20""".stripMargin))
   )
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** PageRank (operators.Graph) — topology properties the DuckDB oracle
+  * can't isolate: hand-checked values on tiny graphs, dangling-node and
+  * no-inbound behavior, and partitioning-independence of the integer
+  * fixed-point recurrence. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two-node cycle is the fixpoint: every rank stays at initial mass") {
+    // a↔b, outdeg 1 each: contrib = rank, new = 150000 + 85%·1e6 = 1e6
+    val r = ranks(Seq((1L, 2L), (2L, 1L)), iters = 5)
+    assert(r == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("star graph: hub accumulates leaf mass, leaves hold teleport base") {
+    // leaves 2..5 each point at hub 1; hub points back at leaf 2.
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (1L, 2L))
+    val r = ranks(edges, iters = 1)
+    // hub: 150000 + 85·(4 × 1e6)/100 = 3550000
+    assert(r(1L) == 3550000L)
+    // leaf 2 gets the hub's whole rank: 150000 + 85·1e6/100 = 1000000
+    assert(r(2L) == 1000000L)
+    // leaves 3..5 have no inbound: teleport base only
+    assert(Seq(3L, 4L, 5L).forall(r(_) == 150000L))
+  }
+
+  test("dangling node keeps its inbound rank; its mass is not redistributed") {
+    // 1 → 2 and nothing out of 2: node 2 is dangling but must still
+    // appear with base + damped contribution; node 1 settles at base.
+    val r = ranks(Seq((1L, 2L)), iters = 2)
+    assert(r.keySet == Set(1L, 2L))
+    assert(r(1L) == 150000L) // no inbound
+    // iter1: r2 = 150000 + 85%·1e6 = 1000000; iter2: 150000 + 85%·150000
+    assert(r(2L) == 150000L + 85L * 150000L / 100L)
+  }
+
+  test("integer recurrence is partitioning-independent (1 vs 32 shuffle partitions)") {
+    val edges = (1L to 40L).flatMap(i => Seq((i, i % 40 + 1), (i % 40 + 1, i)))
+    val base = ranks(edges)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      assert(ranks(edges) == base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("empty edge list yields an empty result with the contract schema") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = Graph.pageRank(empty, "src", "dst")
+    assert(out.columns.toSeq == Seq("id", "rank_micro"))
+    assert(out.isEmpty)
+  }
+
+  test("null endpoints are dropped, not propagated into the node set") {
+    val edges = Seq((Option(1L), Option(2L)), (None, Option(3L)), (Option(4L), None))
+      .toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iterations = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet == Set(1L, 2L))
+  }
+}
