@@ -50,9 +50,15 @@ object Graph {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
     val base = (100L - dampingPct) * 10000L
+    // materialize the cleaned edge list ONCE — every derived table
+    // (degree, node set, per-round contributions) would otherwise
+    // re-execute the caller's upstream plan (often a join + distinct
+    // that is itself referenced twice when the caller symmetrizes via
+    // union), and at corpus scale the edge build dwarfs the iterations
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(true)
     // static per-source out-degree, attached to each edge ONCE — the
     // per-round join then only carries (src, dst, d) vs the rank table
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
@@ -61,28 +67,52 @@ object Graph {
       .unionByName(e.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint(true)
+    Dedup.unpersistCheckpoint(e)
 
+    // The rank table has one row per NODE — usually orders of magnitude
+    // smaller than the edge list. When the node count is provably small
+    // (we just materialized the node set, so the count is a free RAM
+    // scan), broadcast the rank table into every iteration: each round
+    // is then a map-side pass over the resident edge list plus a
+    // node-sized aggregation — the edge list is never shuffled at all.
+    // Above the threshold (billions of nodes at corpus scale) fall back
+    // to shuffle joins, which is the only shape that fits memory there.
+    // Checkpointed leaves carry no stats, so without the explicit
+    // broadcast() Spark would sort-merge the 3-orders-of-magnitude
+    // asymmetric join every round.
+    val nNodes = nodes.count()
+    val bcast = nNodes <= 2000000L // ~32 MB of (id, rank) — executor-safe
+    def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+
+    // Unlike the label-propagation loops (which run an ACTION per round
+    // for the convergence check), fixed-iteration PageRank has exactly
+    // one terminal action — so per-round materialization is pure
+    // overhead for short runs: the single final job pipelines the whole
+    // unrolled DAG. Checkpoint only every few rounds to bound
+    // plan/lineage growth on long runs.
+    val checkpointEvery = 4
     var ranks = nodes.select(col("id"), lit(1000000L).as("rank_micro"))
-      .localCheckpoint(true)
+    var lastCkpt: Option[DataFrame] = None
     var i = 0
     while (i < iterations) {
       val contrib = withDeg
-        .join(ranks, withDeg("src") === ranks("id"))
+        .join(side(ranks), withDeg("src") === ranks("id"))
         .groupBy(col("dst"))
         .agg(sum(expr("rank_micro div d")).as("s"))
-      val next = nodes
-        .join(contrib, nodes("id") === contrib("dst"), "left")
+      var next = nodes
+        .join(side(contrib), nodes("id") === contrib("dst"), "left")
         .select(
           nodes("id"),
           (lit(base) + expr(s"$dampingPct * coalesce(s, 0L) div 100"))
             .cast("long").as("rank_micro"))
-        .localCheckpoint(true)
-      Dedup.unpersistCheckpoint(ranks)
-      ranks = next
       i += 1
+      if (i % checkpointEvery == 0 && i < iterations) {
+        next = next.localCheckpoint(true)
+        lastCkpt.foreach(Dedup.unpersistCheckpoint)
+        lastCkpt = Some(next)
+      }
+      ranks = next
     }
-    Dedup.unpersistCheckpoint(withDeg)
-    Dedup.unpersistCheckpoint(nodes)
     ranks
   }
 }
