@@ -360,6 +360,93 @@ object Joins extends QGroup {
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderstatus = 'F'
-        |                    AND o.o_totalprice < 50000)""".stripMargin))
+        |                    AND o.o_totalprice < 50000)""".stripMargin)),
+
+    // J16: TPC-H Q21 shape — "suppliers who kept orders waiting": the
+    // hardest decorrelation pattern in the suite, a fact-table
+    // self-correlated EXISTS (another supplier served the same order)
+    // plus a NOT EXISTS correlated on TWO outer columns (l_orderkey
+    // AND the joined o_orderdate), both lowered by
+    // RewritePredicateSubquery to semi/anti self-joins on the order
+    // key. "Late" is adapted to this schema (no receipt/commit dates):
+    // shipped >60 days after the order date.
+    QDef("j16_q21_shape",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("j16_lineitem")
+        Tables(s, dir, "orders").createOrReplaceTempView("j16_orders")
+        Tables(s, dir, "supplier").createOrReplaceTempView("j16_supplier")
+        s.sql("""SELECT s_name, COUNT(*) AS numwait
+          |FROM j16_supplier JOIN j16_lineitem l1 ON s_suppkey = l1.l_suppkey
+          |JOIN j16_orders ON o_orderkey = l1.l_orderkey
+          |WHERE o_orderstatus = 'F'
+          |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          |  AND EXISTS (SELECT 1 FROM j16_lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM j16_lineitem l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          |GROUP BY s_name""".stripMargin)
+      },
+      Some("""SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name""".stripMargin)),
+
+    // J17: TPC-H Q22 shape — "global-account customers who went
+    // quiet": a scalar aggregate subquery feeding a filter plus an
+    // anti-join against the fact table. The above-average-balance
+    // threshold is decided in EXACT decimal arithmetic
+    // (bal × n_pos > Σbal, both sides exact) instead of comparing
+    // against a float AVG whose last ulp differs across engines —
+    // a knife-edge balance would otherwise flip the row set.
+    // "No orders at all" never fires in this data (every customer
+    // orders), so the anti condition is the real-world variant:
+    // inactive since 2000-01-01.
+    QDef("j17_q22_shape",
+      (s, dir) => {
+        Tables(s, dir, "customer").createOrReplaceTempView("j17_customer")
+        Tables(s, dir, "orders").createOrReplaceTempView("j17_orders")
+        s.sql("""WITH seg AS (
+          |  SELECT * FROM j17_customer
+          |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')),
+          |thr AS (
+          |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS total_pos,
+          |         COUNT(*) AS n_pos
+          |  FROM seg WHERE c_acctbal > 0.0)
+          |SELECT c_mktsegment, COUNT(*) AS numcust,
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+          |FROM seg CROSS JOIN thr
+          |WHERE CAST(c_acctbal AS DECIMAL(38,6)) * n_pos > total_pos
+          |  AND NOT EXISTS (SELECT 1 FROM j17_orders
+          |                  WHERE o_custkey = c_custkey
+          |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+          |GROUP BY c_mktsegment""".stripMargin)
+      },
+      Some("""WITH seg AS (
+        |  SELECT * FROM customer
+        |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')),
+        |thr AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS total_pos,
+        |         COUNT(*) AS n_pos
+        |  FROM seg WHERE c_acctbal > 0.0)
+        |SELECT c_mktsegment, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+        |FROM seg CROSS JOIN thr
+        |WHERE CAST(c_acctbal AS DECIMAL(38,6)) * n_pos > total_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment""".stripMargin))
   )
 }
