@@ -287,6 +287,44 @@ object Dedup {
       .select(col("d1"), col("d2"), col("n_inter"), col("jpm"))
   }
 
+  /** Asymmetric token-set containment pairs: for each candidate pair,
+    * cpm = |A∩B| / min(|A|,|B|) in per-mille — the "near-superset"
+    * detector. Jaccard misses the classic boilerplate case (a short
+    * doc wholly embedded in a long one scores |A|/|B| ≈ 0 Jaccard but
+    * 1000 cpm); dedup policies usually drop the contained side.
+    * Same inverted-index + df-cap plan as [[jaccardPairs]]: hot
+    * (stopword-grade) tokens are dropped before the self-join because
+    * they carry ~zero set-overlap signal and would make the token key
+    * quadratic at corpus scale. Integer per-mille division on both
+    * engines — oracle-hashable. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCpm: Int = 800,
+      maxDfRatio: Double = 0.9): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("tok"))
+    val nDocs = toks.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val hot = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > lit(maxDfRatio) * col("n_docs"))
+      .select(col("tok"))
+    val kept = toks.join(broadcast(hot), Seq("tok"), "left_anti")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val a = kept.select(col("doc_id").as("d1"), col("tok"))
+    val b = kept.select(col("doc_id").as("d2"), col("tok"))
+    val inter = a.join(b, Seq("tok")).filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_tok", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_tok", "n2"), "d2")
+      .withColumn("cpm", expr("(n_inter * 1000) div least(n1, n2)"))
+      .filter(col("cpm") >= minCpm)
+      .select(col("d1"), col("d2"), col("n_inter"), col("cpm"))
+  }
+
   /** Distinct word n-grams of `textCol` as strings, one row per
     * (id, gram). Docs shorter than `n` tokens contribute their whole
     * token list as a single gram (clamped slice — mirrors the SQL

@@ -59,30 +59,35 @@ object Graph {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint(true)
-    // static per-source out-degree, attached to each edge ONCE — the
-    // per-round join then only carries (src, dst, d) vs the rank table
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val withDeg = e.join(deg, "src").localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint(true)
-    Dedup.unpersistCheckpoint(e)
 
     // The rank table has one row per NODE — usually orders of magnitude
     // smaller than the edge list. When the node count is provably small
     // (we just materialized the node set, so the count is a free RAM
-    // scan), broadcast the rank table into every iteration: each round
-    // is then a map-side pass over the resident edge list plus a
-    // node-sized aggregation — the edge list is never shuffled at all.
-    // Above the threshold (billions of nodes at corpus scale) fall back
-    // to shuffle joins, which is the only shape that fits memory there.
+    // scan), take the broadcast path: rank and out-degree travel
+    // together as one node-sized broadcast per round, so each iteration
+    // is a single map-side pass over the RESIDENT edge list plus a
+    // node-sized aggregation — the edge list is never shuffled, copied,
+    // or re-annotated at all. Above the threshold (billions of nodes at
+    // corpus scale) fall back to shuffle joins against a degree-
+    // annotated edge copy, the only shape that fits memory there.
     // Checkpointed leaves carry no stats, so without the explicit
     // broadcast() Spark would sort-merge the 3-orders-of-magnitude
     // asymmetric join every round.
     val nNodes = nodes.count()
-    val bcast = nNodes <= 2000000L // ~32 MB of (id, rank) — executor-safe
-    def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    val bcast = nNodes <= 2000000L // ~32 MB of (id, rank, deg) — executor-safe
+    // broadcast path: out-degree as a tiny checkpointed table joined to
+    // the rank side each round (a node×node join, trivial); shuffle
+    // path: degree attached to each edge ONCE so per-round joins carry
+    // (src, dst, d) vs the rank table
+    val degById =
+      if (bcast) deg.withColumnRenamed("src", "id").localCheckpoint(true) else null
+    val withDeg = if (bcast) null else e.join(deg, "src").localCheckpoint(true)
+    if (!bcast) Dedup.unpersistCheckpoint(e) // rounds read withDeg, not e
 
     // Unlike the label-propagation loops (which run an ACTION per round
     // for the convergence check), fixed-iteration PageRank has exactly
@@ -95,12 +100,20 @@ object Graph {
     var lastCkpt: Option[DataFrame] = None
     var i = 0
     while (i < iterations) {
-      val contrib = withDeg
-        .join(side(ranks), withDeg("src") === ranks("id"))
-        .groupBy(col("dst"))
-        .agg(sum(expr("rank_micro div d")).as("s"))
+      val contrib =
+        if (bcast) {
+          val rd = ranks.join(degById, "id")
+          e.join(broadcast(rd), e("src") === rd("id"))
+            .groupBy(col("dst"))
+            .agg(sum(expr("rank_micro div d")).as("s"))
+        } else
+          withDeg
+            .join(ranks, withDeg("src") === ranks("id"))
+            .groupBy(col("dst"))
+            .agg(sum(expr("rank_micro div d")).as("s"))
       var next = nodes
-        .join(side(contrib), nodes("id") === contrib("dst"), "left")
+        .join(if (bcast) broadcast(contrib) else contrib,
+          nodes("id") === contrib("dst"), "left")
         .select(
           nodes("id"),
           (lit(base) + expr(s"$dampingPct * coalesce(s, 0L) div 100"))

@@ -647,6 +647,60 @@ object Aggregates extends QGroup {
         |UNION ALL
         |SELECT 'fk_order_exists', COUNT(*) FROM lineitem l
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
-        |                  WHERE o.o_orderkey = l.l_orderkey)""".stripMargin))
+        |                  WHERE o.o_orderkey = l.l_orderkey)""".stripMargin)),
+
+    // A19: association rules over order baskets (market-basket mining):
+    // top-200 most frequent supplier co-occurrence pairs with
+    // support/confidence/lift. The basket self-join's cost is
+    // Σ(basket²) — bounded by basket SIZE, never by corpus-wide item
+    // frequency, so it scales where a token-style inverted index needs
+    // a df cap. All metrics are integer per-mille/per-million floor
+    // divisions (BIGINT throughout; the lift numerator n_ab·n·1e6 stays
+    // far under 2^63 at any plausible order count ~1e9 × pair count
+    // 1e4). Top-k is a total order (n_ab DESC, a, b) because a support
+    // THRESHOLD is not scale-robust — the qualifying set thins as the
+    // item universe grows with SF. Item counts are dimension-sized
+    // (suppliers) — broadcast.
+    QDef("a19_association_rules",
+      (s, dir) => {
+        val os = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("item"))
+          .distinct()
+        val nOrders = os.agg(countDistinct(col("ok")).as("n"))
+        val itemCnt = os.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+        val top = os.as("x").join(os.as("y"),
+            col("x.ok") === col("y.ok") && col("x.item") < col("y.item"))
+          .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+          .agg(count(lit(1)).as("n_ab"))
+          .orderBy(col("n_ab").desc, col("a").asc, col("b").asc)
+          .limit(200)
+        top
+          .join(broadcast(itemCnt.select(col("item").as("a"), col("n_item").as("n_a"))), "a")
+          .join(broadcast(itemCnt.select(col("item").as("b"), col("n_item").as("n_b"))), "b")
+          .crossJoin(broadcast(nOrders))
+          .select(col("a"), col("b"), col("n_ab"),
+            expr("1000 * n_ab div n").as("support_pm"),
+            expr("1000 * n_ab div n_a").as("conf_ab_pm"),
+            expr("1000 * n_ab div n_b").as("conf_ba_pm"),
+            expr("1000000 * n_ab * n div (n_a * n_b)").as("lift_ppm"))
+      },
+      Some("""WITH os AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS item FROM lineitem),
+        |n_t AS (SELECT COUNT(DISTINCT ok) AS n FROM os),
+        |ic AS (SELECT item, COUNT(*) AS n_item FROM os GROUP BY item),
+        |top AS (
+        |  SELECT x.item AS a, y.item AS b, COUNT(*) AS n_ab
+        |  FROM os x JOIN os y ON x.ok = y.ok AND x.item < y.item
+        |  GROUP BY 1, 2
+        |  ORDER BY n_ab DESC, a ASC, b ASC LIMIT 200)
+        |SELECT a, b, n_ab,
+        |  1000 * n_ab // n AS support_pm,
+        |  1000 * n_ab // ia.n_item AS conf_ab_pm,
+        |  1000 * n_ab // ib.n_item AS conf_ba_pm,
+        |  1000000 * n_ab * n // (ia.n_item * ib.n_item) AS lift_ppm
+        |FROM top
+        |JOIN ic ia ON ia.item = a
+        |JOIN ic ib ON ib.item = b
+        |CROSS JOIN n_t""".stripMargin))
   )
 }

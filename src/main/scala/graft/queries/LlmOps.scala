@@ -808,6 +808,39 @@ object LlmOps extends QGroup {
         |    CAST(150000 + (85 * SUM(r.rank_micro // g.d)) // 100 AS BIGINT) AS rank_micro
         |  FROM edges e JOIN r2 r ON r.id = e.src JOIN deg g ON g.src = e.src
         |  GROUP BY e.dst)
-        |SELECT id, rank_micro FROM r3""".stripMargin))
+        |SELECT id, rank_micro FROM r3""".stripMargin)),
+
+    // L28: asymmetric containment pairs — the near-SUPERSET detector
+    // Jaccard structurally misses (a short doc wholly embedded in a
+    // long one is ~0 Jaccard but 1000‰ containment; dedup policy drops
+    // the contained side). Same df-capped inverted-index plan as l1c,
+    // integer per-mille division on both engines.
+    QDef("l28_containment_pairs",
+      (s, dir) =>
+        Dedup.containmentPairs(
+          Tables(s, dir, "documents").filter(col("doc_id") < 150),
+          idCol = "doc_id", textCol = "text",
+          minCpm = 800, maxDfRatio = 0.9),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents WHERE doc_id < 150
+        |), hot AS (
+        |  SELECT tok FROM (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1)
+        |  WHERE df > 0.9 * (SELECT COUNT(DISTINCT doc_id) FROM toks)
+        |), kept AS (
+        |  SELECT * FROM toks WHERE tok NOT IN (SELECT tok FROM hot)
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok FROM kept GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+        |  FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d1, d2, n_inter,
+        |  (n_inter * 1000) // least(s1.n_tok, s2.n_tok) AS cpm
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = d1
+        |JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE (n_inter * 1000) // least(s1.n_tok, s2.n_tok) >= 800""".stripMargin))
   )
 }

@@ -155,6 +155,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("j16: Q21-shape double correlation decorrelates to semi + anti self-joins") {
+    val p = planOf("j16_q21_shape")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"two-outer-column NOT EXISTS must still decorrelate:\n$p")
+  }
+
+  test("j17: Q22-shape scalar subquery broadcasts the one-row threshold") {
+    val p = planOf("j17_q22_shape")
+    // the threshold CTE is a single-row aggregate: it must arrive via
+    // broadcast (nested-loop on one row is fine), never a shuffled join
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("l27: bm25 broadcasts corpus stats; top-k is TakeOrdered, not a global sort") {
+    val p = planOf("l27_bm25")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("l26: pagerank iterations broadcast the rank side; edges are never exchanged") {
+    val p = planOf("l26_pagerank")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the resident edge list must not be hash-repartitioned inside the
+    // iteration chain — only node-sized aggregation exchanges remain
+    val exchanges = "Exchange hashpartitioning\\(([a-z_#0-9L, ]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(!exchanges.exists(_.startsWith("src")),
+      s"edge table shuffled on src:\n$exchanges")
+  }
+
   test("count(*) over parquet compiles to a metadata-friendly scan") {
     val df = spark.read.parquet(s"$dir/lineitem.parquet").groupBy().count()
     val p = df.queryExecution.executedPlan.toString
