@@ -701,6 +701,69 @@ object Aggregates extends QGroup {
         |FROM top
         |JOIN ic ia ON ia.item = a
         |JOIN ic ib ON ib.item = b
-        |CROSS JOIN n_t""".stripMargin))
+        |CROSS JOIN n_t""".stripMargin)),
+
+    // A20: per-group OLS regression (slope / intercept / R²) of price
+    // on quantity — the built-in regr_slope/regr_intercept aggregate
+    // family, re-derived from EXACT integer moments (the A9 recipe:
+    // quantity is integral, price becomes exact cents) because the
+    // builtins accumulate floating sums whose value depends on
+    // partition merge order. Every numerator/denominator here is an
+    // exact DECIMAL(38,0); the single double division at the end runs
+    // on bit-identical inputs in both engines, and the results are
+    // floor-scaled (not round()ed — HALF_UP vs double-multiply
+    // midpoints, the L11 lesson). One combiner-friendly aggregation,
+    // same scale shape as A9.
+    QDef("a20_regression",
+      (s, dir) => {
+        val qc = col("l_quantity").cast("bigint")
+        val pc = round(col("l_extendedprice") * 100).cast("bigint")
+        val dec0 = "decimal(38,0)"
+        Tables(s, dir, "lineitem")
+          .select(col("l_returnflag"), qc.as("qc"), pc.as("pc"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qc").cast(dec0)).as("sx"),
+            sum(col("pc").cast(dec0)).as("sy"),
+            sum((col("qc") * col("pc")).cast(dec0)).as("sxy"),
+            sum((col("qc") * col("qc")).cast(dec0)).as("sxx"),
+            sum((col("pc") * col("pc")).cast(dec0)).as("syy"))
+          .select(col("l_returnflag"), col("n"),
+            // slope/intercept in cents-per-unit / cents; R² dimensionless
+            floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") * 1e6)
+              .cast("bigint").as("slope_micro"),
+            floor((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") * 1e2)
+              .cast("bigint").as("intercept_centi"),
+            floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")) * 1e6)
+              .cast("bigint").as("r2_micro"))
+      },
+      Some("""SELECT l_returnflag, n,
+        |  CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+        |       / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6) AS BIGINT) AS slope_micro,
+        |  CAST(FLOOR(CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |       / CAST(n * sxx - sx * sx AS DOUBLE) * 1e2) AS BIGINT) AS intercept_centi,
+        |  CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+        |       / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+        |       * 1e6) AS BIGINT) AS r2_micro
+        |FROM (
+        |  -- BIGINT sums accumulate as HUGEINT (exact int128) in DuckDB;
+        |  -- DECIMAL(38,0)*DECIMAL(38,0) would exceed max decimal width
+        |  -- at bind time, so the exactness carrier differs from Spark's
+        |  -- decimal while every value stays integer-exact
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS BIGINT)) AS sx,
+        |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+        |    SUM(CAST(l_quantity AS BIGINT)
+        |        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+        |    SUM(CAST(l_quantity AS BIGINT)
+        |        * CAST(l_quantity AS BIGINT)) AS sxx,
+        |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy
+        |  FROM lineitem GROUP BY l_returnflag) s""".stripMargin))
   )
 }

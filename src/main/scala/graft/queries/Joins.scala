@@ -447,6 +447,200 @@ object Joins extends QGroup {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
-        |GROUP BY c_mktsegment""".stripMargin))
+        |GROUP BY c_mktsegment""".stripMargin)),
+
+    // J18: TPC-H Q13 shape — customer order-count distribution. The
+    // teaching point is the JOIN-CONDITION filter on a LEFT OUTER join
+    // (o_orderpriority <> '1-URGENT' prunes the right side but must NOT
+    // drop customers), then a second aggregation over the first's
+    // output — two shuffles, the second on a low-cardinality key that
+    // AQE coalesces to a handful of partitions.
+    QDef("j18_q13_custdist",
+      (s, dir) => {
+        val perCust = Tables(s, dir, "customer")
+          .join(Tables(s, dir, "orders")
+              .filter(col("o_orderpriority") =!= "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+        perCust.groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count""".stripMargin)),
+
+    // J19: TPC-H Q16 shape — supplier diversity per part bucket with a
+    // NOT IN exclusion. NOT IN (as opposed to NOT EXISTS, J15/J16) is
+    // the null-aware anti-join: one NULL in the subquery empties the
+    // result, so Spark plans a BroadcastNestedLoopJoin unless it can
+    // prove the build side null-free — the exclusion list here is a
+    // 1-column key scan, broadcast either way. partsupp doesn't exist
+    // in this schema; lineitem's (l_partkey, l_suppkey) is the
+    // observed part↔supplier relation, and "complaint" suppliers are
+    // those with negative account balance.
+    QDef("j19_q16_shape",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("j19_lineitem")
+        Tables(s, dir, "part").createOrReplaceTempView("j19_part")
+        Tables(s, dir, "supplier").createOrReplaceTempView("j19_supplier")
+        s.sql("""SELECT p_brand, p_type, p_size,
+          |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM j19_lineitem JOIN j19_part ON p_partkey = l_partkey
+          |WHERE p_brand <> 'Brand#45'
+          |  AND p_type <> 'MEDIUM'
+          |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM j19_supplier
+          |                        WHERE s_acctbal < 0)
+          |GROUP BY p_brand, p_type, p_size""".stripMargin)
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |  AND p_type <> 'MEDIUM'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin)),
+
+    // J20: TPC-H Q19 shape — discounted revenue under an OR-of-ANDs
+    // predicate spanning both join sides. Catalyst extracts the
+    // common join key, pushes the part-only conjuncts (brand, size)
+    // below the join via CNF conversion, and leaves the cross-side
+    // residual on the join — the scan of `part` must show a
+    // PushedFilters entry for the brand IN-set, not a post-join
+    // filter of the whole disjunction.
+    QDef("j20_q19_disjunctive",
+      (s, dir) => {
+        val l = Tables(s, dir, "lineitem")
+        val p = broadcast(Tables(s, dir, "part"))
+        l.join(p, col("p_partkey") === col("l_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(20, 30)))
+          .agg(count(lit(1)).as("n_items"),
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+              .cast("double").as("revenue"))
+      },
+      Some("""SELECT COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // J21: TPC-H Q7 shape — bilateral trade volume: the same `nation`
+    // dimension joined TWICE under different roles (supplier's vs
+    // customer's), a symmetric pair filter, and a per-year rollup.
+    // Both nation joins broadcast; the fact-side chain
+    // lineitem⋈supplier and lineitem⋈orders⋈customer shuffles on its
+    // keys once each.
+    QDef("j21_q7_volume",
+      (s, dir) => {
+        val l = Tables(s, dir, "lineitem")
+        val su = Tables(s, dir, "supplier")
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        val n1 = broadcast(Tables(s, dir, "nation"))
+          .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+        val n2 = broadcast(Tables(s, dir, "nation"))
+          .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+        l.join(su, col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(n1, col("s_nationkey") === col("n1_key"))
+          .join(n2, col("c_nationkey") === col("n2_key"))
+          .filter(
+            (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+            .cast("double").as("revenue"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""".stripMargin)),
+
+    // J22: TPC-H Q15 shape — top supplier by quarterly revenue: a
+    // grouped view consumed twice (once for the rows, once inside a
+    // scalar MAX subquery). The revenue stays DECIMAL end-to-end so
+    // the `= MAX(...)` comparison is exact — on floats a knife-edge
+    // tie could include different suppliers on different engines.
+    // Catalyst evaluates the scalar subquery once and broadcasts the
+    // single-row result into the filter.
+    QDef("j22_q15_top_supplier",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("j22_lineitem")
+        Tables(s, dir, "supplier").createOrReplaceTempView("j22_supplier")
+        s.sql("""WITH rev AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS total_rev
+          |  FROM j22_lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+          |FROM j22_supplier JOIN rev ON s_suppkey = supplier_no
+          |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""".stripMargin)
+      },
+      Some("""WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""".stripMargin)),
+
+    // J23: LATERAL correlated subquery — each customer's single
+    // biggest order, written as the SQL-standard lateral derived
+    // table rather than a window. Catalyst decorrelates the LIMIT-1
+    // lateral into a per-key aggregation join (DecorrelateInnerQuery
+    // handles the correlated LIMIT via row_number), so the physical
+    // plan is the same one shuffle as W4's window formulation — the
+    // point is front-door coverage of the syntax, with a total order
+    // (price DESC, then orderkey) making the picked row unique.
+    QDef("j23_lateral_topk",
+      (s, dir) => {
+        Tables(s, dir, "customer").createOrReplaceTempView("j23_customer")
+        Tables(s, dir, "orders").createOrReplaceTempView("j23_orders")
+        s.sql("""SELECT c_custkey, best.o_orderkey AS best_orderkey,
+          |  best.o_totalprice AS best_price
+          |FROM j23_customer c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM j23_orders o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey
+          |         LIMIT 1) best""".stripMargin)
+      },
+      Some("""SELECT c_custkey, best.o_orderkey AS best_orderkey,
+        |  best.o_totalprice AS best_price
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 1) best""".stripMargin))
   )
 }

@@ -841,6 +841,47 @@ object LlmOps extends QGroup {
         |FROM inter
         |JOIN sizes s1 ON s1.doc_id = d1
         |JOIN sizes s2 ON s2.doc_id = d2
-        |WHERE (n_inter * 1000) // least(s1.n_tok, s2.n_tok) >= 800""".stripMargin))
+        |WHERE (n_inter * 1000) // least(s1.n_tok, s2.n_tok) >= 800""".stripMargin)),
+
+    // L30: triangle count over the co-purchase graph (parts adjacent
+    // when some order contains both) — the canonical graph-analytics
+    // aggregate for community density, and a benchmark staple
+    // (clustering coefficients, spam/fraud motifs). The algorithm is
+    // the standard two-join wedge-close: orient every edge u<v, join
+    // edges to wedges on the middle vertex, then close each wedge
+    // against the edge set. Both joins shuffle on a vertex key; at
+    // 100 TB the orientation would be by DEGREE (not id) so hub
+    // vertices generate wedges only from their low-degree side —
+    // id-orientation is fine at this density and keeps the oracle
+    // trivially identical. The l_partkey bound keeps the induced
+    // subgraph's wedge count independent of how many total parts the
+    // scale factor adds.
+    QDef("l30_triangle_count",
+      (s, dir) => {
+        val pp = Tables(s, dir, "lineitem")
+          .filter(col("l_partkey") < 1000)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = pp.as("a").join(pp.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+        val tri = e.select(col("u").as("t_u"), col("v").as("t_v"))
+          .join(e.select(col("u").as("w_u"), col("v").as("w_v")),
+            col("t_v") === col("w_u"))
+          .join(e.select(col("u").as("c_u"), col("v").as("c_v")),
+            col("c_u") === col("t_u") && col("c_v") === col("w_v"))
+          .agg(count(lit(1)).as("n_triangles"))
+        e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+      },
+      Some("""WITH pp AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_partkey < 1000),
+        |e AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk)
+        |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+        |       (SELECT COUNT(*) FROM e e1
+        |        JOIN e e2 ON e1.v = e2.u
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin))
   )
 }

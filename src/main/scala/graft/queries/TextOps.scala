@@ -425,6 +425,52 @@ object TextOps extends QGroup {
         |  FROM tf JOIN idf USING (tok) JOIN dlen USING (doc_id) CROSS JOIN stats)
         |SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS bm25_micro, COUNT(*) AS n_terms
         |FROM scored GROUP BY doc_id
-        |ORDER BY bm25_micro DESC, doc_id ASC LIMIT 20""".stripMargin))
+        |ORDER BY bm25_micro DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
+    // L29: per-document character-entropy — the cheap statistical
+    // quality gate (gibberish, base64 blobs, and repeated-char padding
+    // all sit far from natural-language entropy; filters like CCNet
+    // cut on exactly this). H = ln n − Σ c·ln c / n over char counts.
+    // Determinism: each ln is floor-scaled to integer micro-nats
+    // BEFORE summation (the L10/L16 recipe) so the per-doc sum is an
+    // exact BIGINT no matter the partition merge order, and the final
+    // division is integer `div` — no float ever crosses an aggregation
+    // boundary. Two keyed shuffles on (doc, char) then (doc): at
+    // corpus scale the first combiner collapses each partition to
+    // ≤ |alphabet| rows per doc before the exchange.
+    QDef("l29_char_entropy",
+      (s, dir) => {
+        val counts = Tables(s, dir, "documents")
+          .filter(col("text").isNotNull && length(col("text")) > 0)
+          // Spark's regex split keeps a trailing "" under limit -1
+          // where DuckDB's string_split('') doesn't — drop it
+          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+          .filter(col("ch") =!= "")
+          .groupBy(col("doc_id"), col("ch"))
+          .agg(count(lit(1)).as("c"))
+        counts.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_chars_seen"),
+            count(lit(1)).as("n_distinct_chars"),
+            sum(col("c") * floor(log(col("c").cast("double")) * 1e6).cast("bigint"))
+              .as("sum_term"))
+          .select(col("doc_id"), col("n_chars_seen"), col("n_distinct_chars"),
+            (floor(log(col("n_chars_seen").cast("double")) * 1e6).cast("bigint")
+              - expr("sum_term div n_chars_seen")).as("entropy_micro"))
+      },
+      Some("""WITH counts AS (
+        |  SELECT doc_id, ch, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |        FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+        |  WHERE ch <> '' GROUP BY doc_id, ch),
+        |agg AS (
+        |  SELECT doc_id, SUM(c) AS n_chars_seen, COUNT(*) AS n_distinct_chars,
+        |    SUM(c * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS sum_term
+        |  FROM counts GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(n_chars_seen AS BIGINT) AS n_chars_seen,
+        |  n_distinct_chars,
+        |  CAST(CAST(FLOOR(ln(CAST(n_chars_seen AS DOUBLE)) * 1e6) AS BIGINT)
+        |    - (sum_term // n_chars_seen) AS BIGINT) AS entropy_micro
+        |FROM agg""".stripMargin))
   )
 }

@@ -35,8 +35,8 @@ class AdversarialTextSpec extends SparkSpec {
         !Set("l2_cosine_topk", "l2b_ann_lsh", "l2c_ann_ivf", "l2d_kmeans_cells",
           "l21_embedding_quantize", "l4_binary_roundtrip",
           "l4b_multimodal_features",
-          // reads lineitem/orders (the interaction graph), not documents
-          "l26_pagerank",
+          // read lineitem/orders (the interaction graph), not documents
+          "l26_pagerank", "l30_triangle_count",
           // these two also read the embeddings table, absent here
           "f1_flatten_multimap", "l1f_embedding_dedup").contains(q.name))
     val failures = docQueries.flatMap { q =>
