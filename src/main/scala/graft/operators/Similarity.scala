@@ -74,10 +74,15 @@ object Similarity {
     * a k-means pass would tighten cells but costs iterations and
     * run-to-run drift; swap trained centroids in when available.
     *
-    * Scale shape: assignment is corpus × nList broadcast similarity (a
-    * narrow map — nList vectors fit in every executor), then the
-    * candidate join is per-cell (shuffle on cell id), so each corpus row
-    * is compared against only the queries probing its cell.
+    * Scale shape (the kmeans recipe): the nList centroid vectors are
+    * collected to the driver and re-broadcast as PLAN LITERALS — stats,
+    * not data — so cell assignment is a shuffle-free corpus scan (one
+    * fold over the literal matrix per row; the previous corpus×nList
+    * crossJoin + per-row row_number window shuffled the corpus nList
+    * times over just to pick an argmax, and was the whole-suite bench
+    * outlier). The only exchanges left are the per-cell candidate join
+    * and the final top-k window, both over the probed slice
+    * (~nProbe/nList of the corpus), not the corpus itself.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -87,33 +92,53 @@ object Similarity {
       nProbe: Int,
       idCol: String,
       vecCol: String): DataFrame = {
-    val cents = corpus
+    val spark = corpus.sparkSession
+    val cents: Array[Array[Float]] = corpus
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      // a NULL vector can't seed a cell (and would NPE the collect)
+      .filter(col("c_vec").isNotNull)
       .orderBy(xxhash64(col("c_id")).asc_nulls_first, col("c_id").asc_nulls_first)
       .limit(nList)
+      .collect().map(_.getSeq[Float](1).toArray)
+    // empty corpus (a routine slice at scale): no cells, no neighbors —
+    // return the contract schema with the id column's real type
+    if (cents.isEmpty)
+      return queries
+        .select(col(idCol).as("q_id"), lit(1).as("rank"),
+          col(idCol).as("n_id"), lit(0.0).as("sim"))
+        .limit(0)
 
-    def assign(df: DataFrame, idAs: String, vecAs: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idAs))
-        .orderBy(col("__csim").desc_nulls_last, col("c_id").asc_nulls_first)
-      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
-        .crossJoin(broadcast(cents))
-        .withColumn("__csim",
-          graft.GraftFunctions.cosineNative(df.sparkSession, col(vecAs), col("c_vec")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= keep)
-        .select(col(idAs), col(vecAs), col("c_id").as("cell"))
-    }
+    val centArr: Column = array(cents.map(v => array(v.map(lit): _*)): _*)
+    // per-cell (−sim, cell) structs off the literal matrix; NULL cosine
+    // (ragged / zero-norm vector) pins to −(−2) below every real
+    // similarity, mirroring the old window's desc_nulls_last
+    def cellSims(vec: Column): Column =
+      zip_with(centArr, sequence(lit(0), lit(cents.length - 1)),
+        (cv, i) => struct(
+          (-coalesce(graft.GraftFunctions.cosineNative(spark, vec, cv),
+            lit(-2.0))).as("negsim"),
+          i.as("cell")))
 
-    val corpusCells = assign(corpus, "n_id", "n_vec", keep = 1)
-    val queryCells = assign(queries, "q_id", "q_vec", keep = nProbe)
+    // corpus: argmax sim = struct-min of (−sim, cell); ties → lowest cell
+    val corpusCells = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("cell", array_min(cellSims(col("n_vec"))).getField("cell"))
+    // queries: nProbe best cells, same ordering, exploded to probe rows
+    val queryCells = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("cell",
+        explode(transform(slice(array_sort(cellSims(col("q_vec"))), 1, nProbe),
+          _.getField("cell"))))
 
+    // each corpus row lives in exactly ONE cell, so (q_id, n_id) pairs
+    // are already unique across probe rows — no dedup exchange needed.
+    // The query side is the small side by construction — broadcast it.
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc_nulls_last, col("n_id").asc_nulls_first)
-    queryCells.join(corpusCells, Seq("cell"))
+    broadcast(queryCells).join(corpusCells, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
-      .dropDuplicates("q_id", "n_id")
       .withColumn("sim",
-        graft.GraftFunctions.cosineNative(queries.sparkSession, col("q_vec"), col("n_vec")))
+        graft.GraftFunctions.cosineNative(spark, col("q_vec"), col("n_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))

@@ -764,6 +764,129 @@ object Aggregates extends QGroup {
         |        * CAST(l_quantity AS BIGINT)) AS sxx,
         |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
         |        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy
-        |  FROM lineitem GROUP BY l_returnflag) s""".stripMargin))
+        |  FROM lineitem GROUP BY l_returnflag) s""".stripMargin)),
+
+    // A21: TPC-H Q6 shape — the revenue-forecast scan: a global
+    // aggregate under three scan-local predicates, zero joins, zero
+    // wide exchanges — the purest pushdown test (every predicate must
+    // reach PushedFilters; the whole plan is scan→partial-agg→one-row
+    // exchange). Revenue = price × discount summed as exact DECIMAL.
+    QDef("a21_q6_forecast",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1997-01-01" &&
+            col("l_discount").between(0.03, 0.07) &&
+            col("l_quantity") < 24)
+          .agg(sum((col("l_extendedprice") * col("l_discount")).cast(dec))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_rows")),
+      Some("""SELECT
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)),
+
+    // A22: TPC-H Q12 shape — two-way conditional counting after a
+    // fact-fact join (the schema has no l_shipmode; l_returnflag is
+    // the grouping stand-in). The CASE sums are map-side-combinable
+    // BIGINTs; the orderkey join is the only exchange, and the
+    // shipdate window prunes lineitem before it.
+    QDef("a22_q12_priority_counts",
+      (s, dir) => {
+        val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1997-01-01")
+          .join(Tables(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+      },
+      Some("""SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag""".stripMargin)),
+
+    // A23: TPC-H Q14 shape — promo revenue share: conditional
+    // aggregation against a broadcast dimension attribute, numerator
+    // and denominator both exact DECIMAL off one scan, the share a
+    // single floor-scaled double division on bit-identical operands.
+    QDef("a23_q14_promo_share",
+      (s, dir) => {
+        val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec)
+        Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= "1996-03-01" &&
+            col("l_shipdate") < "1996-06-01")
+          .join(broadcast(Tables(s, dir, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast(dec))).as("promo_dec"),
+            sum(rev).as("total_dec"))
+          .select(
+            col("promo_dec").cast("double").as("promo_revenue"),
+            col("total_dec").cast("double").as("total_revenue"),
+            floor(col("promo_dec").cast("double") / col("total_dec").cast("double")
+              * 1e6).cast("bigint").as("promo_share_micro"))
+      },
+      Some("""WITH s AS (
+        |  SELECT
+        |    SUM(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))
+        |        ELSE CAST(0 AS DECIMAL(38,6)) END) AS promo_dec,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS total_dec
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-06-01')
+        |SELECT CAST(promo_dec AS DOUBLE) AS promo_revenue,
+        |  CAST(total_dec AS DOUBLE) AS total_revenue,
+        |  CAST(FLOOR(CAST(promo_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) * 1e6)
+        |       AS BIGINT) AS promo_share_micro
+        |FROM s""".stripMargin)),
+
+    // A24: TPC-H Q9 shape — product-line profit by (nation, year).
+    // The schema has no partsupp/supplycost, so cost is proxied as
+    // 10% of p_retailprice per unit; profit = revenue − cost stays an
+    // exact per-row DECIMAL difference (both operands are casts of
+    // IEEE-identical double products), so the group sums are
+    // order-independent. part and supplier broadcast; the one wide
+    // exchange is the final (nation, year) aggregation.
+    QDef("a24_q9_profit",
+      (s, dir) => {
+        val amount =
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec)
+            .minus((col("l_quantity") * col("p_retailprice") * lit(0.1)).cast(dec))
+        Tables(s, dir, "lineitem")
+          .join(broadcast(Tables(s, dir, "part")
+              .filter(col("p_name").like("%gear%"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(Tables(s, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("l_shipdate")).as("o_year"))
+          .agg(sum(amount).cast("double").as("sum_profit"))
+      },
+      Some("""SELECT n_name AS nation, year(l_shipdate) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))
+        |         - CAST(l_quantity * p_retailprice * 0.1 AS DECIMAL(38,6)))
+        |       AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY n_name, year(l_shipdate)""".stripMargin))
   )
 }

@@ -641,6 +641,260 @@ object Joins extends QGroup {
         |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
         |         WHERE o.o_custkey = c.c_custkey
         |         ORDER BY o_totalprice DESC, o_orderkey
-        |         LIMIT 1) best""".stripMargin))
+        |         LIMIT 1) best""".stripMargin)),
+
+    // J24: TPC-H Q8 shape — national market share per year: a
+    // six-table chain where the SAME fact row needs both its
+    // customer's region (to scope the market) and its supplier's
+    // nation (to attribute the sale). All dims broadcast; lineitem
+    // joins orders on the one fact-fact exchange. Share = conditional
+    // decimal sum / total decimal sum, one floor-scaled double
+    // division at the very end.
+    QDef("j24_q8_market_share",
+      (s, dir) => {
+        val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec)
+        val custNation = broadcast(Tables(s, dir, "nation"))
+          .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+        val suppNation = broadcast(Tables(s, dir, "nation"))
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val euRegion = broadcast(Tables(s, dir, "region"))
+          .filter(col("r_name") === "EUROPE")
+        Tables(s, dir, "lineitem")
+          .join(Tables(s, dir, "orders")
+              .filter(col("o_orderdate") >= "1996-01-01" &&
+                col("o_orderdate") < "1998-01-01"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables(s, dir, "customer")
+              .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(custNation, col("c_nationkey") === col("cn_key"))
+          .join(euRegion, col("cn_region") === col("r_regionkey"))
+          .join(broadcast(Tables(s, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(suppNation, col("s_nationkey") === col("sn_key"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_1", rev)
+              .otherwise(lit(0).cast(dec))).as("nat_dec"),
+            sum(rev).as("all_dec"))
+          .select(col("o_year"),
+            col("all_dec").cast("double").as("total_revenue"),
+            floor(col("nat_dec").cast("double") / col("all_dec").cast("double")
+              * 1e6).cast("bigint").as("mkt_share_micro"))
+      },
+      Some("""WITH base AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    SUM(CASE WHEN sn.n_name = 'NATION_1'
+        |        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))
+        |        ELSE CAST(0 AS DECIMAL(38,6)) END) AS nat_dec,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS all_dec
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |  GROUP BY year(o_orderdate))
+        |SELECT o_year, CAST(all_dec AS DOUBLE) AS total_revenue,
+        |  CAST(FLOOR(CAST(nat_dec AS DOUBLE) / CAST(all_dec AS DOUBLE) * 1e6)
+        |       AS BIGINT) AS mkt_share_micro
+        |FROM base""".stripMargin)),
+
+    // J25: TPC-H Q10 shape — top-20 customers by returned-item
+    // revenue in a quarter. The LIMIT rides a TOTAL order (exact
+    // DECIMAL revenue DESC, then custkey): ordering by a double sum
+    // would let a knife-edge ulp tie admit different rows per engine.
+    // TakeOrdered keeps the top-k driver-side tiny; the only wide
+    // exchanges are the orderkey join and the customer aggregation.
+    QDef("j25_q10_returns",
+      (s, dir) => {
+        val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec)
+        Tables(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .join(Tables(s, dir, "orders")
+              .filter(col("o_orderdate") >= "1996-01-01" &&
+                col("o_orderdate") < "1996-04-01"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum(rev).as("rev_dec"))
+          .orderBy(col("rev_dec").desc, col("c_custkey"))
+          .limit(20)
+          .select(col("c_custkey"), col("c_name"), col("n_name"),
+            col("rev_dec").cast("double").as("revenue"))
+      },
+      Some("""SELECT c_custkey, c_name, n_name, CAST(rev_dec AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT c_custkey, c_name, n_name,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS rev_dec
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation   ON c_nationkey = n_nationkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1996-04-01'
+        |  GROUP BY c_custkey, c_name, n_name
+        |  ORDER BY rev_dec DESC, c_custkey LIMIT 20) t""".stripMargin)),
+
+    // J26: TPC-H Q11 shape — "important parts": per-part value from
+    // one nation's suppliers, kept only where value exceeds 1/1000 of
+    // that nation's total (scalar aggregate subquery in HAVING). The
+    // exactness carrier is integer micro-revenue — round() lands on
+    // exact integers (price-cents × discount-hundredths), summed as
+    // DECIMAL(38,0) in Spark vs HUGEINT in DuckDB (the a20 recipe), so
+    // the ×1000 threshold compare can never be flipped by float error.
+    // Supplier+nation broadcast; Catalyst evaluates the total once.
+    QDef("j26_q11_important_parts",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("j26_lineitem")
+        Tables(s, dir, "supplier").createOrReplaceTempView("j26_supplier")
+        Tables(s, dir, "nation").createOrReplaceTempView("j26_nation")
+        s.sql("""SELECT l_partkey AS p_key,
+          |  CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e4)
+          |               AS DECIMAL(38,0))) AS DOUBLE) AS value_micro
+          |FROM j26_lineitem
+          |JOIN j26_supplier ON l_suppkey = s_suppkey
+          |JOIN j26_nation   ON s_nationkey = n_nationkey
+          |WHERE n_name = 'NATION_3'
+          |GROUP BY l_partkey
+          |HAVING SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e4)
+          |               AS DECIMAL(38,0))) * 1000 >
+          |  (SELECT SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e4)
+          |                  AS DECIMAL(38,0)))
+          |   FROM j26_lineitem
+          |   JOIN j26_supplier ON l_suppkey = s_suppkey
+          |   JOIN j26_nation   ON s_nationkey = n_nationkey
+          |   WHERE n_name = 'NATION_3')""".stripMargin)
+      },
+      Some("""SELECT l_partkey AS p_key,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e4)
+        |               AS BIGINT)) AS DOUBLE) AS value_micro
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |GROUP BY l_partkey
+        |HAVING SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e4)
+        |               AS BIGINT)) * 1000 >
+        |  (SELECT SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e4)
+        |                  AS BIGINT))
+        |   FROM lineitem
+        |   JOIN supplier ON l_suppkey = s_suppkey
+        |   JOIN nation   ON s_nationkey = n_nationkey
+        |   WHERE n_name = 'NATION_3')""".stripMargin)),
+
+    // J27: TPC-H Q20 shape — nested IN: suppliers (from two nations)
+    // whose 1996 shipped volume of red parts crossed a threshold. The
+    // inner IN is a grouped-HAVING subquery over a join;
+    // RewritePredicateSubquery lowers both INs to semi-joins, and the
+    // quantity sum is integer-exact (integral doubles cast to BIGINT)
+    // so the HAVING cut is engine-stable.
+    QDef("j27_q20_volume_suppliers",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("j27_lineitem")
+        Tables(s, dir, "part").createOrReplaceTempView("j27_part")
+        Tables(s, dir, "supplier").createOrReplaceTempView("j27_supplier")
+        Tables(s, dir, "nation").createOrReplaceTempView("j27_nation")
+        s.sql("""SELECT s_suppkey, s_name
+          |FROM j27_supplier JOIN j27_nation ON s_nationkey = n_nationkey
+          |WHERE n_name IN ('NATION_1', 'NATION_2')
+          |  AND s_suppkey IN (
+          |    SELECT l_suppkey
+          |    FROM j27_lineitem JOIN j27_part ON l_partkey = p_partkey
+          |    WHERE p_name LIKE 'red %'
+          |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+          |      AND l_shipdate <  TIMESTAMP '1997-01-01'
+          |    GROUP BY l_suppkey
+          |    HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)""".stripMargin)
+      },
+      Some("""SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_1', 'NATION_2')
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    WHERE p_name LIKE 'red %'
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |      AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |    GROUP BY l_suppkey
+        |    HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)""".stripMargin)),
+
+    // J28: TPC-H Q4 shape — order-priority checking: orders in a
+    // quarter having at least one line shipped >30 days after the
+    // order date (the schema's stand-in for commit<receipt). The
+    // correlated EXISTS carries a NON-equi conjunct on top of the key
+    // equality; Catalyst still plans a hash semi-join on orderkey with
+    // the date comparison as the join residual — no nested loop.
+    QDef("j28_q4_priority_check",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("j28_orders")
+        Tables(s, dir, "lineitem").createOrReplaceTempView("j28_lineitem")
+        s.sql("""SELECT o_orderpriority, COUNT(*) AS order_count
+          |FROM j28_orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+          |  AND EXISTS (SELECT 1 FROM j28_lineitem
+          |              WHERE l_orderkey = o_orderkey
+          |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+          |GROUP BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority""".stripMargin)),
+
+    // J29: TPC-H Q2 shape — minimum-cost supplier: for each size-5
+    // part, the EUROPE supplier(s) with the lowest account balance
+    // among those observed shipping it (lineitem's distinct
+    // (part,supplier) pairs stand in for partsupp). The correlated
+    // scalar MIN re-derives the same join tree inside the subquery;
+    // MIN on double is order-independent, and the equality compares
+    // two copies of the same stored value — exact. Ties keep all
+    // minimal suppliers (a deterministic SET, no arbitrary pick).
+    QDef("j29_q2_min_supplier",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("j29_lineitem")
+        Tables(s, dir, "part").createOrReplaceTempView("j29_part")
+        Tables(s, dir, "supplier").createOrReplaceTempView("j29_supplier")
+        Tables(s, dir, "nation").createOrReplaceTempView("j29_nation")
+        Tables(s, dir, "region").createOrReplaceTempView("j29_region")
+        s.sql("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM j29_lineitem)
+          |SELECT p_partkey, p_name, s_suppkey, s_name,
+          |  CAST(s_acctbal AS DOUBLE) AS acctbal
+          |FROM j29_part, j29_supplier, ps, j29_nation, j29_region
+          |WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
+          |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |  AND r_name = 'EUROPE' AND p_size = 5
+          |  AND s_acctbal = (
+          |    SELECT MIN(s2.s_acctbal)
+          |    FROM j29_supplier s2, ps ps2, j29_nation n2, j29_region r2
+          |    WHERE p_partkey = ps2.l_partkey AND s2.s_suppkey = ps2.l_suppkey
+          |      AND s2.s_nationkey = n2.n_nationkey
+          |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')""".stripMargin)
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_partkey, p_name, s_suppkey, s_name,
+        |  CAST(s_acctbal AS DOUBLE) AS acctbal
+        |FROM part, supplier, ps, nation, region
+        |WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE' AND p_size = 5
+        |  AND s_acctbal = (
+        |    SELECT MIN(s2.s_acctbal)
+        |    FROM supplier s2, ps ps2, nation n2, region r2
+        |    WHERE p_partkey = ps2.l_partkey AND s2.s_suppkey = ps2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')""".stripMargin))
   )
 }
