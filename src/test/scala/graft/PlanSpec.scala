@@ -194,4 +194,32 @@ class PlanSpec extends SparkSpec {
     // from row-group metadata without materializing columns
     assert(p.contains("ReadSchema: struct<>"), p)
   }
+
+  test("j20: disjunctive predicate pushes part-side conjuncts below the join") {
+    val p = planOf("j20_q19_disjunctive")
+    // CNF extraction: each side's conjunct groups must reach that
+    // side's scan as pushed filters (part: OR of brand=..∧size≤..;
+    // lineitem: OR of the quantity bands), not sit post-join inside
+    // the full cross-side OR — at 100 TB that's the difference between
+    // scanning 3 brands and scanning every row
+    val partScan = p.split("\n").filter(l =>
+      l.contains("FileScan parquet") && l.contains("part.parquet"))
+    assert(partScan.exists(l => l.contains("PushedFilters") &&
+      l.contains("p_brand")), p)
+    val lineScan = p.split("\n").filter(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem.parquet"))
+    assert(lineScan.exists(l => l.contains("PushedFilters") &&
+      l.contains("l_quantity")), p)
+    // the cross-side residual OR stays on the broadcast join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("j28: correlated EXISTS with non-equi conjunct stays a hash semi-join") {
+    val p = planOf("j28_q4_priority_check")
+    // the date comparison must ride the orderkey semi-join as a
+    // residual condition — a nested-loop fallback here would be
+    // orders × lineitem at corpus scale
+    assert(p.contains("SemiJoin") || p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
