@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -882,6 +882,163 @@ object LlmOps extends QGroup {
         |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
         |       (SELECT COUNT(*) FROM e e1
         |        JOIN e e2 ON e1.v = e2.u
-        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin))
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin)),
+
+    // L31: per-source KL divergence from the corpus unigram
+    // distribution — the data-mixing diagnostic (a source whose token
+    // distribution sits far from the mix is over/under-weighted; the
+    // same statistic drives domain-upsampling decisions). KL(s‖c) =
+    // Σ_t (c_st/n_s)·ln((c_st/n_s)/(c_ct/N)); every ln is floor-scaled
+    // to integer micro-nats SEPARATELY (ln of a ratio decomposes into
+    // ±ln of four integers), the weighted sum is carried exactly
+    // (DECIMAL(38,0) in Spark, HUGEINT in DuckDB — the a20 carriers),
+    // and the final n_s division is left to the reader: the output is
+    // the exact integer (n_tokens, kl_sum_micro) pair, division-free,
+    // so `div` vs `//` floor semantics on near-zero negatives can't
+    // diverge. One tok-keyed exchange joins source-grain to
+    // corpus-grain counts; source totals broadcast.
+    QDef("l31_kl_divergence",
+      (s, dir) => {
+        def lnf(c: Column): Column =
+          floor(log(c.cast("double")) * 1e6).cast("bigint")
+        val tf = Tables(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("c_st"))
+        val ct = tf.groupBy(col("tok")).agg(sum(col("c_st")).as("c_ct"))
+        val ns = tf.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+        val nt = ct.agg(sum(col("c_ct")).as("n_tot"))
+        tf.join(ct, Seq("tok"))
+          .join(broadcast(ns), Seq("source"))
+          .crossJoin(broadcast(nt))
+          .groupBy(col("source"))
+          .agg(
+            max(col("n_s")).as("n_tokens"),
+            sum((col("c_st").cast("decimal(38,0)") *
+              (lnf(col("c_st")) - lnf(col("n_s")) - lnf(col("c_ct"))
+                + lnf(col("n_tot"))).cast("decimal(38,0)")))
+              .cast("bigint").as("kl_sum_micro"))
+      },
+      Some("""WITH tf AS (
+        |  SELECT source, tok, COUNT(*) AS c_st
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE text IS NOT NULL)
+        |  WHERE tok <> '' GROUP BY source, tok),
+        |ct AS (SELECT tok, SUM(c_st) AS c_ct FROM tf GROUP BY tok),
+        |ns AS (SELECT source, SUM(c_st) AS n_s FROM tf GROUP BY source),
+        |nt AS (SELECT SUM(c_st) AS n_tot FROM tf)
+        |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(c_st * (
+        |      CAST(FLOOR(ln(CAST(c_st AS DOUBLE)) * 1e6) AS BIGINT)
+        |    - CAST(FLOOR(ln(CAST(n_s AS DOUBLE)) * 1e6) AS BIGINT)
+        |    - CAST(FLOOR(ln(CAST(c_ct AS DOUBLE)) * 1e6) AS BIGINT)
+        |    + CAST(FLOOR(ln(CAST(n_tot AS DOUBLE)) * 1e6) AS BIGINT)))
+        |    AS BIGINT) AS kl_sum_micro
+        |FROM tf JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN nt
+        |GROUP BY source""".stripMargin)),
+
+    // L32: per-source Zipf rank-frequency slope — natural text sits
+    // near −1; templated/boilerplate corpora flatten, spam steepens
+    // (a corpus-health gate next to l29's entropy). Token frequencies
+    // rank under a TOTAL order (freq DESC, tok ASC), the top 200 ranks
+    // per source feed an OLS of ln(freq) on ln(rank) re-derived from
+    // exact integer moments of floor-scaled micro-logs (the a20
+    // recipe); the single double division runs on bit-identical
+    // operands. Degenerate sources (<2 ranks, or a zero denominator)
+    // are excluded in both engines rather than emitting NaN.
+    QDef("l32_zipf_slope",
+      (s, dir) => {
+        def lnf(c: Column): Column =
+          floor(log(c.cast("double")) * 1e6).cast("bigint")
+        val dec0 = "decimal(38,0)"
+        val w = Window
+          .partitionBy(col("source"))
+          .orderBy(col("freq").desc_nulls_last, col("tok").asc_nulls_first)
+        val ranked = Tables(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("freq"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 200)
+          .select(col("source"), lnf(col("rank")).as("x"), lnf(col("freq")).as("y"))
+        ranked.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast(dec0)).as("sx"),
+            sum(col("y").cast(dec0)).as("sy"),
+            sum((col("x") * col("y")).cast(dec0)).as("sxy"),
+            sum((col("x") * col("x")).cast(dec0)).as("sxx"))
+          .filter(col("n") >= 2 &&
+            (col("n") * col("sxx") - col("sx") * col("sx")) =!= 0)
+          .select(col("source"), col("n").as("n_ranks"),
+            floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") * 1e6)
+              .cast("bigint").as("slope_micro"))
+      },
+      Some("""WITH tf AS (
+        |  SELECT source, tok, COUNT(*) AS freq
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE text IS NOT NULL)
+        |  WHERE tok <> '' GROUP BY source, tok),
+        |ranked AS (
+        |  SELECT source,
+        |    CAST(FLOOR(ln(CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY freq DESC NULLS LAST, tok ASC NULLS FIRST) AS DOUBLE))
+        |      * 1e6) AS BIGINT) AS x,
+        |    CAST(FLOOR(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS y,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY freq DESC NULLS LAST, tok ASC NULLS FIRST) AS rank
+        |  FROM tf),
+        |m AS (
+        |  SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM ranked WHERE rank <= 200 GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n_ranks,
+        |  CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+        |       / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6) AS BIGINT) AS slope_micro
+        |FROM m WHERE n >= 2 AND n * sxx - sx * sx <> 0""".stripMargin)),
+
+    // L33: hard-negative mining — for each query vector, the top-5
+    // most-similar neighbors with a DIFFERENT label (the contrastive-
+    // training batch builder: near-duplicates of the anchor that carry
+    // the wrong class are exactly the negatives worth training on).
+    // Same broadcast + native-cosine + one-window plan as l2; the
+    // label inequality rides the broadcast join condition so excluded
+    // same-class rows never reach the similarity computation.
+    QDef("l33_hard_negatives",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("label").as("q_label"))
+        val c = emb.select(col("vec_id").as("n_id"),
+          col("embedding").as("n_vec"), col("label").as("n_label"))
+        val w = Window
+          .partitionBy(col("q_id"))
+          .orderBy(col("sim").desc_nulls_last, col("n_id").asc_nulls_first)
+        c.join(broadcast(q),
+            col("n_id") =!= col("q_id") && col("n_label") =!= col("q_label"))
+          .withColumn("sim",
+            graft.GraftFunctions.cosineNative(s, col("q_vec"), col("n_vec")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("n_id"), col("n_label"),
+            round(col("sim"), 6).as("sim6"))
+      },
+      Some("""WITH sims AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, b.label AS n_label,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id AND b.label <> a.label
+        |), ranked AS (
+        |  SELECT q_id, n_id, n_label, sim, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC NULLS LAST, n_id ASC NULLS FIRST) AS rank
+        |  FROM sims
+        |)
+        |SELECT q_id, rank, n_id, n_label, round(sim, 6) AS sim6
+        |FROM ranked WHERE rank <= 5""".stripMargin))
   )
 }

@@ -33,7 +33,7 @@ class AdversarialTextSpec extends SparkSpec {
     val docQueries = SparkEntry.all.filter(q =>
       (q.name.startsWith("l") || q.name.startsWith("f1")) &&
         !Set("l2_cosine_topk", "l2b_ann_lsh", "l2c_ann_ivf", "l2d_kmeans_cells",
-          "l21_embedding_quantize", "l4_binary_roundtrip",
+          "l21_embedding_quantize", "l33_hard_negatives", "l4_binary_roundtrip",
           "l4b_multimodal_features",
           // read lineitem/orders (the interaction graph), not documents
           "l26_pagerank", "l30_triangle_count",
