@@ -32,11 +32,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // A ~100-query suite generates hundreds of whole-stage-codegen classes.
+  // A ~180-query suite generates thousands of whole-stage-codegen classes.
   // Spark's generated-class cache defaults to 100 entries, so every rerun
   // recompiles every stage through Janino, and the churned classes fill the
-  // JVM's 240 MB JIT code cache — once full, HotSpot stops compiling and
-  // late queries run interpreted (observed 10x: 14.3 s vs 1.4 s isolated).
-  "-Dspark.sql.codegen.cache.maxEntries=2000",
-  "-XX:ReservedCodeCacheSize=512m",
+  // JVM's JIT code cache — once full, HotSpot stops compiling and late
+  // queries run interpreted (observed 10x: 14.3 s vs 1.4 s isolated; the
+  // round-4 2000-entry/512m setting saturated again at 182 queries:
+  // in-suite readings ran up to 5x their isolated times).
+  "-Dspark.sql.codegen.cache.maxEntries=10000",
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -46,7 +46,7 @@ object Bench {
       // JVM: ~100 queries x multiple codegen stages overflow the default
       // 100-entry generated-class cache, forcing Janino recompiles every
       // rep and churning the JIT code cache until HotSpot stops compiling
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -887,6 +887,67 @@ object Aggregates extends QGroup {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation   ON s_nationkey = n_nationkey
         |WHERE p_name LIKE '%gear%'
-        |GROUP BY n_name, year(l_shipdate)""".stripMargin))
+        |GROUP BY n_name, year(l_shipdate)""".stripMargin)),
+
+    // A25: Pareto frontier (2-D skyline): parts not dominated on
+    // (minimize p_size, maximize p_retailprice). The naive plan is an
+    // O(n²) dominance anti-join; sorting by size lets ONE range-frame
+    // window decide dominance instead — a row is dominated iff a
+    // strictly-smaller size reached ≥ its price (range frame ending at
+    // 1 PRECEDING on the size axis) or its own size group has a higher
+    // price (plain per-size max). One sort exchange total, O(n log n),
+    // and the same two-window recipe is how skylines are done at fact-
+    // table scale (equal (size, price) duplicates don't dominate each
+    // other — both stay, matching the strict-dominance definition).
+    // No arithmetic on the double column — comparisons only — so the
+    // values are bit-identical across engines.
+    QDef("a25_pareto_frontier",
+      (s, dir) => {
+        val bySize = Window.orderBy(col("p_size"))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val sameSize = Window.partitionBy(col("p_size"))
+        Tables(s, dir, "part")
+          .withColumn("best_smaller", max(col("p_retailprice")).over(bySize))
+          .withColumn("best_same", max(col("p_retailprice")).over(sameSize))
+          .filter((col("best_smaller").isNull ||
+            col("p_retailprice") > col("best_smaller")) &&
+            col("p_retailprice") === col("best_same"))
+          .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      },
+      Some("""SELECT p_partkey, p_size, p_retailprice
+        |FROM (
+        |  SELECT p_partkey, p_size, p_retailprice,
+        |    max(p_retailprice) OVER (ORDER BY p_size
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_smaller,
+        |    max(p_retailprice) OVER (PARTITION BY p_size) AS best_same
+        |  FROM part)
+        |WHERE (best_smaller IS NULL OR p_retailprice > best_smaller)
+        |  AND p_retailprice = best_same""".stripMargin)),
+
+    // A26: equi-depth histogram — ntile(10) over order totalprice.
+    // Complements A13's equi-WIDTH bins: equal row mass per bucket is
+    // what optimizers and drift monitors actually want on skewed money
+    // columns. ntile splits ties by row position, so the window's order
+    // must be a TOTAL order for determinism — o_orderkey breaks
+    // totalprice ties (unique key; lineitem grain couldn't offer one).
+    // One sort exchange; the per-bucket rollup rides the same order.
+    QDef("a26_equidepth_histogram",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .withColumn("bucket",
+            ntile(10).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("cnt"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"),
+            sum(col("o_totalprice").cast(dec)).cast("double").as("mass")),
+      Some("""SELECT bucket, COUNT(*) AS cnt,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS mass
+        |FROM (
+        |  SELECT o_totalprice,
+        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        |  FROM orders)
+        |GROUP BY bucket""".stripMargin))
   )
 }

@@ -58,6 +58,54 @@ object Custom extends QGroup {
         QShared.jsonifyComplex(
           AvroIO.read(s, "/root/reference/3records.1.AVRO")
             .orderBy(col("id").asc_nulls_first)),
-      None)
+      None),
+
+    // U4: typed grouped map — KeyValueGroupedDataset.flatMapGroups, the
+    // batch sibling of G5's mapGroupsWithState: arbitrary per-group
+    // Scala over an iterator of typed rows, here per-nation min-max
+    // normalization of supplier balances. The group runs ONE keyed
+    // exchange and streams each group through the lambda; the buffered
+    // min/max pass is bounded by group size (dimension-grain here —
+    // for unbounded fact groups use the W-family window instead, which
+    // is the whole reason both exist). Floor-scaled integer output; the
+    // oracle is the equivalent window SQL, certifying the typed escape
+    // hatch against the declarative plan.
+    QDef("u4_typed_mapgroups",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "supplier")
+          // primitive tuple fields can't decode NULL (u3 lesson); the
+          // oracle mirrors the filter
+          .filter(col("s_nationkey").isNotNull && col("s_suppkey").isNotNull &&
+            col("s_acctbal").isNotNull)
+          .select(col("s_nationkey").cast("int"), col("s_suppkey"),
+            col("s_acctbal"))
+          .as[(Int, Long, Double)]
+          .groupByKey(_._1)
+          .flatMapGroups { (nation, it) =>
+            val rows = it.toVector
+            val lo = rows.iterator.map(_._3).min
+            val hi = rows.iterator.map(_._3).max
+            val span = hi - lo
+            rows.iterator.map { case (_, k, bal) =>
+              val norm =
+                if (span == 0.0) 0L
+                else math.floor((bal - lo) / span * 1e6).toLong
+              (nation, k, norm)
+            }
+          }
+          .toDF("s_nationkey", "s_suppkey", "norm_micro")
+      },
+      Some("""SELECT CAST(s_nationkey AS INTEGER) AS s_nationkey, s_suppkey,
+        |  CASE WHEN hi = lo THEN 0
+        |       ELSE CAST(FLOOR((s_acctbal - lo) / (hi - lo) * 1e6) AS BIGINT)
+        |  END AS norm_micro
+        |FROM (
+        |  SELECT s_nationkey, s_suppkey, s_acctbal,
+        |    min(s_acctbal) OVER (PARTITION BY s_nationkey) AS lo,
+        |    max(s_acctbal) OVER (PARTITION BY s_nationkey) AS hi
+        |  FROM supplier
+        |  WHERE s_nationkey IS NOT NULL AND s_suppkey IS NOT NULL
+        |    AND s_acctbal IS NOT NULL)""".stripMargin))
   )
 }

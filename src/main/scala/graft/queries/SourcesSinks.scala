@@ -214,6 +214,48 @@ object SourcesSinks extends QGroup {
       },
       Some("""SELECT codec, doc_id, sha256(COALESCE(text, '')) AS text_sha, n_chars
         |FROM documents
-        |CROSS JOIN (VALUES ('none'), ('snappy'), ('gzip'), ('lz4'), ('zstd')) c(codec)""".stripMargin))
+        |CROSS JOIN (VALUES ('none'), ('snappy'), ('gzip'), ('lz4'), ('zstd')) c(codec)""".stripMargin)),
+
+    // S12: bucketed tables + shuffle-FREE co-located join — the
+    // pre-partitioning story for 100 TB fact-fact joins. Both sides are
+    // written `bucketBy(8, orderkey).sortBy(orderkey)` (external tables:
+    // catalog entry + data at the sink path), so the sort-merge join
+    // needs NO exchange and NO sort on either side — the bucket layout
+    // IS the join partitioning, amortized across every future join on
+    // that key (the exchange-free plan is pinned in PlanSpec). The
+    // merge hint forces SMJ: at bench scale orders would broadcast,
+    // which is exactly the plan a 100 TB orders table can't have.
+    // Bucket count is 8 here; on a cluster it scales with data volume,
+    // and Spark splits each bucket's files across executors for reads.
+    QDef("s12_bucketed_join",
+      (s, dir) => {
+        val suffix = Integer.toHexString(dir.hashCode)
+        def bucketed(name: String, keyCol: String): String = {
+          val table = s"graft_s12_${name}_$suffix"
+          Tables(s, dir, name)
+            // one writer task per bucket → ONE file per bucket, so the
+            // read-side merge join skips the per-bucket sort too (many
+            // files per bucket keep bucketing but need a local sort)
+            .repartition(8, col(keyCol))
+            .write.mode("overwrite")
+            .bucketBy(8, keyCol).sortBy(keyCol)
+            .option("path", sink(dir, s"s12_$name"))
+            .saveAsTable(table)
+          table
+        }
+        val li = s.table(bucketed("lineitem", "l_orderkey"))
+        val os = s.table(bucketed("orders", "o_orderkey"))
+        li.hint("merge").join(os.hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"),
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(QShared.dec)).cast("double").as("revenue"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)))
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin))
   )
 }
