@@ -27,8 +27,9 @@ object Engine {
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.parquet.enableVectorizedReader", "true")
-      // events.parquet stores ts as TIMESTAMP(NANOS); Spark's reader
-      // needs this to map it (to LongType nanos) instead of erroring.
+      // older events.parquet generations store ts as TIMESTAMP(NANOS);
+      // Spark's reader needs this to map it (to LongType nanos) instead
+      // of erroring. Tables normalizes every encoding to nano-longs.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // native expressions (graft_cosine, graft_minhash) + the
       // transparent corrupt-date rebase rule; sessions built elsewhere
