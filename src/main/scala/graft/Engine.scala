@@ -27,6 +27,11 @@ object Engine {
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.parquet.enableVectorizedReader", "true")
+      // graft's bucketed writes repartition to one file per bucket, so
+      // the scan's sortBy order is trustworthy — this elides the
+      // read-side sorts in bucketed merge joins (Spark guards the claim
+      // per-scan when a bucket has >1 file, so it's safe as a default)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // older events.parquet generations store ts as TIMESTAMP(NANOS);
       // Spark's reader needs this to map it (to LongType nanos) instead
       // of erroring. Tables normalizes every encoding to nano-longs.

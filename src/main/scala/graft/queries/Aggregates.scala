@@ -23,19 +23,29 @@ object Aggregates extends QGroup {
 
     // A2: COUNT(DISTINCT) + SUM(DISTINCT) + deterministic AVG
     // (decimal-sum ÷ count, cast through double identically on both sides).
+    // Two distinct aggregates over DIFFERENT columns in one groupBy force
+    // Spark's multi-distinct Expand (×3 row multiplication over the whole
+    // scan — measured 4 s / 99× DuckDB at sf0.1, the a11 anti-pattern).
+    // Instead each distinct runs in its own single-distinct aggregate —
+    // planned as partial-agg on (status, key) then re-aggregate, no
+    // Expand — and the two 3-row results join on o_orderstatus.
     QDef("a2_distinct_agg",
-      (s, dir) =>
-        Tables(s, dir, "orders")
-          .groupBy(col("o_orderstatus"))
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val custs = o.groupBy(col("o_orderstatus"))
+          .agg(countDistinct(col("o_custkey")).as("n_cust"))
+        val prices = o.groupBy(col("o_orderstatus"))
           .agg(
-            countDistinct(col("o_custkey")).as("n_cust"),
             // final double cast: scale-6 decimal renders differently from
             // the oracle's float64 under the driver's hasher (VERDICT r1)
             sum_distinct(col("o_totalprice").cast(dec)).cast("double")
               .as("sum_distinct_price"),
             (sum(col("o_totalprice").cast(dec)).cast("double") /
               count(lit(1))).as("avg_price"))
-          ,
+        custs.join(prices, Seq("o_orderstatus"))
+          .select(col("o_orderstatus"), col("n_cust"),
+            col("sum_distinct_price"), col("avg_price"))
+      },
       Some("""SELECT o_orderstatus,
         |  COUNT(DISTINCT o_custkey) AS n_cust,
         |  CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_distinct_price,
@@ -901,17 +911,25 @@ object Aggregates extends QGroup {
     // other — both stay, matching the strict-dominance definition).
     // No arithmetic on the double column — comparisons only — so the
     // values are bit-identical across engines.
+    // Scale shape (VERDICT r5): the skyline is mergeable, so the per-size
+    // max prune runs FIRST — a keyed window on p_size (parallel exchange)
+    // keeps only rows at their size's max price, which is a superset of
+    // the frontier. Only that pruned set (≲ |distinct sizes| value
+    // groups, ~50 for TPC-H ints) flows into the unpartitioned
+    // best-smaller window, so the global sort sees survivors, not the
+    // table.
     QDef("a25_pareto_frontier",
       (s, dir) => {
+        val sameSize = Window.partitionBy(col("p_size"))
+        val pruned = Tables(s, dir, "part")
+          .withColumn("best_same", max(col("p_retailprice")).over(sameSize))
+          .filter(col("p_retailprice") === col("best_same"))
         val bySize = Window.orderBy(col("p_size"))
           .rangeBetween(Window.unboundedPreceding, -1)
-        val sameSize = Window.partitionBy(col("p_size"))
-        Tables(s, dir, "part")
+        pruned
           .withColumn("best_smaller", max(col("p_retailprice")).over(bySize))
-          .withColumn("best_same", max(col("p_retailprice")).over(sameSize))
-          .filter((col("best_smaller").isNull ||
-            col("p_retailprice") > col("best_smaller")) &&
-            col("p_retailprice") === col("best_same"))
+          .filter(col("best_smaller").isNull ||
+            col("p_retailprice") > col("best_smaller"))
           .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
       },
       Some("""SELECT p_partkey, p_size, p_retailprice
@@ -927,20 +945,67 @@ object Aggregates extends QGroup {
     // A26: equi-depth histogram — ntile(10) over order totalprice.
     // Complements A13's equi-WIDTH bins: equal row mass per bucket is
     // what optimizers and drift monitors actually want on skewed money
-    // columns. ntile splits ties by row position, so the window's order
-    // must be a TOTAL order for determinism — o_orderkey breaks
-    // totalprice ties (unique key; lineitem grain couldn't offer one).
-    // One sort exchange; the per-bucket rollup rides the same order.
+    // columns. ntile splits ties by row position, so the order must be
+    // TOTAL for determinism — o_orderkey breaks totalprice ties (unique
+    // key; lineitem grain couldn't offer one).
+    // Scale shape (VERDICT r5): a literal ntile window with no partition
+    // routes the whole table through ONE task. Instead the exact global
+    // rank is reconstructed distributedly: approx_percentile gives ~B
+    // range cut points (a partitioning aid only — exactness never
+    // depends on them), every row gets a scan-local range id (codegen'd
+    // comparison chain against the literal edges, no shuffle), exact
+    // per-range counts (B-row driver stat, the a16/l18 pattern) turn
+    // into cumulative offsets, and rank = offset[rid] + row_number
+    // within the range — a KEYED window whose partitions are ~N/B rows
+    // by construction. The closed-form ntile(10) of that rank matches
+    // the window ntile bit-for-bit, so the DuckDB oracle is unchanged.
     QDef("a26_equidepth_histogram",
-      (s, dir) =>
-        Tables(s, dir, "orders")
-          .withColumn("bucket",
-            ntile(10).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val nRangesTarget = 32
+        val qs = (1 until nRangesTarget).map(_.toDouble / nRangesTarget)
+        val edgeRow = o.agg(percentile_approx(col("o_totalprice"),
+          lit(qs.toArray), lit(10000)).as("edges")).head()
+        val edges: Seq[Double] =
+          if (edgeRow.isNullAt(0)) Seq.empty
+          else edgeRow.getSeq[Double](0).distinct.sorted
+        // rid = #edges strictly below the price: ties at an edge land
+        // together; NULL prices compare to nothing and land in rid 0,
+        // where Spark's asc_nulls_first window order sorts them first —
+        // same total order as the one-window form.
+        val rid =
+          if (edges.isEmpty) lit(0)
+          else edges.map(e => when(col("o_totalprice") > lit(e), 1).otherwise(0))
+            .reduce(_ + _)
+        val assigned = o.withColumn("rid", rid)
+        val cnts = assigned.groupBy(col("rid")).agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+        val nRanges = edges.length + 1
+        val offs = new Array[Long](nRanges)
+        var acc = 0L
+        for (i <- 0 until nRanges) { offs(i) = acc; acc += cnts.getOrElse(i, 0L) }
+        val total = acc
+        val w = Window.partitionBy(col("rid"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val ranked = assigned.withColumn("rn",
+          element_at(array(offs.map(lit(_)): _*), col("rid") + 1) +
+            row_number().over(w))
+        // ntile(10) in closed form: q = N div 10 rows per bucket, the
+        // first r = N mod 10 buckets take one extra row.
+        val q = total / 10
+        val r = total % 10
+        val bucket = when(col("rn") <= lit(r * (q + 1)),
+            expr(s"((rn - 1) div ${q + 1}) + 1"))
+          .otherwise(expr(
+            s"$r + ((rn - 1 - ${r * (q + 1)}) div ${math.max(q, 1L)}) + 1"))
+        ranked.withColumn("bucket", bucket)
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("cnt"),
             min(col("o_totalprice")).as("lo"),
             max(col("o_totalprice")).as("hi"),
-            sum(col("o_totalprice").cast(dec)).cast("double").as("mass")),
+            sum(col("o_totalprice").cast(dec)).cast("double").as("mass"))
+      },
       Some("""SELECT bucket, COUNT(*) AS cnt,
         |  min(o_totalprice) AS lo, max(o_totalprice) AS hi,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS mass

@@ -229,6 +229,13 @@ object SourcesSinks extends QGroup {
     // and Spark splits each bucket's files across executors for reads.
     QDef("s12_bucketed_join",
       (s, dir) => {
+        // Spark ≥3.1 only trusts a bucketed scan's sortBy order behind
+        // this legacy flag (with a built-in one-file-per-bucket guard,
+        // so it is safe session-wide); without it the read side pays a
+        // partition-local sort the layout already did. Engine.session
+        // sets it by default; set here too for foreign sessions like
+        // the driver's. Runtime planning reads it at action time.
+        s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         val suffix = Integer.toHexString(dir.hashCode)
         def bucketed(name: String, keyCol: String): String = {
           val table = s"graft_s12_${name}_$suffix"
@@ -243,14 +250,22 @@ object SourcesSinks extends QGroup {
             .saveAsTable(table)
           table
         }
-        val li = s.table(bucketed("lineitem", "l_orderkey"))
-        val os = s.table(bucketed("orders", "o_orderkey"))
-        li.hint("merge").join(os.hint("merge"),
+        val liT = bucketed("lineitem", "l_orderkey")
+        val osT = bucketed("orders", "o_orderkey")
+        val li = s.table(liT)
+        val os = s.table(osT)
+        val out = li.hint("merge").join(os.hint("merge"),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("cnt"),
             sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
               .cast(QShared.dec)).cast("double").as("revenue"))
+        // the resolved plan above already holds the bucketed file
+        // relations; dropping the external-table catalog entries now
+        // (data files stay at the sink path) keeps the session catalog
+        // from accumulating a table pair per sf dir
+        Seq(liT, osT).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        out
       },
       Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)))

@@ -222,4 +222,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SemiJoin") || p.contains("LeftSemi"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("a2: two distinct aggregates never plan the multi-distinct Expand") {
+    val p = planOf("a2_distinct_agg")
+    // Expand multiplies the scan ×3 (measured 99× DuckDB in r5); each
+    // distinct must run as its own single-distinct two-phase aggregate
+    assert(!p.contains("Expand"), s"multi-distinct Expand reappeared:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("a25: the global dominance window only sees the per-size-max survivors") {
+    val p = planOf("a25_pareto_frontier")
+    val keyed = p.indexOf("Exchange hashpartitioning(p_size")
+    val single = p.indexOf("Exchange SinglePartition")
+    assert(keyed >= 0, s"per-size prune window must hash-partition on p_size:\n$p")
+    assert(single >= 0 && single < keyed,
+      s"unpartitioned window must sit ABOVE (consume) the keyed prune:\n$p")
+  }
+
+  test("a26: equi-depth histogram has no single-partition exchange and no ntile window") {
+    val p = planOf("a26_equidepth_histogram")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global-sort window reappeared:\n$p")
+    assert(!p.contains("ntile"), p)
+    // the rank window is keyed on the scan-local range id
+    assert(p.contains("Exchange hashpartitioning(rid"), p)
+  }
+
+  test("s12: bucketed join plans zero join-key exchanges and zero per-side sorts") {
+    val p = planOf("s12_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucket layout must BE the join partitioning:\n$p")
+    assert(!p.contains("Sort [l_orderkey") && !p.contains("Sort [o_orderkey"),
+      s"one-file-per-bucket sortBy must elide the read-side sorts:\n$p")
+  }
 }
