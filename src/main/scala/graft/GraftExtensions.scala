@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomMightContain, CosineSimilarity, LangId, MinHashSignature, RepetitionStats, TokenFingerprint, UnicodeNormalize}
+import graft.functions.{BloomMightContain, CharEntropy, CosineSimilarity, LangId, MinHashSignature, RepetitionStats, TokenFingerprint, UnicodeNormalize}
 
 /** Session extension registering graft's native expressions, for use via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(RepetitionStats.name), RepetitionStats.info,
         RepetitionStats.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(CharEntropy.name), CharEntropy.info,
+        CharEntropy.builder))
     ext.injectOptimizerRule(graft.plans.CorruptDateRebaseRule.apply)
   }
 }
@@ -61,6 +64,9 @@ object GraftFunctions {
     val rp = FunctionIdentifier(RepetitionStats.name)
     if (!reg.functionExists(rp))
       reg.registerFunction(rp, RepetitionStats.info, RepetitionStats.builder)
+    val ce = FunctionIdentifier(CharEntropy.name)
+    if (!reg.functionExists(ce))
+      reg.registerFunction(ce, CharEntropy.info, CharEntropy.builder)
     // sessions built without withExtensions still get the transparent
     // corrupt-date rebase via the user-provided optimizer batch; skip
     // when the extensions path already injected it (double installation
@@ -102,6 +108,12 @@ object GraftFunctions {
   def repetitionNative(spark: SparkSession, text: Column): Column = {
     ensureRegistered(spark)
     call_function(RepetitionStats.name, text)
+  }
+
+  /** Column API for the native one-pass char-entropy struct. */
+  def charEntropyNative(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    call_function(CharEntropy.name, text)
   }
 
   /** Column API for native Unicode normalization (NFC/NFD/NFKC/NFKD). */

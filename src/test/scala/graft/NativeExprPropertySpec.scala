@@ -107,6 +107,51 @@ class NativeExprPropertySpec extends SparkSpec {
     assert(both.filter(!(col("hof") <=> col("native"))).count() == 0)
   }
 
+  test("graft_char_entropy == explode/groupBy composition on generated + corpus text") {
+    // the r5 l29 shape (explode → (id, ch) count → per-id sum of
+    // floor-scaled ln terms), reproduced at test grain as the oracle
+    // for the native one-pass expression — including astral-plane
+    // chars, where "one char" must mean one CODE POINT on both sides
+    def composition(df: org.apache.spark.sql.DataFrame) = {
+      val counts = df
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("id"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+        .groupBy(col("id"), col("ch")).agg(count(lit(1)).as("c"))
+      counts.groupBy(col("id"))
+        .agg(sum(col("c")).as("nc"), count(lit(1)).as("nd"),
+          sum(col("c") * floor(log(col("c").cast("double")) * 1e6).cast("bigint"))
+            .as("sum_term"))
+        .select(col("id"), col("nc"), col("nd"),
+          (floor(log(col("nc").cast("double")) * 1e6).cast("bigint")
+            - expr("sum_term div nc")).as("em"))
+    }
+    def native(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("id"),
+        graft.GraftFunctions.charEntropyNative(spark, col("text")).as("e"))
+      .select(col("id"), col("e.n_chars_seen").as("nc"),
+        col("e.n_distinct_chars").as("nd"), col("e.entropy_micro").as("em"))
+    def assertSame(df: org.apache.spark.sql.DataFrame): Unit = {
+      val joined = composition(df).as("h")
+        .join(native(df).as("n"), Seq("id"), "full_outer")
+      val diff = joined.filter(
+        !(col("h.nc") <=> col("n.nc")) || !(col("h.nd") <=> col("n.nd")) ||
+          !(col("h.em") <=> col("n.em"))).count()
+      assert(diff == 0)
+    }
+    val texts = textRows.map(_._1) ++
+      Seq("😀😀a", "𝄞x𝄞", "日本語テキスト", "aaa bbb a", "x")
+    assertSame(texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text"))
+    assertSame(spark.read.parquet(sf("documents"))
+      .select(col("doc_id").as("id"), col("text")))
+    // NULL and "" both yield NULL from the expression itself
+    val edge = Seq((0L, null: String), (1L, "")).toDF("id", "text")
+      .select(graft.GraftFunctions.charEntropyNative(spark, col("text")).as("e"))
+    assert(edge.filter(col("e").isNotNull).count() == 0)
+  }
+
   test("native text expressions on the documents corpus (sf0.001)") {
     val docs = spark.read.parquet(sf("documents"))
     val both = docs.select(
