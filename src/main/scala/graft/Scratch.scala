@@ -26,9 +26,59 @@ object Scratch {
       println(f"[scratch] $name%-30s min=${math.min(t1 - t0, t2 - t1) / 1e9}%.3f")
     }
 
-    time("l25_connected_components") {
-      SparkEntry.queries("l25_connected_components")(spark, sfDir)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    def joined = {
+      val l = Tables(spark, sfDir, "lineitem")
+      val o = Tables(spark, sfDir, "orders")
+      val c = Tables(spark, sfDir, "customer")
+      val n = broadcast(Tables(spark, sfDir, "nation"))
+      val r = broadcast(Tables(spark, sfDir, "region"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
     }
+
+    time("j7 decimal(38,6) sum (current)") {
+      joined.agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+          .cast("double").as("revenue"))
+    }
+    time("j7 micro-rev decimal(38,0)") {
+      joined.agg(count(lit(1)).as("n_items"),
+        (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e4)
+          .cast("decimal(38,0)")).cast("double") / 1e4).as("revenue"))
+    }
+    time("j7 micro-rev bigint sum") {
+      joined.agg(count(lit(1)).as("n_items"),
+        (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e4)
+          .cast("bigint")).cast("double") / 1e4).as("revenue"))
+    }
+    time("j7 double sum (floor ref)") {
+      joined.agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    }
+    time("j7 salted bigint -> decimal") {
+      val l = Tables(spark, sfDir, "lineitem")
+      val o = Tables(spark, sfDir, "orders")
+      val c = Tables(spark, sfDir, "customer")
+      val n = broadcast(Tables(spark, sfDir, "nation"))
+      val r = broadcast(Tables(spark, sfDir, "region"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"),
+          pmod(hash(col("l_orderkey")), lit(1024)).as("salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e4)
+            .cast("bigint")).as("pm"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("pn")).as("n_items"),
+          (sum(col("pm").cast("decimal(38,0)")).cast("double") / 1e4).as("revenue"))
+    }
+
     spark.stop()
   }
 }
