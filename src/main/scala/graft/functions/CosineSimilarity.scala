@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expression (SURVEY §7.3 "custom vs built-in",
-  * preference (b)): cosine similarity of two float vectors with full
-  * whole-stage-codegen support.
+  * preference (b)): cosine similarity of two float (or double) vectors
+  * with full whole-stage-codegen support.
   *
   * Semantically identical to the HOF composition in
   * [[graft.operators.Similarity.cosine]] (same left-to-right double
@@ -23,15 +23,25 @@ import org.apache.spark.sql.types._
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // float AND double element types are accepted (mixed sides too): the
+  // driver has regenerated table encodings before (events.ts, r5), and
+  // an embeddings drop re-encoded as list<double> must not break the
+  // whole similarity surface on a type check. Accumulation is double
+  // either way, so widening a float side is value-preserving.
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects two array<float> arguments, " +
+      s"$prettyName expects two array<float|double> arguments, " +
         s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  private def elemIsFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   override def dataType: DataType = DoubleType
@@ -53,8 +63,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       // NULL element or zero norm → NULL result, matching the HOF path
       // (Spark: null poisons the aggregate; x/0 is NULL, not NaN)
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (elemIsFloat(left.dataType)) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (elemIsFloat(right.dataType)) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi
       na += xi * xi
       nb += yi * yi
@@ -80,8 +90,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |if (!${n}_null) {
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${n}_null = true; break; }
-         |    double $xi = $a.getFloat($i);
-         |    double $yi = $b.getFloat($i);
+         |    double $xi = $a.${if (elemIsFloat(left.dataType)) "getFloat" else "getDouble"}($i);
+         |    double $yi = $b.${if (elemIsFloat(right.dataType)) "getFloat" else "getDouble"}($i);
          |    $dot += $xi * $yi;
          |    $na += $xi * $xi;
          |    $nb += $yi * $yi;

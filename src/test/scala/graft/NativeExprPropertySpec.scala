@@ -52,6 +52,33 @@ class NativeExprPropertySpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("graft_cosine accepts double and mixed float/double vectors (driver-drift guard)") {
+    val vecGen = for {
+      n <- Gen.chooseNum(1, 64)
+      a <- Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6))
+      b <- Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6))
+    } yield (a, b)
+    val rows = (1 to 40).map(seed =>
+      vecGen.pureApply(Gen.Parameters.default, Seed(seed.toLong)))
+    val df = rows.toDF("a", "b") // array<double> columns
+    // double × double: native == HOF bit-for-bit
+    val both = df.select(
+      Similarity.cosine(col("a"), col("b")).as("hof"),
+      graft.GraftFunctions.cosineNative(spark, col("a"), col("b")).as("native"))
+    assert(both.filter(
+      (col("hof").isNull =!= col("native").isNull) ||
+        (col("hof").isNotNull && col("hof") =!= col("native"))).count() == 0)
+    // mixed float/double sides analyze and agree with the all-double HOF
+    // (the float side loses precision identically on both paths)
+    val mixed = df.select(
+      Similarity.cosine(col("a").cast("array<float>"), col("b")).as("hof"),
+      graft.GraftFunctions.cosineNative(
+        spark, col("a").cast("array<float>"), col("b")).as("native"))
+    assert(mixed.filter(
+      (col("hof").isNull =!= col("native").isNull) ||
+        (col("hof").isNotNull && col("hof") =!= col("native"))).count() == 0)
+  }
+
   /** Generated text: whitespace-heavy, stopword-seeded, occasional CJK
     * and empty strings — the edge surface of both tokenizers (leading/
     * trailing/repeated separators, ties, case folding). */
