@@ -93,13 +93,18 @@ object Similarity {
       idCol: String,
       vecCol: String): DataFrame = {
     val spark = corpus.sparkSession
-    val cents: Array[Array[Float]] = corpus
+    // element type read as Number: the embedding column may arrive as
+    // list<float> OR list<double> across driver data regenerations
+    // (widening float→double literals is value-preserving, and the
+    // native cosine accepts mixed sides)
+    val cents: Array[Array[Double]] = corpus
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       // a NULL vector can't seed a cell (and would NPE the collect)
       .filter(col("c_vec").isNotNull)
       .orderBy(xxhash64(col("c_id")).asc_nulls_first, col("c_id").asc_nulls_first)
       .limit(nList)
-      .collect().map(_.getSeq[Float](1).toArray)
+      .collect()
+      .map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toArray)
     // empty corpus (a routine slice at scale): no cells, no neighbors —
     // return the contract schema with the id column's real type
     if (cents.isEmpty)

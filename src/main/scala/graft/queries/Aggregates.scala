@@ -106,8 +106,12 @@ object Aggregates extends QGroup {
               .head().getAs[Array[Byte]](0)
             val cms = org.apache.spark.util.sketch.CountMinSketch
               .readFrom(new java.io.ByteArrayInputStream(skBytes))
-            top.toSeq.map(r =>
-              (r.getLong(0), r.getLong(1), cms.estimateCount(r.getLong(0))))
+            top.toSeq.map { r =>
+              // Number-based read: the key column's physical width is the
+              // driver's choice (int64 today) and must not break the query
+              val key = r.getAs[Number](0).longValue
+              (key, r.getLong(1), cms.estimateCount(key))
+            }
           }
         s.createDataFrame(rows)
           .toDF("l_suppkey", "exact_cnt", "est_cnt")
