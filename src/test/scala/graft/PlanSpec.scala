@@ -249,6 +249,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning(rid"), p)
   }
 
+  test("sweep: no query funnels a Window through a single partition (beyond declared)") {
+    // The a25/a26-class scale bug (VERDICT r5): a window with no
+    // partition spec routes its whole input through ONE task. Declared
+    // exceptions with bounded inputs: a25 (dominance window over the
+    // per-size-max pruned set, ~|distinct sizes| rows) and g11 (lag
+    // over a day-grain series built by a distributed keyed aggregate).
+    val allowed = Set("a25_pareto_frontier", "g11_rate_anomaly")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, f) =>
+        if (allowed(name)) None
+        else {
+          val lines =
+            f(spark, dir).queryExecution.executedPlan.toString.split("\n")
+          val bad = lines.indices.exists { i =>
+            lines(i).contains("Window ") &&
+              (i + 1 to math.min(i + 3, lines.length - 1))
+                .exists(j => lines(j).contains("Exchange SinglePartition"))
+          }
+          if (bad) Some(name) else None
+        }
+    }
+    assert(offenders.isEmpty, s"single-task window funnels: $offenders")
+  }
+
   test("s12: bucketed join plans zero join-key exchanges and zero per-side sorts") {
     val p = planOf("s12_bucketed_join")
     assert(p.contains("SortMergeJoin"), p)
