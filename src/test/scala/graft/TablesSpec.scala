@@ -68,4 +68,28 @@ class TablesSpec extends SparkSpec {
     val first = df.select("ts").as[Long].head()
     assert(first > 1700000000000000000L && first < 1900000000000000000L)
   }
+
+  test("every testdata table loads and its critical arithmetic columns are usable") {
+    // front-line drift alarm: a driver re-encode should fail HERE with
+    // one clear message, not as dozens of downstream query failures
+    for (name <- Tables.names) {
+      val df = Tables(spark, "/root/testdata/sf0.001", name)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.limit(1).collect().nonEmpty, s"$name is empty")
+    }
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    emb.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => // ok
+      case other => fail(
+        s"embeddings.embedding loaded as $other — the similarity surface " +
+          "accepts array<float|double>; extend it (see CosineSimilarity)")
+    }
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+    for (c <- Seq("event_type", "props"))
+      assert(ev.schema(c).dataType == StringType,
+        s"events.$c drifted from string")
+    for (c <- Seq("user_id", "value"))
+      assert(ev.schema(c).dataType.isInstanceOf[NumericType],
+        s"events.$c must stay numeric")
+  }
 }
