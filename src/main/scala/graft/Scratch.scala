@@ -26,6 +26,34 @@ object Scratch {
       println(f"[scratch] $name%-30s min=${math.min(t1 - t0, t2 - t1) / 1e9}%.3f")
     }
 
+    time("a19 current (self-join)") {
+      SparkEntry.queries("a19_association_rules")(spark, sfDir)
+    }
+    time("a19 basket arrays + HOF pairs") {
+      val baskets = Tables(spark, sfDir, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("items"))
+      val pairs = baskets.select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items) - i - 1), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val top = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+        .orderBy(col("n_ab").desc, col("a").asc, col("b").asc).limit(200)
+      val itemCnt = baskets.select(explode(col("items")).as("item"))
+        .groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+      val nOrders = baskets.agg(count(lit(1)).as("n"))
+      top
+        .join(broadcast(itemCnt.select(col("item").as("a"), col("n_item").as("n_a"))), "a")
+        .join(broadcast(itemCnt.select(col("item").as("b"), col("n_item").as("n_b"))), "b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("a"), col("b"), col("n_ab"),
+          expr("1000 * n_ab div n").as("support_pm"),
+          expr("1000 * n_ab div n_a").as("conf_ab_pm"),
+          expr("1000 * n_ab div n_b").as("conf_ba_pm"),
+          expr("1000000 * n_ab * n div (n_a * n_b)").as("lift_ppm"))
+    }
+
     val dec = org.apache.spark.sql.types.DecimalType(38, 6)
     def joined = {
       val l = Tables(spark, sfDir, "lineitem")
