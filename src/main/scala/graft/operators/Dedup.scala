@@ -406,6 +406,42 @@ object Dedup {
         expr("(n_dup * 1000) div n_grams").as("dpm"))
   }
 
+  /** Cross-source contamination matrix: pairwise n-gram overlap between
+    * corpus slices (crawl snapshots, vendors, dumps) — the diagnostic
+    * that tells you two "independent" sources are actually the same
+    * content before you over-weight it in a training mixture.
+    *
+    * Scale shape: NEVER a source×source gram join. One gram-keyed
+    * exchange collects the distinct set of sources containing each gram
+    * — an array bounded by |sources| (dimension-sized), not corpus size
+    * — and the a19 recipe (sorted set + scan-local i<j HOF pairing)
+    * fans each gram out to its source pairs; one pair-keyed count then
+    * yields every |A∩B| in a single pass over corpus grams. Per-source
+    * gram totals ride the same distinct gram relation.
+    *
+    * Output: (src_a, src_b, n_a, n_b, n_common, jaccard_pm) with
+    * src_a < src_b; jaccard_pm = 1000·|A∩B| / |A∪B| (integer-div,
+    * oracle-stable). */
+  def crossSourceOverlap(
+      df: DataFrame, groupCol: String, textCol: String, n: Int = 4): DataFrame = {
+    val sg = ngramRows(df, groupCol, textCol, n)
+      .select(col("id").as("src"), col("gram")).distinct()
+    val sizes = sg.groupBy(col("src")).agg(count(lit(1)).as("n_grams"))
+    sg.groupBy(col("gram"))
+      .agg(array_sort(collect_set(col("src"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(srcs, (x, i) -> " +
+          "transform(slice(srcs, i + 2, size(srcs) - i - 1), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("src").as("src_a"), col("n_grams").as("n_a")), Seq("src_a"))
+      .join(sizes.select(col("src").as("src_b"), col("n_grams").as("n_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+        expr("(n_common * 1000) div (n_a + n_b - n_common)").as("jaccard_pm"))
+  }
+
   /** Winnowing fingerprints (the MOSS local-fingerprinting scheme):
     * hash every k-token gram, slide a w-hash window over each document,
     * keep the minimum hash of every window, dedupe. Guarantees: any

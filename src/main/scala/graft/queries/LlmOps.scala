@@ -1039,6 +1039,41 @@ object LlmOps extends QGroup {
         |  FROM sims
         |)
         |SELECT q_id, rank, n_id, n_label, round(sim, 6) AS sim6
-        |FROM ranked WHERE rank <= 5""".stripMargin))
+        |FROM ranked WHERE rank <= 5""".stripMargin)),
+
+    // L34: cross-source contamination matrix — pairwise 4-gram Jaccard
+    // between corpus sources (the "two crawls are secretly the same
+    // content" diagnostic run before weighting a training mixture).
+    // Scale shape in Dedup.crossSourceOverlap: one gram-keyed exchange
+    // collects each gram's source set (bounded by |sources|, a
+    // dimension), the a19 sorted-set i<j HOF fans out source pairs
+    // scan-locally, one pair count yields every intersection — never a
+    // source×source gram join. Integer per-mille Jaccard (div) keeps
+    // the oracle hash-stable.
+    QDef("l34_cross_source_overlap",
+      (s, dir) => Dedup.crossSourceOverlap(
+        Tables(s, dir, "documents"), groupCol = "source", textCol = "text", n = 4),
+      Some("""WITH toks AS (
+        |  SELECT source, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), pos AS (
+        |  SELECT source, t,
+        |    unnest(generate_series(1, greatest(len(t)-3, 1))) AS i
+        |  FROM toks
+        |), sg AS (
+        |  SELECT DISTINCT source, array_to_string(t[i:i+3], ' ') AS gram FROM pos
+        |), sizes AS (
+        |  SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY 1
+        |), inter AS (
+        |  SELECT x.source AS src_a, y.source AS src_b, COUNT(*) AS n_common
+        |  FROM sg x JOIN sg y ON x.gram = y.gram AND x.source < y.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT src_a, src_b,
+        |  sa.n_grams AS n_a, sb.n_grams AS n_b, n_common,
+        |  (n_common * 1000) // (sa.n_grams + sb.n_grams - n_common) AS jaccard_pm
+        |FROM inter
+        |JOIN sizes sa ON sa.source = src_a
+        |JOIN sizes sb ON sb.source = src_b""".stripMargin))
   )
 }
