@@ -442,6 +442,38 @@ object Dedup {
         expr("(n_common * 1000) div (n_a + n_b - n_common)").as("jaccard_pm"))
   }
 
+  /** Sketch twin of [[crossSourceOverlap]]: per-source MinHash
+    * signatures (numPerms independent min-hashes over the distinct
+    * gram set) and pairwise estimated Jaccard from signature agreement.
+    *
+    * Why it exists at 100 TB: the exact matrix touches every distinct
+    * (source, gram) row; the signature is a FIXED-SIZE mergeable state
+    * per source (numPerms longs — min is associative/commutative, so
+    * partials combine map-side and across corpus shards/days like
+    * a3b's HLL rollup), after which the pairwise comparison is
+    * dimension×dimension and free. Estimate error is spec-bounded
+    * against the exact matrix (DedupSpec), not oracled — sketch
+    * internals aren't portable SQL (the a3/u2b declaration pattern).
+    *
+    * Output: (src_a, src_b, n_match, jaccard_est_pm), src_a < src_b. */
+  def sourceMinHashOverlap(
+      df: DataFrame, groupCol: String, textCol: String,
+      n: Int = 4, numPerms: Int = 64): DataFrame = {
+    val gh = ngramRows(df, groupCol, textCol, n)
+      .select(col("id").as("src"), xxhash64(col("gram")).as("gh")).distinct()
+    val mins = (0 until numPerms).map(i => min(xxhash64(col("gh"), lit(i))).as(s"m$i"))
+    val sigs = gh.groupBy(col("src"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("src"),
+        array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
+    sigs.as("x")
+      .join(broadcast(sigs.as("y")), col("x.src") < col("y.src"))
+      .select(col("x.src").as("src_a"), col("y.src").as("src_b"),
+        expr("aggregate(zip_with(x.sig, y.sig, (a, b) -> if(a <=> b, 1, 0)), " +
+          "0, (acc, v) -> acc + v)").as("n_match"))
+      .withColumn("jaccard_est_pm", expr(s"(n_match * 1000) div $numPerms"))
+  }
+
   /** Winnowing fingerprints (the MOSS local-fingerprinting scheme):
     * hash every k-token gram, slide a w-hash window over each document,
     * keep the minimum hash of every window, dedupe. Guarantees: any

@@ -1074,6 +1074,19 @@ object LlmOps extends QGroup {
         |  (n_common * 1000) // (sa.n_grams + sb.n_grams - n_common) AS jaccard_pm
         |FROM inter
         |JOIN sizes sa ON sa.source = src_a
-        |JOIN sizes sb ON sb.source = src_b""".stripMargin))
+        |JOIN sizes sb ON sb.source = src_b""".stripMargin)),
+
+    // L34b: the sketch twin of l34 — per-source MinHash signatures
+    // (fixed-size mergeable state, the a3b rollup pattern applied to
+    // set overlap) and pairwise estimated Jaccard from signature
+    // agreement. At 100 TB the exact matrix touches every distinct
+    // (source, gram); this touches numPerms longs per source and makes
+    // the pairwise step dimension-sized. Sketch internals aren't
+    // portable SQL → rows-only; DedupSpec bounds the estimate against
+    // l34's exact per-mille Jaccard.
+    QDef("l34b_source_overlap_sketch",
+      (s, dir) => Dedup.sourceMinHashOverlap(
+        Tables(s, dir, "documents"), groupCol = "source", textCol = "text", n = 4),
+      None)
   )
 }

@@ -89,6 +89,32 @@ class DedupSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog again and again")  // exact dup of 1
   ).toDF("doc_id", "text")
 
+  test("source MinHash overlap tracks the exact cross-source Jaccard (±300pm at 64 perms)") {
+    val corpus = spark.read.parquet(sf("documents"))
+    val exact = graft.operators.Dedup
+      .crossSourceOverlap(corpus, "source", "text", n = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(5)).toMap
+    val est = graft.operators.Dedup
+      .sourceMinHashOverlap(corpus, "source", "text", n = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(est.nonEmpty)
+    // the sketch covers ALL pairs; pairs absent from the exact matrix
+    // share zero grams, so their exact Jaccard is 0
+    val errs = est.map { case (pair, e) =>
+      math.abs(e - exact.getOrElse(pair, 0L))
+    }
+    // 64 perms: σ = sqrt(J(1−J)/64) ≤ 62.5pm; 300pm ≈ 4.8σ headroom
+    assert(errs.max <= 300, s"worst estimate error ${errs.max}pm")
+    // and the deterministic hash seeds make the estimate reproducible
+    val est2 = graft.operators.Dedup
+      .sourceMinHashOverlap(corpus, "source", "text", n = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(est2 == est)
+  }
+
   test("winnowing: shared >= k+w-1 token run yields a shared fingerprint; short docs survive") {
     // doc 10 and 11 share a 12-token run (>= k+w-1 = 7): at least one
     // winnowed fingerprint must be common. doc 12 is unrelated. doc 13
