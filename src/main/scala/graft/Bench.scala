@@ -40,6 +40,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // mirror Engine.session: coalesce post-shuffle partitions by byte
+      // size, not parallelism — tiny sf0.1 exchanges stop spawning 32
+      // tasks; at scale the same knob sizes reducers to ~64 MB
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       // static conf, effective because Bench owns the first session in the

@@ -23,6 +23,14 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // production posture (per Spark's own AQE guidance): size post-shuffle
+      // partitions by the advisory byte target instead of chasing max
+      // parallelism — at sf0.1 this collapses KB-sized exchanges to one
+      // task instead of 32 (pure scheduling overhead), and at 100 TB the
+      // same setting yields well-sized ~64 MB reducers instead of
+      // whatever the static partition count happens to shard
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")

@@ -14,7 +14,7 @@ object SparkEntry {
   /** All query groups. Order only affects listing, not semantics. */
   def groups: Seq[QGroup] = Seq(
     Relational, Joins, Aggregates, Windows, SetOps, Scalars,
-    EventsTime, SourcesSinks, Nested, LlmOps, TextOps, Custom)
+    EventsTime, SourcesSinks, Nested, LlmOps, TextOps, Custom, Floor)
 
   def all: Seq[QDef] = groups.flatMap(_.defs)
 
