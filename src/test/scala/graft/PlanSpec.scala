@@ -240,32 +240,54 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned window must sit ABOVE (consume) the keyed prune:\n$p")
   }
 
-  test("a26: equi-depth histogram has no single-partition exchange and no ntile window") {
+  test("a26: rank window keyed on rid; single partition only for the range-count stat") {
     val p = planOf("a26_equidepth_histogram")
-    assert(!p.contains("Exchange SinglePartition"),
-      s"global-sort window reappeared:\n$p")
     assert(!p.contains("ntile"), p)
     // the rank window is keyed on the scan-local range id
     assert(p.contains("Exchange hashpartitioning(rid"), p)
+    // exactly ONE SinglePartition exchange: the cumulative-offset window
+    // over the per-range counts aggregate (≤32 rows by construction) —
+    // never the orders rows themselves (r5's global ntile funnel)
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles == 1, s"expected one bounded stat funnel, got $singles:\n$p")
+    // and it consumes an aggregate keyed on rid, not a row-level scan
+    val lines = p.split("\n")
+    val si = lines.indexWhere(_.contains("Exchange SinglePartition"))
+    val below = lines.drop(si + 1).takeWhile(!_.contains("Exchange"))
+    assert(below.exists(l => l.contains("HashAggregate") && l.contains("rid")),
+      s"SinglePartition exchange must sit over the rid-count aggregate:\n$p")
   }
 
   test("sweep: no query funnels a Window through a single partition (beyond declared)") {
     // The a25/a26-class scale bug (VERDICT r5): a window with no
     // partition spec routes its whole input through ONE task. Declared
     // exceptions with bounded inputs: a25 (dominance window over the
-    // per-size-max pruned set, ~|distinct sizes| rows) and g11 (lag
-    // over a day-grain series built by a distributed keyed aggregate).
-    val allowed = Set("a25_pareto_frontier", "g11_rate_anomaly")
+    // per-size-max pruned set, ~|distinct sizes| rows), g11 (lag over a
+    // day-grain series built by a distributed keyed aggregate), and a26
+    // (cumulative-offset window over the ≤32-row range-count aggregate;
+    // its own PlanSpec lock pins that the funnel is the stat, not the
+    // rows).
+    val allowed = Set("a25_pareto_frontier", "g11_rate_anomaly",
+      "a26_equidepth_histogram")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, f) =>
         if (allowed(name)) None
         else {
           val lines =
             f(spark, dir).queryExecution.executedPlan.toString.split("\n")
+          // A window is single-task iff the FIRST exchange below it in
+          // the printed tree is SinglePartition: SinglePartition
+          // satisfies any clustering requirement, so even a keyed
+          // window directly above one runs in one task. A fixed
+          // lookahead (3 lines, pre-r7) missed funnels separated by
+          // Sort/Project/AQE wrapper lines (ADVICE r6).
           val bad = lines.indices.exists { i =>
-            lines(i).contains("Window ") &&
-              (i + 1 to math.min(i + 3, lines.length - 1))
-                .exists(j => lines(j).contains("Exchange SinglePartition"))
+            lines(i).contains("Window ") && {
+              val firstExchange = (i + 1 until lines.length)
+                .find(j => lines(j).contains("Exchange "))
+              firstExchange.exists(j =>
+                lines(j).contains("Exchange SinglePartition"))
+            }
           }
           if (bad) Some(name) else None
         }
