@@ -7,47 +7,125 @@ import org.apache.spark.sql.functions._
   * columns + typed metadata, with decode/feature-extraction plumbed
   * through `mapPartitions` on a typed Dataset.
   *
-  * ==== STUB NOTICE ====
-  * Real image/audio/video codecs are NOT available in this container, so
-  * [[FakeCodec]] below is a clearly-marked deterministic stand-in: it
-  * derives "decoded" dimensions/duration from a digest of the payload
-  * bytes. The Spark-side plumbing — schema, typed encoders, partition
-  * batching, feature struct shape — is real and tested; swapping
-  * `FakeCodec` for javacv/ffmpeg bindings is a one-object change.
+  * Codec surface (r7, was a full stub through r6):
+  *  - **Images are REAL**: PNG/JPEG/GIF/BMP decode via the JDK's
+  *    `javax.imageio` — true width/height, channel count, per-channel
+  *    means — and resize is a real Graphics2D bilinear rescale
+  *    re-encoded as PNG. No external codec libs needed.
+  *  - **Audio is REAL for WAV/AIFF/AU**: `javax.sound.sampled` parses
+  *    the header — true duration from frame count / frame rate.
+  *  - **Video stays a declared stub** ([[FakeCodec]]): no video codec
+  *    ships with the JDK and this container has no ffmpeg/javacv; the
+  *    deterministic digest-seeded stand-in keeps the distributed
+  *    plumbing (schema, batching, byte accounting) testable. Swapping
+  *    it for real bindings is a one-object change.
+  *  - A payload that does NOT decode reports `decoded=false` with
+  *    zeroed dimensions — honest nulls, never fake dimensions.
   *
   * Scale shape: decode is per-row CPU work inside `mapPartitions`
   * (no shuffle); callers should `repartition` first if payload sizes are
-  * skewed so each task gets a balanced byte budget.
+  * skewed so each task gets a balanced byte budget. Channel stats
+  * subsample to ≤ ~65k pixels per image so one 100-megapixel outlier
+  * can't stall a task.
   */
 object Multimodal {
 
   case class MediaRow(id: Long, kind: String, payload: Array[Byte])
   case class MediaFeatures(
       id: Long, kind: String, n_bytes: Long, digest: String,
-      width: Int, height: Int, duration_ms: Long, frames_sampled: Array[Long])
+      decoded: Boolean, width: Int, height: Int, channels: Int,
+      channel_means: Array[Double], duration_ms: Long,
+      frames_sampled: Array[Long])
 
-  /** Deterministic fake decoder — see STUB NOTICE above. */
+  /** REAL image kernels on the JDK's built-in codecs. */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+
+    /** None when the payload isn't a decodable PNG/JPEG/GIF/BMP. */
+    def decode(bytes: Array[Byte]): Option[BufferedImage] =
+      if (bytes == null || bytes.isEmpty) None
+      else
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: Exception => None }
+
+    /** (width, height, channels, per-channel means on the 0-255 scale,
+      * ordered R,G,B). Subsampled on a uniform grid to ≤ ~65k pixels —
+      * a stat, not a transcode, so a bounded sample is the right cost
+      * model at corpus scale. */
+    def stats(img: BufferedImage): (Int, Int, Int, Array[Double]) = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val step = math.max(1L, math.round(math.sqrt(w.toLong * h / 65536.0))).toInt
+      var sr = 0L; var sg = 0L; var sb = 0L; var n = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val argb = img.getRGB(x, y)
+          sr += (argb >>> 16) & 0xff
+          sg += (argb >>> 8) & 0xff
+          sb += argb & 0xff
+          n += 1
+          x += step
+        }
+        y += step
+      }
+      val means =
+        if (n == 0) Array.empty[Double]
+        else Array(sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+      (w, h, img.getColorModel.getNumComponents, means)
+    }
+
+    /** Real bilinear rescale; output re-encoded as PNG (lossless,
+      * deterministic across JDKs — JPEG writers aren't). Alpha is
+      * dropped (training pipelines normalize to RGB anyway). */
+    def resizeToPng(img: BufferedImage, targetW: Int, targetH: Int): Array[Byte] = {
+      val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** REAL audio header parsing (WAV/AIFF/AU) on `javax.sound.sampled`. */
+  object AudioCodec {
+    /** None when the payload isn't a parseable audio file. */
+    def durationMs(bytes: Array[Byte]): Option[Long] =
+      if (bytes == null || bytes.isEmpty) None
+      else
+        try {
+          val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(bytes))
+          val frames = aff.getFrameLength
+          val rate = aff.getFormat.getFrameRate
+          if (frames >= 0 && rate > 0) Some(math.round(frames * 1000.0 / rate))
+          else None
+        } catch { case _: Exception => None }
+  }
+
+  /** Deterministic fake decoder — VIDEO ONLY now (see codec surface
+    * above): "decoded" dimensions/duration are pure functions of the
+    * payload digest so the plumbing around a future real codec stays
+    * testable and deterministic. */
   object FakeCodec {
     def digestOf(bytes: Array[Byte]): String = {
       val md = java.security.MessageDigest.getInstance("SHA-256")
       md.digest(bytes).map("%02x".format(_)).mkString
     }
-    /** "Decode": dimensions/duration are pure functions of the digest. */
-    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Long) =
-      decodeFromDigest(kind, digestOf(bytes))
 
-    /** Same, for callers that already hashed the payload — the feature
-      * extractor needs the digest as an output column anyway, and
-      * re-hashing a multi-KB payload per row doubles the decode cost. */
-    def decodeFromDigest(kind: String, digest: String): (Int, Int, Long) = {
+    /** Stub video "decode" from an already-computed digest. */
+    def videoFromDigest(digest: String): (Int, Int, Long) = {
       val h = java.lang.Long.parseUnsignedLong(digest.take(15), 16)
-      kind match {
-        case "image" => ((h % 1920 + 1).toInt, (h / 1920 % 1080 + 1).toInt, 0L)
-        case "audio" => (0, 0, h % 600000L)
-        case "video" => ((h % 1280 + 1).toInt, (h / 1280 % 720 + 1).toInt, h % 3600000L)
-        case _       => (0, 0, 0L)
-      }
+      ((h % 1280 + 1).toInt, (h / 1280 % 720 + 1).toInt, h % 3600000L)
     }
+
     /** "Frame sampling": every `stride`-th byte offset, up to `max`. */
     def sampleFrames(nBytes: Long, max: Int = 8): Array[Long] = {
       if (nBytes <= 0) return Array.empty
@@ -56,17 +134,46 @@ object Multimodal {
     }
   }
 
-  /** Decode + feature-extract via typed mapPartitions (the real
-    * distributed plumbing; the codec inside is the stub). */
+  /** Decode + feature-extract via typed mapPartitions. Images and
+    * audio run the REAL JDK codecs; video runs the declared stub;
+    * undecodable payloads report decoded=false with zeroed features. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.mapPartitions { rows =>
       rows.map { r =>
         val bytes = Option(r.payload).getOrElse(Array.empty[Byte])
-        val digest = FakeCodec.digestOf(bytes) // hash once: digest column + decode seed
-        val (w, h, d) = FakeCodec.decodeFromDigest(r.kind, digest)
-        MediaFeatures(r.id, r.kind, bytes.length.toLong, digest,
-          w, h, d, FakeCodec.sampleFrames(bytes.length.toLong))
+        val nBytes = bytes.length.toLong
+        val digest = FakeCodec.digestOf(bytes) // hash once: digest column + stub seed
+        val frames = FakeCodec.sampleFrames(nBytes)
+        r.kind match {
+          case "image" =>
+            ImageCodec.decode(bytes) match {
+              case Some(img) =>
+                val (w, h, nch, means) = ImageCodec.stats(img)
+                MediaFeatures(r.id, r.kind, nBytes, digest,
+                  decoded = true, w, h, nch, means, 0L, frames)
+              case None =>
+                MediaFeatures(r.id, r.kind, nBytes, digest,
+                  decoded = false, 0, 0, 0, Array.empty, 0L, frames)
+            }
+          case "audio" =>
+            AudioCodec.durationMs(bytes) match {
+              case Some(ms) =>
+                MediaFeatures(r.id, r.kind, nBytes, digest,
+                  decoded = true, 0, 0, 0, Array.empty, ms, frames)
+              case None =>
+                MediaFeatures(r.id, r.kind, nBytes, digest,
+                  decoded = false, 0, 0, 0, Array.empty, 0L, frames)
+            }
+          case "video" =>
+            // declared stub: decoded=false signals the fake kernel
+            val (w, h, d) = FakeCodec.videoFromDigest(digest)
+            MediaFeatures(r.id, r.kind, nBytes, digest,
+              decoded = false, w, h, 0, Array.empty, d, frames)
+          case _ =>
+            MediaFeatures(r.id, r.kind, nBytes, digest,
+              decoded = false, 0, 0, 0, Array.empty, 0L, frames)
+        }
       }
     }
   }
@@ -88,15 +195,16 @@ object Multimodal {
   }
 
   case class ResizedMedia(
-      id: Long, kind: String, payload: Array[Byte], width: Int, height: Int)
+      id: Long, kind: String, payload: Array[Byte], width: Int, height: Int,
+      real: Boolean)
 
-  /** "Resize" images/video stills to `targetW`×`targetH` — STUB codec
-    * (see notice): the re-encoded payload is a deterministic
-    * digest-seeded byte string whose length scales with the target
-    * pixel count, so downstream size accounting and shuffle planning
-    * behave like the real thing. The Spark shape is the part that
-    * matters: per-row CPU in `mapPartitions`, binary in → binary out,
-    * no shuffle, output schema carries the new dimensions. */
+  /** Resize images to `targetW`×`targetH`. Decodable images run the
+    * REAL Graphics2D bilinear rescale and come back as PNG bytes
+    * (`real=true`). Undecodable payloads (and non-image media) fall
+    * back to the deterministic digest-seeded stand-in whose length
+    * scales with the target pixel count (`real=false`) so size
+    * accounting still behaves. Spark shape either way: per-row CPU in
+    * `mapPartitions`, binary in → binary out, no shuffle. */
   def resize(
       media: Dataset[MediaRow],
       targetW: Int,
@@ -106,18 +214,25 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val bytes = Option(r.payload).getOrElse(Array.empty[Byte])
-        // ~0.25 bytes/pixel "compressed"; seeded by the source digest so
-        // resize is deterministic and content-addressed. Long math: an
-        // Int pixel product overflows around 46k×46k and would silently
-        // emit a 16-byte payload; cap at 256 MiB per row.
-        val outLen = math.max(16L,
-          math.min(targetW.toLong * targetH / 4, 256L * 1024 * 1024)).toInt
-        val seed = FakeCodec.digestOf(bytes).take(16)
-          .foldLeft(0L)((a, c) => a * 31 + c)
-        val rng = new java.util.Random(seed)
-        val out = new Array[Byte](outLen)
-        rng.nextBytes(out)
-        ResizedMedia(r.id, r.kind, out, targetW, targetH)
+        ImageCodec.decode(bytes) match {
+          case Some(img) =>
+            ResizedMedia(r.id, r.kind,
+              ImageCodec.resizeToPng(img, targetW, targetH),
+              targetW, targetH, real = true)
+          case None =>
+            // ~0.25 bytes/pixel "compressed"; seeded by the source digest
+            // so the fallback is deterministic and content-addressed.
+            // Long math: an Int pixel product overflows around 46k×46k
+            // and would silently emit a 16-byte payload; cap 256 MiB.
+            val outLen = math.max(16L,
+              math.min(targetW.toLong * targetH / 4, 256L * 1024 * 1024)).toInt
+            val seed = FakeCodec.digestOf(bytes).take(16)
+              .foldLeft(0L)((a, c) => a * 31 + c)
+            val rng = new java.util.Random(seed)
+            val out = new Array[Byte](outLen)
+            rng.nextBytes(out)
+            ResizedMedia(r.id, r.kind, out, targetW, targetH, real = false)
+        }
       }
     }
   }

@@ -784,7 +784,58 @@ class TextAnalysisSpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("feature extraction is deterministic and digest-correct") {
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/graft/$name")
+    assert(in != null, s"missing checked-in fixture $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  // the checked-in 64×48 gradient: r = 4x, g = 5y, b = 3(x+y) mod 256 —
+  // expected channel means computed HERE from the formula, independent
+  // of any codec, so a decode that "succeeds" with wrong pixels fails
+  private val expectedMeans: Array[Double] = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until 48; x <- 0 until 64) {
+      sr += (x * 4) & 0xff; sg += (y * 5) & 0xff; sb += ((x + y) * 3) & 0xff
+    }
+    val n = 64.0 * 48
+    Array(sr / n, sg / n, sb / n)
+  }
+
+  test("REAL image decode: checked-in PNG/JPEG give exact dimensions + channel stats") {
+    val media = Seq(
+      (1L, "image", fixture("fixture_64x48.png")),
+      (2L, "image", fixture("fixture_64x48.jpg"))
+    ).toDF("id", "kind", "payload")
+    val out = Multimodal.extractFeatures(media, "id", "kind", "payload")
+      .orderBy($"id").collect()
+    for (r <- out) {
+      assert(r.getAs[Boolean]("decoded"), r.toString)
+      assert(r.getAs[Int]("width") == 64 && r.getAs[Int]("height") == 48, r.toString)
+      assert(r.getAs[Int]("channels") == 3, r.toString)
+    }
+    // PNG is lossless: means match the gradient formula exactly
+    val png = out(0).getSeq[Double](out(0).fieldIndex("channel_means"))
+    for (c <- 0 until 3)
+      assert(math.abs(png(c) - expectedMeans(c)) < 1e-9,
+        s"png channel $c: ${png(c)} vs ${expectedMeans(c)}")
+    // JPEG is lossy: means within a few intensity levels
+    val jpg = out(1).getSeq[Double](out(1).fieldIndex("channel_means"))
+    for (c <- 0 until 3)
+      assert(math.abs(jpg(c) - expectedMeans(c)) < 5.0,
+        s"jpg channel $c: ${jpg(c)} vs ${expectedMeans(c)}")
+  }
+
+  test("REAL audio decode: checked-in WAV reports its true duration") {
+    val media = Seq((1L, "audio", fixture("fixture_500ms.wav")))
+      .toDF("id", "kind", "payload")
+    val r = Multimodal.extractFeatures(media, "id", "kind", "payload").head()
+    assert(r.getAs[Boolean]("decoded"), r.toString)
+    // 4000 frames at 8 kHz = exactly 500 ms
+    assert(r.getAs[Long]("duration_ms") == 500L, r.toString)
+  }
+
+  test("undecodable payloads report decoded=false with zeroed features, never fake dims") {
     val media = Seq(
       (1L, "image", "hello".getBytes("UTF-8")),
       (2L, "audio", "world".getBytes("UTF-8")),
@@ -796,10 +847,11 @@ class MultimodalSpec extends SparkSpec {
     val r1 = out(0)
     assert(r1.getAs[String]("digest") ==
       "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824") // sha256("hello")
-    assert(r1.getAs[Int]("width") > 0 && r1.getAs[Int]("height") > 0)
-    assert(r1.getAs[Long]("duration_ms") == 0L)
-    assert(out(1).getAs[Int]("width") == 0 && out(1).getAs[Long]("duration_ms") >= 0)
-    assert(out(2).getAs[Long]("duration_ms") >= 0)
+    assert(!r1.getAs[Boolean]("decoded") && r1.getAs[Int]("width") == 0)
+    assert(!out(1).getAs[Boolean]("decoded") && out(1).getAs[Long]("duration_ms") == 0L)
+    // video: the one remaining declared stub — flagged decoded=false
+    assert(!out(2).getAs[Boolean]("decoded"))
+    assert(out(2).getAs[Int]("width") > 0 && out(2).getAs[Long]("duration_ms") >= 0)
     assert(out(3).getAs[Long]("n_bytes") == 0L)
     // determinism: second run identical
     val again = Multimodal.extractFeatures(media, "id", "kind", "payload")
@@ -807,13 +859,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
-  test("resize stub keeps the distributed shape: binary in/out, sized payloads, deterministic") {
+  test("REAL resize: decodable image comes back as a PNG of the target size") {
+    import Multimodal.MediaRow
+    val media = Seq(MediaRow(1L, "image", fixture("fixture_64x48.png"))).toDS()
+    val out = Multimodal.resize(media, 32, 24).collect()
+    assert(out.head.real && out.head.width == 32 && out.head.height == 24)
+    // round-trip the payload through the codec: it IS a 32×24 image
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.head.payload))
+    assert(back != null && back.getWidth == 32 && back.getHeight == 24)
+    // deterministic: PNG re-encode of the same source is byte-identical
+    val again = Multimodal.resize(media, 32, 24).collect()
+    assert(out.head.payload.sameElements(again.head.payload))
+  }
+
+  test("resize fallback keeps the distributed shape for undecodable payloads") {
     import Multimodal.MediaRow
     val media = Seq(
       MediaRow(1L, "image", "hello".getBytes("UTF-8")),
       MediaRow(2L, "image", "other content".getBytes("UTF-8"))).toDS()
     val out = Multimodal.resize(media, 64, 48).collect().sortBy(_.id)
-    assert(out.forall(r => r.width == 64 && r.height == 48))
+    assert(out.forall(r => r.width == 64 && r.height == 48 && !r.real))
     assert(out.forall(_.payload.length == 64 * 48 / 4))
     // content-addressed: same source bytes → same resized bytes; different → different
     val again = Multimodal.resize(media, 64, 48).collect().sortBy(_.id)
