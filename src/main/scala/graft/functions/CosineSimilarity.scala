@@ -44,6 +44,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case _ => false
   }
 
+  // resolved once per expression instance — the interpreted path calls
+  // these per ELEMENT, so re-pattern-matching the DataType there costs a
+  // match per float (ADVICE r6)
+  @transient private lazy val leftIsFloat = elemIsFloat(left.dataType)
+  @transient private lazy val rightIsFloat = elemIsFloat(right.dataType)
+
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "graft_cosine"
@@ -63,8 +69,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       // NULL element or zero norm → NULL result, matching the HOF path
       // (Spark: null poisons the aggregate; x/0 is NULL, not NaN)
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xi = if (elemIsFloat(left.dataType)) x.getFloat(i).toDouble else x.getDouble(i)
-      val yi = if (elemIsFloat(right.dataType)) y.getFloat(i).toDouble else y.getDouble(i)
+      val xi = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi
       na += xi * xi
       nb += yi * yi
@@ -90,8 +96,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |if (!${n}_null) {
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${n}_null = true; break; }
-         |    double $xi = $a.${if (elemIsFloat(left.dataType)) "getFloat" else "getDouble"}($i);
-         |    double $yi = $b.${if (elemIsFloat(right.dataType)) "getFloat" else "getDouble"}($i);
+         |    double $xi = $a.${if (leftIsFloat) "getFloat" else "getDouble"}($i);
+         |    double $yi = $b.${if (rightIsFloat) "getFloat" else "getDouble"}($i);
          |    $dot += $xi * $yi;
          |    $na += $xi * $xi;
          |    $nb += $yi * $yi;

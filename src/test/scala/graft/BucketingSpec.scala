@@ -41,6 +41,18 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("s12's returned frame executes AFTER its catalog tables are dropped") {
+    // the query fn drops its bucketed external-table catalog entries
+    // before returning (catalog hygiene); the returned DataFrame must
+    // still execute because eager Dataset analysis pinned the
+    // HadoopFsRelations at resolution time (ADVICE r6). If a future
+    // Spark defers resolution, THIS test fails at action time with a
+    // missing-table error — one pointed signal instead of a silent
+    // driver-gate failure.
+    val df = SparkEntry.queries("s12_bucketed_join")(spark, testdataRoot)
+    assert(df.count() == 5) // the five o_orderpriority classes
+  }
+
   test("aggregation on the bucket key is exchange-free") {
     ParquetIO.writeBucketed(spark.read.parquet(sf("orders")),
       "orders_b2", buckets = 8, keys = Seq("o_custkey"))

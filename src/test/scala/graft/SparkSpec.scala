@@ -16,7 +16,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
     .getOrCreate()
 
-  def sf(name: String): String = s"/root/testdata/sf0.001/$name.parquet"
+  /** The driver-generated testdata dir every spec reads (ADVICE r6:
+    * single definition, so a relocation is a one-line change). */
+  val testdataRoot = "/root/testdata/sf0.001"
+  def sf(name: String): String = s"$testdataRoot/$name.parquet"
   val refDir = "/root/reference"
 
   override def beforeAll(): Unit = {

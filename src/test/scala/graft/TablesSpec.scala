@@ -62,7 +62,7 @@ class TablesSpec extends SparkSpec {
   }
 
   test("the driver's actual events.parquet loads as nano-longs") {
-    val df = Tables(spark, "/root/testdata/sf0.001", "events")
+    val df = Tables(spark, testdataRoot, "events")
     assert(df.schema("ts").dataType == LongType)
     // generator epoch starts 2024-01-01; sanity-band the first value
     val first = df.select("ts").as[Long].head()
@@ -73,18 +73,18 @@ class TablesSpec extends SparkSpec {
     // front-line drift alarm: a driver re-encode should fail HERE with
     // one clear message, not as dozens of downstream query failures
     for (name <- Tables.names) {
-      val df = Tables(spark, "/root/testdata/sf0.001", name)
+      val df = Tables(spark, testdataRoot, name)
       assert(df.columns.nonEmpty, s"$name has no columns")
       assert(df.limit(1).collect().nonEmpty, s"$name is empty")
     }
-    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val emb = Tables(spark, testdataRoot, "embeddings")
     emb.schema("embedding").dataType match {
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => // ok
       case other => fail(
         s"embeddings.embedding loaded as $other — the similarity surface " +
           "accepts array<float|double>; extend it (see CosineSimilarity)")
     }
-    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+    val ev = Tables(spark, testdataRoot, "events")
     for (c <- Seq("event_type", "props"))
       assert(ev.schema(c).dataType == StringType,
         s"events.$c drifted from string")
