@@ -33,10 +33,18 @@ object Scratch {
 
     // ad-hoc probes go here; Floor.scala b1/b2 are the certified floor
     // probes that ride the real bench path every round
-    val li = Tables(spark, sfDir, "lineitem")
-    time("lineitem scan (catalog-cached read)") { li }
-    time("a14_mad") { SparkEntry.queries("a14_mad")(spark, sfDir) }
+    val _ = time _
 
+    // dump the six-table chain plans with size-based auto-broadcast OFF:
+    // at sf0.001/0.1 everything fits under 10 MB and Spark would
+    // broadcast the facts themselves, hiding the 100 TB shape where only
+    // the explicitly-hinted dims broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    for (q <- Seq("j12_q5_shape", "j24_q8_market_share", "j16_q21_shape")) {
+      val p = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      println(s"===== $q =====\n$p")
+    }
     spark.stop()
   }
 }

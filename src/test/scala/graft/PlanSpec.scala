@@ -80,6 +80,62 @@ class PlanSpec extends SparkSpec {
       "orders date range must reach the parquet scan\n" + p)
   }
 
+  /** Plan with size-based auto-broadcast disabled. At sf0.001 every
+    * table fits under the 10 MB threshold and Spark would broadcast the
+    * facts themselves, hiding the shape that matters at 100 TB where
+    * only the explicitly-hinted dims are broadcastable. Disabling the
+    * threshold leaves exactly the hints + shuffle strategy the cluster
+    * case would see (modulo AQE's runtime supplier-size decisions). */
+  private def planNoAutoBroadcast(name: String): String = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    finally spark.conf.set(key, prev)
+  }
+
+  test("j12 @100TB posture: hinted dims broadcast, facts shuffle once each, 7 exchanges") {
+    val p = planNoAutoBroadcast("j12_q5_shape")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2,
+      s"exactly nation+region broadcast:\n$p")
+    assert("SortMergeJoin".r.findAllIn(p).size == 3,
+      s"customer⋈orders, ⋈lineitem, ⋈supplier shuffle-join:\n$p")
+    // the 100 TB table is exchanged exactly once, on its join key
+    assert("Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).size == 1, p)
+    // 2 (c⋈o) + 2 (o_orderkey + l_orderkey) + 2 (supplier pair) + 1 agg
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 7,
+      s"an extra exchange appeared in the Q5 chain:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("j24 @100TB posture: six broadcasts, ONE fact-fact join, 3 exchanges total") {
+    val p = planNoAutoBroadcast("j24_q8_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 5,
+      s"customer, supplier, 2×nation, region all arrive via broadcast:\n$p")
+    assert("SortMergeJoin".r.findAllIn(p).size == 1,
+      s"lineitem⋈orders is the only shuffle join:\n$p")
+    assert("Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3,
+      s"exactly two fact-fact exchanges + the year aggregation:\n$p")
+  }
+
+  test("j16 @100TB posture: semi+anti stay keyed on l_orderkey, no exchange creep") {
+    val p = planNoAutoBroadcast("j16_q21_shape")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"two-outer-column NOT EXISTS must decorrelate even without broadcasts:\n$p")
+    // semi, supplier, orders, anti: every exchange is on a join/agg key
+    // and the anti join REUSES the l_orderkey partitioning of the inner
+    // join (no exchange between them); 8 is today's decorrelated shape,
+    // more means a re-shuffle crept in
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 8,
+      s"exchange creep in the Q21 chain:\n$p")
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9L]+)".r
+      .findAllMatchIn(p).map(_.group(1).takeWhile(_ != '#')).toSeq
+    assert(keys.forall(Set("l_orderkey", "o_orderkey", "s_suppkey",
+      "l_suppkey", "s_name")), s"unexpected exchange keys: $keys")
+  }
+
   test("t4: snapshot diff is a single keyed full-outer join, no nested loop") {
     val p = planOf("t4_snapshot_diff")
     assert(p.contains("FullOuter"), p)

@@ -69,6 +69,59 @@ class TablesSpec extends SparkSpec {
     assert(first > 1700000000000000000L && first < 1900000000000000000L)
   }
 
+  // The embeddings/documents analog of the ts drift alarm (VERDICT r6
+  // #7): the driver's generator could legitimately re-encode
+  // `embedding` as list<float> OR list<double> (pyarrow defaults differ
+  // by construction path) and `text` dictionary/plain with or without
+  // nulls. Both must flow through the ACTUAL kernels — the native
+  // cosine and the native text expressions — not just load.
+
+  test("embeddings.embedding works through the cosine path as list<float> AND list<double>") {
+    val vec = Seq(0.6, 0.8, 0.0)
+    val fixtures = Seq(
+      Seq((1L, vec.map(_.toFloat)), (2L, vec.map(v => (v * 2).toFloat)))
+        .toDF("vec_id", "embedding"),
+      Seq((1L, vec), (2L, vec.map(_ * 2)))
+        .toDF("vec_id", "embedding"))
+    for (fixture <- fixtures) {
+      val dir = tmpDir("graft-emb")
+      fixture.write.parquet(s"$dir/embeddings.parquet")
+      val df = Tables(spark, dir, "embeddings")
+      df.schema("embedding").dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => // ok
+        case other => fail(s"fixture embedding loaded as $other")
+      }
+      // parallel vectors → cosine exactly 1.0 under either element type
+      val sims = df.crossJoin(df.select($"embedding".as("e2")))
+        .select(GraftFunctions.cosineNative(spark, $"embedding", $"e2").as("c"))
+        .as[Double].collect()
+      assert(sims.forall(s => math.abs(s - 1.0) < 1e-6), sims.toSeq.toString)
+    }
+  }
+
+  test("documents.text survives nulls + non-ASCII through the native text kernels") {
+    val dir = tmpDir("graft-docs")
+    Seq((1L, "plain ascii text here"), (2L, "ünïcodé — 日本語テスト"), (3L, null))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val df = Tables(spark, dir, "documents")
+    assert(df.schema("text").dataType == StringType,
+      s"documents.text drifted to ${df.schema("text").dataType}")
+    val out = df.select(
+        $"doc_id",
+        GraftFunctions.charEntropyNative(spark, $"text")("entropy_micro").as("ent"),
+        GraftFunctions.langIdNative(spark, $"text").as("lang"),
+        GraftFunctions.fingerprintNative(spark, $"text").as("fp"))
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    // non-null rows produce non-null features; the null row stays null
+    // through entropy/fingerprint and maps to the declared 'und'
+    // sentinel through lang-id (LangId.nullable=false by contract) —
+    // no kernel ever throws on a null document
+    assert(!out(0).isNullAt(1) && !out(1).isNullAt(1) && out(2).isNullAt(1))
+    assert(out(0).getString(2) != null && out(2).getString(2) == "und")
+    assert(!out(0).isNullAt(3) && out(2).isNullAt(3))
+  }
+
   test("every testdata table loads and its critical arithmetic columns are usable") {
     // front-line drift alarm: a driver re-encode should fail HERE with
     // one clear message, not as dozens of downstream query failures
