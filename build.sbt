@@ -41,4 +41,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // in-suite readings ran up to 5x their isolated times).
   "-Dspark.sql.codegen.cache.maxEntries=10000",
   "-XX:ReservedCodeCacheSize=1g",
+  // GC/heap were A/B-measured on the full 190-query suite (round 7):
+  // G1+8g 80.3/81.0 s, ParallelGC+8g 85.3 s, G1+24g 91.0 s — all within
+  // the machine's noise band, so the JVM defaults stay.
 )

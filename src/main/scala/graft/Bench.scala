@@ -6,13 +6,15 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR. Prints the full per-query JSON line, then a short
   * parse-safe summary line last (the driver tail-captures stdout).
   *
-  * Method: per-query warmup + repeat. Each query runs WARMUP untimed
-  * executions (JIT + codegen-cache + FS-cache fill) followed by REPS timed
-  * executions against a `noop` sink — full materialization of every
-  * operator with zero sink cost — and reports the MIN of the timed runs.
-  * Single-shot timing in a shared ~100-query JVM couples each number to
-  * its neighbors' GC/codegen pressure (round 2 recorded an 18.4 s reading
-  * for a query that runs in 1.2 s isolated); min-of-N decouples it.
+  * Method: WARMUP untimed full passes (JIT + codegen-cache + FS-cache
+  * fill), then REPS timed full passes against a `noop` sink — full
+  * materialization of every operator with zero sink cost — reporting
+  * each query's MIN across the passes. Single-shot timing in a shared
+  * ~190-query JVM couples each number to its neighbors' GC/codegen
+  * pressure (round 2 recorded an 18.4 s reading for a query that runs
+  * in 1.2 s isolated); min-of-N decouples it, and interleaving the reps
+  * (pass-by-pass, not per-query) keeps one bursty system hiccup from
+  * poisoning all N samples of the same query.
   * Session mirrors Engine.session: AQE on, shuffle partitions sized to
   * cores (not 200 — at sf0.1 oversized shuffles are pure scheduling
   * overhead; on a real cluster this knob scales with executor count).
@@ -40,11 +42,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // mirror Engine.session: coalesce post-shuffle partitions by byte
-      // size, not parallelism — tiny sf0.1 exchanges stop spawning 32
-      // tasks; at scale the same knob sizes reducers to ~64 MB
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      // mirror Engine.session: AQE-default post-shuffle sizing — the
+      // byte-advisory alternative was measured 2x slower on keyed-window
+      // stages at sf0.1 (see Engine.session comment)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       // static conf, effective because Bench owns the first session in the
@@ -67,14 +67,6 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    /** warmup + min-of-reps; a failure in any run marks the query failed */
-    def measure(name: String): Double = {
-      var i = 0
-      while (i < warmup) { if (runOnce(name) < 0) return -1.0; i += 1 }
-      val times = (1 to reps).map(_ => runOnce(name))
-      if (times.exists(_ < 0)) -1.0 else times.min
-    }
-
     // SPARK_GRAFT_BENCH_ONLY=x1_string_scalars,l3f (comma-separated name
     // prefixes) isolates queries for probing — a shared ~100-query JVM
     // couples numbers to neighbors' GC/JIT pressure, so one-off outliers
@@ -83,7 +75,23 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.all.map(_.name)
       .filter(n => only.forall(_.exists(n.startsWith)))
-    val results = names.map(n => n -> measure(n))
+
+    // INTERLEAVED reps: full warmup pass(es) over every query, then
+    // `reps` complete timed passes, min per query across passes. The
+    // earlier per-query consecutive min-of-3 let one bursty system
+    // hiccup (shared VM) poison all three samples of whichever query it
+    // landed on — observed as 1.5-2x single-query outliers that moved
+    // between runs (l25 2.8→4.7 s run-over-run with identical code).
+    // Separating a query's samples by a whole suite pass (~25 s)
+    // decorrelates them from any single burst at identical total work.
+    val best = scala.collection.mutable.Map[String, Double]()
+    for (_ <- 1 to warmup; n <- names) if (runOnce(n) < 0) best(n) = -1.0
+    for (_ <- 1 to reps; n <- names if !best.get(n).contains(-1.0)) {
+      val t = runOnce(n)
+      if (t < 0) best(n) = -1.0
+      else if (!best.get(n).exists(_ <= t)) best(n) = t
+    }
+    val results = names.map(n => n -> best.getOrElse(n, -1.0))
     val failed = results.count(_._2 < 0)
 
     // DuckDB wall-times for the same oracle SQL on the same data (committed
@@ -137,7 +145,7 @@ object Bench {
           .mkString("{", ",", "}")
         s""","ratios_vs_duckdb":$rs"""
       }
-    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"warmup=$warmup%d,min_of=$reps%d","queries":$qs$ratioJson,"sf":"$sfDir"}"""
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"warmup=$warmup%d,min_of=$reps%d,interleaved","queries":$qs$ratioJson,"sf":"$sfDir"}"""
     // best-effort: an unwritable CWD must not lose the stdout lines the
     // driver parses after the whole benchmark already ran
     try java.nio.file.Files.write(
@@ -154,7 +162,7 @@ object Bench {
         f""","ratio_vs_duckdb":${sparkSum / duckSum}%.2f,"n_ratioed":${ratios.size}%d"""
       }
     println(detail)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${names.size},"n_failed":$failed,"method":"warmup=$warmup%d,min_of=$reps%d"$aggRatio,"slowest":$top5,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${names.size},"n_failed":$failed,"method":"warmup=$warmup%d,min_of=$reps%d,interleaved"$aggRatio,"slowest":$top5,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,14 +23,17 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // production posture (per Spark's own AQE guidance): size post-shuffle
-      // partitions by the advisory byte target instead of chasing max
-      // parallelism — at sf0.1 this collapses KB-sized exchanges to one
-      // task instead of 32 (pure scheduling overhead), and at 100 TB the
-      // same setting yields well-sized ~64 MB reducers instead of
-      // whatever the static partition count happens to shard
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      // Post-shuffle sizing stays at AQE defaults (parallelismFirst=true,
+      // minPartitionSize=1m): measured head-to-head at sf0.1, the
+      // documented production alternative (parallelismFirst=false +
+      // advisory 64m) SERIALIZES cpu-heavy byte-light stages — a14's
+      // keyed decimal window went 0.79 s -> 1.62 s, w1 0.34 -> 0.84 —
+      // while KB-sized exchanges already coalesce to one task under the
+      // 1 MB default minimum, so the floor gains nothing. On a 100 TB
+      // cluster, where reducer inputs are GBs and the concern is spill
+      // rather than task-launch overhead, flip parallelismFirst=false
+      // and raise the advisory — that knob is deployment tuning, not
+      // engine code.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
@@ -44,6 +47,12 @@ object Engine {
       // Spark's reader needs this to map it (to LongType nanos) instead
       // of erroring. Tables normalizes every encoding to nano-longs.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static conf (effective when this builder owns the JVM's first
+      // session): many distinct plans x multiple codegen stages overflow
+      // the default 100-entry generated-class cache and force Janino
+      // recompiles per execution — measured 6x inflation on a1 when
+      // ScaleCurve's 33 plans cycled the default cache
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       // native expressions (graft_cosine, graft_minhash) + the
       // transparent corrupt-date rebase rule; sessions built elsewhere
       // get the same via GraftFunctions.ensureRegistered
