@@ -196,15 +196,21 @@ object Dedup {
       case _ => false
     }
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      // exact split-sum on primitive longs (ids are full-range numerics)
+      val s = df.agg(graft.queries.QShared.splitSum(
+        col("label").cast("long"), Seq(21, 42))).head().getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s // empty graph
     }
     // round 1 specialized: labels are the identity, so the bucket min is
     // just min(id) per bucket — no join against a label table needed
     val firstBucketMin = banded.groupBy(col("bucket")).agg(min(col("id")).as("bmin"))
+    // numeric ids: LAZY checkpoint — the labelSum convergence probe right
+    // below is the materializing action, folding snapshot+probe into one
+    // job per round. Non-numeric ids run no immediate probe, so stay
+    // eager (two sibling consumers would race-compute a lazy cache).
     var labels = banded.join(firstBucketMin, "bucket")
       .groupBy(col("id")).agg(min(col("bmin")).as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(!numericIds)
     var prevSum = if (numericIds) labelSum(labels) else null
     var converged = false
     var round = 1
@@ -212,9 +218,11 @@ object Dedup {
       round += 1
       val bucketMin = banded.join(labels, "id")
         .groupBy(col("bucket")).agg(min(col("label")).as("bmin"))
+      // lazy: the convergence probe (labelSum / isEmpty-join) is the
+      // single materializing action — one job per round, not two
       val next = banded.join(bucketMin, "bucket")
         .groupBy(col("id")).agg(min(col("bmin")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       if (numericIds) {
         val nextSum = labelSum(next)
         converged = nextSum.compareTo(prevSum) == 0
@@ -695,9 +703,10 @@ object Dedup {
     val inc = df.select(col(idCol).as("id"), col(keyCol).as("bucket"))
       .localCheckpoint(true)
     val kmin = inc.groupBy(col("bucket")).agg(min(col("id")).as("m"))
+    // lazy: the initial `prev` checksum below is the materializing action
     var edges = inc.join(kmin, "bucket").filter(col("id") =!= col("m"))
       .select(col("id").as("u"), col("m").as("v"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     // symmetric neighbor view + per-node min m(u) = min(N(u) ∪ {u})
     def withMins(e: DataFrame): DataFrame = {
       val s = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -724,7 +733,9 @@ object Dedup {
     // order-independent aggregate (count + Σhash), not a self-join
     def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
       val r = e.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+        // split-sum: xxhash64 is full-range 64-bit, decimal(38,0)
+        // accumulation would pay a BigDecimal per edge per round
+        graft.queries.QShared.splitSum(xxhash64(col("u"), col("v")), Seq(21, 42))).head()
       (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
     var prev = checksum(edges)
@@ -735,9 +746,17 @@ object Dedup {
       // materialize the large-star half: the small-star half's symmetric
       // self-joins would otherwise inline (and re-execute) its plan ~4×
       val ls = largeStar(edges).localCheckpoint(true)
-      val next = smallStar(ls).localCheckpoint(true)
-      unpersistCheckpoint(ls)
+      // LAZY checkpoint for the small-star result: the convergence
+      // checksum right below is the materializing action, so each round
+      // runs TWO jobs (large-star + small-star⊕checksum) instead of
+      // three — the checkpoint blocks are written as a side effect of
+      // the checksum scan, and the next round's large-star reads them.
+      // (ls stays EAGER: it is read by several sibling shuffle stages of
+      // the small-star plan, which the scheduler may launch concurrently
+      // — a lazily cached ls would be computed once per racing stage.)
+      val next = smallStar(ls).localCheckpoint(false)
       val sum = checksum(next)
+      unpersistCheckpoint(ls)
       converged = sum == prev
       prev = sum
       unpersistCheckpoint(edges)

@@ -36,7 +36,7 @@ object Aggregates extends QGroup {
         // ONE distinct column set still avoids Expand
         val custs = o.groupBy(col("o_orderstatus"))
           .agg(countDistinct(col("o_custkey")).as("n_cust"),
-            (sum(col("o_totalprice").cast(dec)).cast("double") /
+            (QShared.gridSum(col("o_totalprice")).cast("double") /
               count(lit(1))).as("avg_price"))
         val prices = o.groupBy(col("o_orderstatus"))
           .agg(
@@ -127,7 +127,7 @@ object Aggregates extends QGroup {
         Tables(s, dir, "lineitem")
           .rollup(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("cnt"),
-            sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+            QShared.gridSum(col("l_quantity")).cast("double").as("sum_qty"),
             grouping_id().as("gid"))
           ,
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
@@ -156,7 +156,7 @@ object Aggregates extends QGroup {
               Seq(col("o_orderstatus")), Seq()),
             col("o_orderstatus"), col("o_orderpriority"))
           .agg(count(lit(1)).as("cnt"),
-            sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"),
+            QShared.gridSum(col("o_totalprice")).cast("double").as("sum_price"),
             grouping_id().as("gid"))
           ,
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
@@ -183,17 +183,26 @@ object Aggregates extends QGroup {
     QDef("a9_corr_covar",
       (s, dir) => {
         val qc = col("l_quantity").cast("bigint") // integral: trunc == round
-        val pc = round(col("l_extendedprice") * 100).cast("bigint") // exact cents
+        // exact cents: floor(x·100 + ½) ≡ the oracle's round(x*100) on the
+        // 2-dp price grid, without Spark round()'s per-row BigDecimal
+        val pc = floor(col("l_extendedprice") * 100 + lit(0.5))
         val dec0 = "decimal(38,0)"
         Tables(s, dir, "lineitem")
           .select(col("l_returnflag"), qc.as("qc"), pc.as("pc"))
           .groupBy(col("l_returnflag"))
+          // exact integer sums on primitive longs (QShared.splitSum — the
+          // decimal(38,0) per-row accumulation costs a BigDecimal per
+          // row): qc ≤ 50 and qc² ≤ 2500 sum as plain BIGINTs (overflow
+          // past ~10¹⁵ rows/group); pc ≤ 1.05e7 splits at bit 12
+          // (~2×10¹⁵ rows), qc·pc ≤ 5.3e8 at bit 15 (~3×10¹⁴), and
+          // pc² ≤ 1.1e14 at bits 16/32 (~10¹⁴ rows/group) — all far past
+          // 100 TB group sizes, and loud ANSI overflow beyond.
           .agg(count(lit(1)).as("n"),
-            sum(col("qc").cast(dec0)).as("sxq"),
-            sum(col("pc").cast(dec0)).as("syc"),
-            sum((col("qc") * col("pc")).cast(dec0)).as("sxyc"),
-            sum((col("qc") * col("qc")).cast(dec0)).as("sxxq"),
-            sum((col("pc") * col("pc")).cast(dec0)).as("syyc"))
+            sum(col("qc")).cast(dec0).as("sxq"),
+            QShared.splitSum(col("pc"), Seq(12)).as("syc"),
+            QShared.splitSum(col("qc") * col("pc"), Seq(15)).as("sxyc"),
+            sum(col("qc") * col("qc")).cast(dec0).as("sxxq"),
+            QShared.splitSum(col("pc") * col("pc"), Seq(16, 32)).as("syyc"))
           .select(col("l_returnflag"), col("n"),
             col("sxq").cast("double").as("sx"),
             (col("syc").cast("double") / 100.0).as("sy"),
@@ -244,8 +253,8 @@ object Aggregates extends QGroup {
         val ev = Tables(s, dir, "events")
         val stats = ev.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(dec)).as("sx"),
-            sum((col("value") * col("value")).cast(dec)).as("sxx"))
+            QShared.gridSum(col("value")).as("sx"),
+            QShared.gridSum(col("value") * col("value")).as("sxx"))
           .select(col("event_type"),
             (col("sx").cast("double") / col("n")).as("mean"),
             ((col("sxx").cast("double") -
@@ -281,7 +290,7 @@ object Aggregates extends QGroup {
         Tables(s, dir, "orders")
           .groupBy(floor(col("o_totalprice") / lit(25000.0)).as("bin"))
           .agg(count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast(dec)).cast("double").as("bin_total"))
+            QShared.gridSum(col("o_totalprice")).cast("double").as("bin_total"))
           .withColumn("bin_lo", col("bin") * 25000L)
           ,
       Some("""SELECT bin, n_orders, bin_total, bin * 25000 AS bin_lo
@@ -321,7 +330,7 @@ object Aggregates extends QGroup {
         Tables(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .pivot("l_linestatus", Seq("F", "O"))
-          .agg(sum(col("l_quantity").cast(dec)).cast("double"))
+          .agg(QShared.gridSum(col("l_quantity")).cast("double"))
           .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
           ,
       Some("""SELECT l_returnflag,
@@ -335,8 +344,8 @@ object Aggregates extends QGroup {
       (s, dir) => {
         val wide = Tables(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
-          .agg(sum(col("l_quantity").cast(dec)).cast("double").as("qty"),
-            sum(col("l_extendedprice").cast(dec)).cast("double").as("price"),
+          .agg(QShared.gridSum(col("l_quantity")).cast("double").as("qty"),
+            QShared.gridSum(col("l_extendedprice")).cast("double").as("price"),
             count(lit(1)).cast("double").as("cnt"))
         wide.unpivot(Array(col("l_returnflag")),
             Array(col("qty"), col("price"), col("cnt")), "metric", "val")
@@ -395,11 +404,12 @@ object Aggregates extends QGroup {
     // accumulation is order-dependent across engines; moments are not).
     QDef("a8_stats_moments",
       (s, dir) => {
-        val x = col("l_quantity").cast(dec)
-        val x2 = (col("l_quantity") * col("l_quantity")).cast(dec)
+        val x = col("l_quantity")
+        val x2 = col("l_quantity") * col("l_quantity")
         Tables(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x2).as("sxx"))
+          .agg(count(lit(1)).as("n"),
+            QShared.gridSum(x).as("sx"), QShared.gridSum(x2).as("sxx"))
           .select(col("l_returnflag"), col("n"),
             // nullif guard: a single-row group divides by 0 — ANSI Spark
             // would throw where the DuckDB oracle yields NULL
@@ -598,10 +608,10 @@ object Aggregates extends QGroup {
         Tables(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
-            (sum((col("l_extendedprice").cast(dec)) * (col("l_quantity").cast(dec)))
+            (QShared.gridSum(col("l_extendedprice") * col("l_quantity"))
               .cast("double") /
-              sum(col("l_quantity").cast(dec)).cast("double")).as("wavg_price"),
-            sum(col("l_quantity").cast(dec)).cast("double").as("total_qty"))
+              QShared.gridSum(col("l_quantity")).cast("double")).as("wavg_price"),
+            QShared.gridSum(col("l_quantity")).cast("double").as("total_qty"))
           ,
       Some("""SELECT l_returnflag,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
@@ -749,17 +759,19 @@ object Aggregates extends QGroup {
     QDef("a20_regression",
       (s, dir) => {
         val qc = col("l_quantity").cast("bigint")
-        val pc = round(col("l_extendedprice") * 100).cast("bigint")
+        val pc = floor(col("l_extendedprice") * 100 + lit(0.5)) // a9's exact-cents recipe
         val dec0 = "decimal(38,0)"
         Tables(s, dir, "lineitem")
           .select(col("l_returnflag"), qc.as("qc"), pc.as("pc"))
           .groupBy(col("l_returnflag"))
+          // primitive-long exact sums — same split bounds as a9 (see the
+          // comment there)
           .agg(count(lit(1)).as("n"),
-            sum(col("qc").cast(dec0)).as("sx"),
-            sum(col("pc").cast(dec0)).as("sy"),
-            sum((col("qc") * col("pc")).cast(dec0)).as("sxy"),
-            sum((col("qc") * col("qc")).cast(dec0)).as("sxx"),
-            sum((col("pc") * col("pc")).cast(dec0)).as("syy"))
+            sum(col("qc")).cast(dec0).as("sx"),
+            QShared.splitSum(col("pc"), Seq(12)).as("sy"),
+            QShared.splitSum(col("qc") * col("pc"), Seq(15)).as("sxy"),
+            sum(col("qc") * col("qc")).cast(dec0).as("sxx"),
+            QShared.splitSum(col("pc") * col("pc"), Seq(16, 32)).as("syy"))
           .select(col("l_returnflag"), col("n"),
             // slope/intercept in cents-per-unit / cents; R² dimensionless
             floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
@@ -810,7 +822,7 @@ object Aggregates extends QGroup {
             col("l_shipdate") < "1997-01-01" &&
             col("l_discount").between(0.03, 0.07) &&
             col("l_quantity") < 24)
-          .agg(sum((col("l_extendedprice") * col("l_discount")).cast(dec))
+          .agg(QShared.gridSum(col("l_extendedprice") * col("l_discount"))
               .cast("double").as("revenue"),
             count(lit(1)).as("n_rows")),
       Some("""SELECT
@@ -855,16 +867,16 @@ object Aggregates extends QGroup {
     // single floor-scaled double division on bit-identical operands.
     QDef("a23_q14_promo_share",
       (s, dir) => {
-        val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec)
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
         Tables(s, dir, "lineitem")
           .filter(col("l_shipdate") >= "1996-03-01" &&
             col("l_shipdate") < "1996-06-01")
           .join(broadcast(Tables(s, dir, "part")),
             col("l_partkey") === col("p_partkey"))
           .agg(
-            sum(when(col("p_type") === "PROMO", rev)
-              .otherwise(lit(0).cast(dec))).as("promo_dec"),
-            sum(rev).as("total_dec"))
+            QShared.gridSum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0.0))).as("promo_dec"),
+            QShared.gridSum(rev).as("total_dec"))
           .select(
             col("promo_dec").cast("double").as("promo_revenue"),
             col("total_dec").cast("double").as("total_revenue"),
@@ -895,9 +907,12 @@ object Aggregates extends QGroup {
     // exchange is the final (nation, year) aggregation.
     QDef("a24_q9_profit",
       (s, dir) => {
+        // revenue and cost are both ≤5-decimal grid values, so their
+        // double difference rounds to the exact grid diff — identical to
+        // the decimal minus (QShared.gridSum's grid argument)
         val amount =
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec)
-            .minus((col("l_quantity") * col("p_retailprice") * lit(0.1)).cast(dec))
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            col("l_quantity") * col("p_retailprice") * lit(0.1)
         Tables(s, dir, "lineitem")
           .join(broadcast(Tables(s, dir, "part")
               .filter(col("p_name").like("%gear%"))),
@@ -908,7 +923,7 @@ object Aggregates extends QGroup {
             col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name").as("nation"),
             year(col("l_shipdate")).as("o_year"))
-          .agg(sum(amount).cast("double").as("sum_profit"))
+          .agg(QShared.gridSum(amount).cast("double").as("sum_profit"))
       },
       Some("""SELECT n_name AS nation, year(l_shipdate) AS o_year,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))
@@ -988,20 +1003,29 @@ object Aggregates extends QGroup {
           .select(col("o_orderkey"), col("o_totalprice"))
         val nRangesTarget = 32
         val qs = (1 until nRangesTarget).map(_.toDouble / nRangesTarget)
-        val edgeRow = o.agg(percentile_approx(col("o_totalprice"),
-          lit(qs.toArray), lit(10000)).as("edges")).head()
-        val edges: Seq[Double] =
-          if (edgeRow.isNullAt(0)) Seq.empty
-          else edgeRow.getSeq[Double](0).distinct.sorted
+        // approx range edges computed IN-PLAN and broadcast back (round-7:
+        // was a driver-side head() — the query now builds fully lazily,
+        // runs as ONE job, and composes like any other library operator).
         // rid = #edges strictly below the price: ties at an edge land
-        // together; NULL prices compare to nothing and land in rid 0,
+        // together; NULL prices fail every comparison and land in rid 0,
         // where Spark's asc_nulls_first window order sorts them first —
-        // same total order as the one-window form.
-        val rid =
-          if (edges.isEmpty) lit(0)
-          else edges.map(e => when(col("o_totalprice") > lit(e), 1).otherwise(0))
-            .reduce(_ + _)
-        val assigned = o.withColumn("rid", rid)
+        // same total order as the one-window form. An empty table yields
+        // a NULL edge array -> coalesce to rid 0.
+        val edgeDf = o.agg(
+          array_sort(array_distinct(percentile_approx(col("o_totalprice"),
+            lit(qs.toArray), lit(10000)))).as("edges"))
+        // rid via UNROLLED codegen'd element_at comparisons, not an array
+        // HOF: filter()/aggregate() lambdas are CodegenFallback and run
+        // interpreted per row. try_element_at nulls past the (distinct-
+        // shrunk) edge count and on an empty table's NULL array, and a
+        // null comparison contributes 0 — so no coalesce is needed.
+        val rid = (1 until nRangesTarget).map(i =>
+            when(col("o_totalprice") > try_element_at(col("edges"), lit(i)), 1)
+              .otherwise(0))
+          .reduce(_ + _)
+        val assigned = o.crossJoin(broadcast(edgeDf))
+          .withColumn("rid", rid)
+          .drop("edges")
         // per-range counts -> cumulative offsets IN-PLAN (VERDICT r6 #6):
         // the counts aggregate is ≤32 rows by construction, so its
         // running-sum window is a bounded single-partition stat (the
@@ -1037,7 +1061,7 @@ object Aggregates extends QGroup {
           .agg(count(lit(1)).as("cnt"),
             min(col("o_totalprice")).as("lo"),
             max(col("o_totalprice")).as("hi"),
-            sum(col("o_totalprice").cast(dec)).cast("double").as("mass"))
+            QShared.gridSum(col("o_totalprice")).cast("double").as("mass"))
       },
       Some("""SELECT bucket, COUNT(*) AS cnt,
         |  min(o_totalprice) AS lo, max(o_totalprice) AS hi,

@@ -32,7 +32,7 @@ object EventsTime extends QGroup {
           .agg(count(lit(1)).as("n"),
             // final double cast: decimal cells render with scale-6 under
             // the driver's hasher and mismatch the oracle's float64
-            sum(col("value").cast(dec)).cast("double").as("sum_value"),
+            QShared.gridSum(col("value")).cast("double").as("sum_value"),
             countDistinct(col("user_id")).as("n_users"))
           ,
       Some(s"""SELECT epoch_ns(ts) // $tenMinNs AS bucket, event_type,
@@ -51,7 +51,7 @@ object EventsTime extends QGroup {
           .withColumn("wstart", explode(array(col("k") - 1, col("k"))))
           .groupBy(col("wstart"))
           .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(dec)).cast("double").as("sum_value"))
+            QShared.gridSum(col("value")).cast("double").as("sum_value"))
           ,
       Some(s"""SELECT wstart, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM (
@@ -81,7 +81,7 @@ object EventsTime extends QGroup {
           .agg(count(lit(1)).as("n"),
             min(col("tus")).as("start_us"),
             max(col("tus")).as("end_us"),
-            sum(col("value").cast(dec)).cast("double").as("sum_value"))
+            QShared.gridSum(col("value")).cast("double").as("sum_value"))
           
       },
       Some(s"""WITH d AS (

@@ -32,7 +32,7 @@ object Joins extends QGroup {
           .agg(count(col("o_orderkey")).as("n_orders"),
             // final double cast: decimal cells render with scale-6 under
             // the driver's hasher and mismatch the oracle's float64
-            sum(col("o_totalprice").cast(dec)).cast("double").as("total_spent"))
+            QShared.gridSum(col("o_totalprice")).cast("double").as("total_spent"))
           ,
       Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spent
@@ -116,7 +116,7 @@ object Joins extends QGroup {
           .join(r, col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
           .agg(count(lit(1)).as("n_items"),
-            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+            QShared.gridSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
               .cast("double").as("revenue"))
           
       },
@@ -157,7 +157,7 @@ object Joins extends QGroup {
           .join(r, col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("n_name"))
           .agg(count(lit(1)).as("n_items"),
-            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+            QShared.gridSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
               .cast("double").as("revenue"))
       },
       Some("""SELECT n_name, COUNT(*) AS n_items,
@@ -288,7 +288,7 @@ object Joins extends QGroup {
       (s, dir) => {
         val bigOrders = Tables(s, dir, "lineitem")
           .groupBy(col("l_orderkey"))
-          .agg(sum(col("l_quantity").cast(dec)).as("sum_qty"))
+          .agg(QShared.gridSum(col("l_quantity")).as("sum_qty"))
           .filter(col("sum_qty") > 250)
         Tables(s, dir, "orders")
           .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
@@ -527,7 +527,7 @@ object Joins extends QGroup {
             (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
               col("l_quantity").between(20, 30)))
           .agg(count(lit(1)).as("n_items"),
-            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+            QShared.gridSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
               .cast("double").as("revenue"))
       },
       Some("""SELECT COUNT(*) AS n_items,
@@ -566,7 +566,7 @@ object Joins extends QGroup {
             (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).as("l_year"))
-          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+          .agg(QShared.gridSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .cast("double").as("revenue"))
       },
       Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -652,7 +652,7 @@ object Joins extends QGroup {
     // division at the very end.
     QDef("j24_q8_market_share",
       (s, dir) => {
-        val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec)
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
         val custNation = broadcast(Tables(s, dir, "nation"))
           .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
         val suppNation = broadcast(Tables(s, dir, "nation"))
@@ -674,9 +674,9 @@ object Joins extends QGroup {
           .join(suppNation, col("s_nationkey") === col("sn_key"))
           .groupBy(year(col("o_orderdate")).as("o_year"))
           .agg(
-            sum(when(col("supp_nation") === "NATION_1", rev)
-              .otherwise(lit(0).cast(dec))).as("nat_dec"),
-            sum(rev).as("all_dec"))
+            QShared.gridSum(when(col("supp_nation") === "NATION_1", rev)
+              .otherwise(lit(0.0))).as("nat_dec"),
+            QShared.gridSum(rev).as("all_dec"))
           .select(col("o_year"),
             col("all_dec").cast("double").as("total_revenue"),
             floor(col("nat_dec").cast("double") / col("all_dec").cast("double")
@@ -711,7 +711,7 @@ object Joins extends QGroup {
     // exchanges are the orderkey join and the customer aggregation.
     QDef("j25_q10_returns",
       (s, dir) => {
-        val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec)
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
         Tables(s, dir, "lineitem")
           .filter(col("l_returnflag") === "R")
           .join(Tables(s, dir, "orders")
@@ -723,7 +723,7 @@ object Joins extends QGroup {
           .join(broadcast(Tables(s, dir, "nation")),
             col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-          .agg(sum(rev).as("rev_dec"))
+          .agg(QShared.gridSum(rev).as("rev_dec"))
           .orderBy(col("rev_dec").desc, col("c_custkey"))
           .limit(20)
           .select(col("c_custkey"), col("c_name"), col("n_name"),

@@ -966,11 +966,14 @@ object LlmOps extends QGroup {
           .filter(col("rank") <= 200)
           .select(col("source"), lnf(col("rank")).as("x"), lnf(col("freq")).as("y"))
         ranked.groupBy(col("source"))
+          // plain BIGINT sums, decimal only per group: the rank filter
+          // caps every group at 200 rows and |x·y| ≤ ~1.5e14 even at
+          // 100 TB token counts, so Σ ≤ 3e16 can never overflow a long
           .agg(count(lit(1)).as("n"),
-            sum(col("x").cast(dec0)).as("sx"),
-            sum(col("y").cast(dec0)).as("sy"),
-            sum((col("x") * col("y")).cast(dec0)).as("sxy"),
-            sum((col("x") * col("x")).cast(dec0)).as("sxx"))
+            sum(col("x")).cast(dec0).as("sx"),
+            sum(col("y")).cast(dec0).as("sy"),
+            sum(col("x") * col("y")).cast(dec0).as("sxy"),
+            sum(col("x") * col("x")).cast(dec0).as("sxx"))
           .filter(col("n") >= 2 &&
             (col("n") * col("sxx") - col("sx") * col("sx")) =!= 0)
           .select(col("source"), col("n").as("n_ranks"),

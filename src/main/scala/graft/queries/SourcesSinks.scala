@@ -71,7 +71,7 @@ object SourcesSinks extends QGroup {
           .agg(count(lit(1)).as("cnt"),
             // final double cast: decimal cells render with scale-6 under
             // the driver's hasher and mismatch the oracle's float64
-            sum(col("l_quantity").cast(QShared.dec)).cast("double").as("sum_qty"))
+            QShared.gridSum(col("l_quantity")).cast("double").as("sum_qty"))
           
       },
       Some("""SELECT l_linestatus, COUNT(*) AS cnt,
@@ -93,7 +93,7 @@ object SourcesSinks extends QGroup {
           .filter(col("o_orderstatus") === "F") // prunes to one directory
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("cnt"),
-            sum(col("o_totalprice").cast(QShared.dec)).cast("double").as("sum_price"))
+            QShared.gridSum(col("o_totalprice")).cast("double").as("sum_price"))
           
       },
       Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
@@ -258,8 +258,8 @@ object SourcesSinks extends QGroup {
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("cnt"),
-            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-              .cast(QShared.dec)).cast("double").as("revenue"))
+            QShared.gridSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast("double").as("revenue"))
         // the resolved plan above already holds the bucketed file
         // relations; dropping the external-table catalog entries now
         // (data files stay at the sink path) keeps the session catalog

@@ -84,7 +84,7 @@ object Windows extends QGroup {
           col("o_custkey"), col("o_orderkey"),
           // final double cast: decimal cells render with scale-6 under the
           // driver's hasher and mismatch the oracle's float64 (VERDICT r1)
-          sum(col("o_totalprice").cast(dec)).over(w).cast("double").as("running_spent"),
+          QShared.gridSumOver(col("o_totalprice"), w).cast("double").as("running_spent"),
           count(lit(1)).over(w).as("running_n"))
       },
       Some("""SELECT o_custkey, o_orderkey,

@@ -298,20 +298,32 @@ class PlanSpec extends SparkSpec {
 
   test("a26: rank window keyed on rid; single partition only for the range-count stat") {
     val p = planOf("a26_equidepth_histogram")
-    assert(!p.contains("ntile"), p)
+    // "ntile(" — the window FUNCTION; plain "ntile" would also match the
+    // in-plan perce-NTILE-approx edge stat
+    assert(!p.contains("ntile("), p)
     // the rank window is keyed on the scan-local range id
     assert(p.contains("Exchange hashpartitioning(rid"), p)
-    // exactly ONE SinglePartition exchange: the cumulative-offset window
-    // over the per-range counts aggregate (≤32 rows by construction) —
-    // never the orders rows themselves (r5's global ntile funnel)
-    val singles = "Exchange SinglePartition".r.findAllIn(p).size
-    assert(singles == 1, s"expected one bounded stat funnel, got $singles:\n$p")
-    // and it consumes an aggregate keyed on rid, not a row-level scan
+    // r7: the approx range edges moved IN-PLAN (broadcast back via a
+    // cross join) so the query builds lazily and runs as one job —
+    // exactly TWO SinglePartition exchanges remain, BOTH bounded stats:
+    // the global percentile_approx edge aggregate and the cumulative-
+    // offset window over the ≤32-row per-range counts — never the
+    // orders rows themselves (r5's global ntile funnel)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
     val lines = p.split("\n")
-    val si = lines.indexWhere(_.contains("Exchange SinglePartition"))
-    val below = lines.drop(si + 1).takeWhile(!_.contains("Exchange"))
-    assert(below.exists(l => l.contains("HashAggregate") && l.contains("rid")),
-      s"SinglePartition exchange must sit over the rid-count aggregate:\n$p")
+    // three occurrences in the PRINTED pre-adaptive tree: the edge-stat
+    // funnel appears in both the main stream and the broadcast offsets
+    // subtree (AQE reuses the exchange at runtime), plus the offsets
+    // window funnel
+    val singles = lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+    assert(singles.size == 3,
+      s"expected the bounded stat funnels (edge agg ×2 printed + offsets window), got ${singles.size}:\n$p")
+    singles.foreach { case (_, si) =>
+      val below = lines.drop(si + 1).takeWhile(!_.contains("Exchange"))
+      assert(below.exists(l => l.contains("Aggregate") &&
+          (l.contains("rid") || l.contains("percentile_approx"))),
+        s"SinglePartition exchange must sit over a bounded stat aggregate:\n$p")
+    }
   }
 
   test("sweep: no query funnels a Window through a single partition (beyond declared)") {
