@@ -368,13 +368,25 @@ object Aggregates extends QGroup {
     // OOMs an executor. A10b below is the bounded-memory
     // approx_percentile twin, mirroring the u2/u2b pattern.
     QDef("a10_percentile_exact",
+      // round-7: distributed SELECTION (operators/Percentiles) instead of
+      // the built-in percentile() aggregate — the built-in buffers a
+      // counts-map of every distinct group value (the declared memory
+      // caveat on near-unique l_extendedprice); the selection plan's
+      // exchanges are bounded by the value grid (bucket histogram +
+      // one-bucket resolve), never the row count, at any scale. Values
+      // are bit-identical (same order statistics, same interpolation
+      // arithmetic — PercentilesSpec pins equality vs the built-in).
       (s, dir) =>
-        Tables(s, dir, "lineitem")
-          .groupBy(col("l_returnflag"))
-          .agg(
-            round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
-            round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
-            round(expr("percentile(l_extendedprice, 0.25)"), 6).as("price_p25"))
+        graft.operators.Percentiles.exactPercentiles(
+            Tables(s, dir, "lineitem"), "l_returnflag",
+            Seq(
+              graft.operators.Percentiles.Spec("l_quantity", 0.5, 20, "p50r"),
+              graft.operators.Percentiles.Spec("l_quantity", 0.9, 20, "p90r"),
+              graft.operators.Percentiles.Spec("l_extendedprice", 0.25, 26, "p25r")))
+          .select(col("l_returnflag"),
+            round(col("p50r"), 6).as("p50"),
+            round(col("p90r"), 6).as("p90"),
+            round(col("p25r"), 6).as("price_p25"))
           ,
       Some("""SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
