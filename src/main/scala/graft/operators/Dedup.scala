@@ -745,7 +745,6 @@ object Dedup {
       round += 1
       // materialize the large-star half: the small-star half's symmetric
       // self-joins would otherwise inline (and re-execute) its plan ~4×
-      val ls = largeStar(edges).localCheckpoint(true)
       // LAZY checkpoint for the small-star result: the convergence
       // checksum right below is the materializing action, so each round
       // runs TWO jobs (large-star + small-star⊕checksum) instead of
@@ -754,6 +753,11 @@ object Dedup {
       // (ls stays EAGER: it is read by several sibling shuffle stages of
       // the small-star plan, which the scheduler may launch concurrently
       // — a lazily cached ls would be computed once per racing stage.)
+      // (A/B-measured: fully fusing large-star into the small-star plan
+      // — one job per round, ReuseExchange deduping the shared subtree —
+      // timed the same at sf0.1, so the explicit two-job form stays for
+      // its predictable memory behavior.)
+      val ls = largeStar(edges).localCheckpoint(true)
       val next = smallStar(ls).localCheckpoint(false)
       val sum = checksum(next)
       unpersistCheckpoint(ls)

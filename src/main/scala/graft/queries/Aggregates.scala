@@ -539,6 +539,14 @@ object Aggregates extends QGroup {
         // is a windowed conditional average over the SAME partitioning
         // that ranked the prices, so the deviation pass needs only a new
         // partition-local sort, never a new exchange or a join back.
+        // Scale note (r7): the keyed sort still funnels all rows through
+        // |keys| tasks (here 3) — past the point where that serializes,
+        // the recipe is TWO operators/Percentiles selection passes
+        // (p50 of price, then p50 of |price − med| with med broadcast):
+        // bounded exchanges, full parallelism, same R-7 midpoint values.
+        // At sf0.1 the one-exchange form stays: a10's one selection pass
+        // measured time-neutral vs its buffering aggregate there, and
+        // a14 would need two such passes for one exchange saved.
         val wf = Window.partitionBy(col("l_returnflag"))
         val wPrice = wf.orderBy(col("l_extendedprice").asc)
         val mid = (c: org.apache.spark.sql.Column) =>
