@@ -291,7 +291,11 @@ object Similarity {
     // for every later round — exclude mismatched-dim rows up front, and
     // loudly, since "every surviving vector is assigned" is the contract
     val dim = centroids.head.length
-    val vecs = raw.filter(size(col("v")) === dim)
+    // materialize the cleaned vectors ONCE (the pageRank/edge-list
+    // discipline): every iteration's assignment pass — and the final
+    // summary — would otherwise re-run the scan + per-element cast;
+    // blocks are freed by the ContextCleaner once the result is dropped
+    val vecs = raw.filter(size(col("v")) === dim).localCheckpoint(true)
 
     def centLit(c: Array[Array[Double]]): Column =
       array(c.map(v => array(v.map(lit): _*)): _*)
