@@ -309,6 +309,100 @@ object TextAnalysis {
         col("col.n_tokens").as("n_tokens"))
   }
 
+  /** BPE vocabulary induction — learn the first `nMerges` byte-pair
+    * merges over the corpus, the greedy algorithm every subword
+    * tokenizer's training loop runs (Sennrich et al., ACL'16 — public
+    * algorithm).
+    *
+    * Distributed shape: all rounds operate on the WORD VOCABULARY
+    * (distinct whitespace words + their corpus counts), never the
+    * corpus — the one full-corpus pass is the initial word count, whose
+    * exchange carries one row per distinct word (map-side combined).
+    * Each round then: (1) explodes adjacent symbol pairs per vocab word
+    * weighted by word count and sums them (vocab-bounded exchange);
+    * (2) collects the single argmax pair (count DESC, pair ASC — a
+    * total order, so the merge sequence is deterministic) — a bounded
+    * one-row stat collect, the centroid/edge pattern; (3) rewrites the
+    * vocabulary by merging that pair. Per-round work is O(|vocab| ×
+    * avg word length) regardless of corpus size.
+    *
+    * Symbol representation: each word is a U+0001-separated symbol
+    * string anchored by leading/trailing separators. A merge is ONE
+    * codegen'd regexp_replace of `(sep)l(sep)r(?=(sep))` — the
+    * lookahead leaves the trailing separator unconsumed, which is
+    * exactly left-to-right non-overlapping greedy merging ("aaaa" with
+    * pair (a,a) → (aa)(aa), not (aa)a a), while both anchors stop a
+    * symbol matching inside a longer symbol ("x a" vs "xa"). The
+    * vocabulary is lazily re-checkpointed each round, materialized by
+    * that round's argmax collect — one job per round.
+    *
+    * Output: (rank, left, right, pair_count) — rank 1-based merge
+    * order; fewer than nMerges rows when the vocabulary runs out of
+    * repeated pairs (or is empty). */
+  def bpeMerges(
+      df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64, s"nMerges in [1,64], got $nMerges")
+    val spark = df.sparkSession
+    val sep = "\u0001" // symbol boundary; words containing it are dropped
+    // vocab: distinct word -> corpus count, symbols = anchored chars
+    var vocab = df.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains(sep))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(concat(lit(sep), array_join(split(col("w"), ""), sep), lit(sep))
+        .as("s"), col("c"))
+      .localCheckpoint(false)
+
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    // previous round's snapshot: freed only AFTER the argmax collect has
+    // materialized the current (lazy) snapshot that derives from it —
+    // freeing it at rewrite time would truncate the lineage the not-yet-
+    // computed checkpoint still needs
+    var prev: DataFrame = null
+    while (rank < nMerges && !exhausted) {
+      // adjacent symbol pairs weighted by word count; the slice drops
+      // the empty fields the anchors create at both ends
+      val syms = slice(split(col("s"), sep), lit(2),
+        size(split(col("s"), sep)) - 2)
+      val top = vocab
+        .select(col("c"), syms.as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("c"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("pc"))
+        .orderBy(col("pc").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      // vocab is materialized now; its parent snapshot is safe to free
+      if (prev != null) { Dedup.unpersistCheckpoint(prev); prev = null }
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        rank += 1
+        merges += ((rank, l, r, pc))
+        val pat = java.util.regex.Pattern.quote(s"$sep$l$sep$r") +
+          s"(?=${java.util.regex.Pattern.quote(sep)})"
+        val rep = java.util.regex.Matcher.quoteReplacement(s"$sep$l$r")
+        // next materializes during the NEXT round's argmax (or is
+        // dropped unread on the last round)
+        val next = vocab
+          .select(regexp_replace(col("s"), pat, rep).as("s"), col("c"))
+          .localCheckpoint(false)
+        prev = vocab
+        vocab = next
+      }
+    }
+    // the merge table is local; nothing references the snapshots anymore
+    if (prev != null) Dedup.unpersistCheckpoint(prev)
+    Dedup.unpersistCheckpoint(vocab)
+    spark.createDataFrame(merges.result())
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
   /** Hashed bag-of-words linear scorer — the fastText-style shape every
     * model-based quality filter at corpus scale reduces to: token →
     * feature bucket by hashing (no vocabulary to fit in memory), bucket

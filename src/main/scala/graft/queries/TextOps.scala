@@ -465,6 +465,22 @@ object TextOps extends QGroup {
         |  n_distinct_chars,
         |  CAST(CAST(FLOOR(ln(CAST(n_chars_seen AS DOUBLE)) * 1e6) AS BIGINT)
         |    - (sum_term // n_chars_seen) AS BIGINT) AS entropy_micro
-        |FROM agg""".stripMargin))
+        |FROM agg""".stripMargin)),
+
+    // L35: BPE vocabulary induction — learn the corpus's first 8
+    // byte-pair merges (the subword-tokenizer training loop; Sennrich
+    // et al., ACL'16). Every round is vocabulary-bounded: the one
+    // corpus pass is the initial word count, then pair-count aggregate
+    // + one-row argmax collect + a codegen'd regexp merge per round —
+    // O(|vocab|) work per merge regardless of corpus size. The merge
+    // sequence is deterministic ((count DESC, pair ASC) total order)
+    // but the greedy iterative argmax is not expressible as portable
+    // one-shot SQL, so the gate is rows-only; BpeMergesSpec pins the
+    // hand-derived merge sequence of the BPE paper's worked example,
+    // left-to-right greedy adjacency, and exhaustion/empty behavior.
+    QDef("l35_bpe_merges",
+      (s, dir) => TextAnalysis.bpeMerges(
+        Tables(s, dir, "documents"), "text", nMerges = 8),
+      None)
   )
 }

@@ -781,6 +781,48 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class BpeMergesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learns the classic merge sequence (Sennrich corpus), exact ties broken lexically") {
+    // word multiplicities: low x5, lower x2, newest x6, widest x3 —
+    // the worked example from the BPE paper. Hand-derived sequence:
+    //   (e,s,9)  tie with (s,t,9), lexical asc wins
+    //   (es,t,9)
+    //   (l,o,7)  tie with (o,w,7)
+    //   (lo,w,7)
+    //   (e,w,6)  tie with (n,e,6) and (w,est,6)
+    val words =
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = words.grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+    val got = TextAnalysis.bpeMerges(df, "text", nMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L),
+      (4, "lo", "w", 7L), (5, "e", "w", 6L)), got.toSeq.toString)
+  }
+
+  test("consecutive-pair merging is left-to-right greedy (aaaa -> two aa merges)") {
+    val df = Seq("aaaa aaaa").toDF("text")
+    val got = TextAnalysis.bpeMerges(df, "text", nMerges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,a) appears 3 adjacent times per word but greedy
+    // left-to-right merges produce TWO aa symbols per word; round 2
+    // then merges (aa,aa)
+    assert(got.toSeq == Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)), got.toSeq.toString)
+  }
+
+  test("runs out of repeated pairs gracefully; empty corpus yields zero merges") {
+    val tiny = Seq("ab").toDF("text")
+    // "ab" x1: (a,b,1) merges once; the merged word has ONE symbol -> no
+    // pairs -> exhausted after rank 1 even though 4 were requested
+    assert(TextAnalysis.bpeMerges(tiny, "text", nMerges = 4).count() == 1L)
+    val empty = Seq.empty[String].toDF("text")
+    assert(TextAnalysis.bpeMerges(empty, "text", nMerges = 3).count() == 0L)
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
