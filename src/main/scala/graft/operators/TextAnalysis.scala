@@ -403,6 +403,41 @@ object TextAnalysis {
       .toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Apply a learned BPE merge sequence to a corpus — the tokenizer
+    * APPLICATION side of [[bpeMerges]]. Each document becomes one
+    * U+0001-separated symbol string (a separator between every
+    * character, so inter-word spaces are ordinary symbols that no merge
+    * pair can ever contain — merges were learned on space-split words —
+    * making cross-word merges structurally impossible), and the merges
+    * replay IN LEARNED ORDER as chained codegen'd regexp_replace
+    * passes, each with the same lookahead greedy-adjacency semantics
+    * the trainer used. Scan-linear: |merges| regex passes over the
+    * text, no shuffle, no UDF.
+    *
+    * Output: (id, n_chars, n_bpe_tokens, bytes_per_token_micro) —
+    * token count in closed form (symbols minus the space symbols), the
+    * compression ratio floor-scaled to micro units. */
+  def applyBpeMerges(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val sep = "\u0001"
+    val base = concat(lit(sep), array_join(split(col(textCol), ""), sep), lit(sep))
+    val merged = merges.foldLeft(base) { case (acc, (l, r)) =>
+      regexp_replace(acc,
+        java.util.regex.Pattern.quote(s"$sep$l$sep$r") +
+          s"(?=${java.util.regex.Pattern.quote(sep)})",
+        java.util.regex.Matcher.quoteReplacement(s"$sep$l$r"))
+    }
+    val nChars = length(col(textCol))
+    val nSpaces = nChars - length(regexp_replace(col(textCol), " ", ""))
+    val nTokens = (size(split(merged, sep)) - 2) - nSpaces
+    df.filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol).as("id"), nChars.as("n_chars"),
+        nTokens.cast("long").as("n_bpe_tokens"),
+        floor((nChars - nSpaces).cast("double") * 1e6 /
+          greatest(nTokens, lit(1))).cast("long").as("chars_per_token_micro"))
+  }
+
   /** Hashed bag-of-words linear scorer — the fastText-style shape every
     * model-based quality filter at corpus scale reduces to: token →
     * feature bucket by hashing (no vocabulary to fit in memory), bucket

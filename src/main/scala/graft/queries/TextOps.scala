@@ -481,6 +481,24 @@ object TextOps extends QGroup {
     QDef("l35_bpe_merges",
       (s, dir) => TextAnalysis.bpeMerges(
         Tables(s, dir, "documents"), "text", nMerges = 8),
+      None),
+
+    // L35b: tokenizer APPLICATION — replay l35's learned merges over
+    // the corpus and report per-doc token counts + compression. The
+    // merge table is vocabulary-derived and tiny (8 rows, a bounded
+    // stat like kmeans centroids), so it rides the plan as literals;
+    // the application itself is |merges| codegen'd regex passes over
+    // one scan — no shuffle, no UDF. BpeApplySpec pins the classic
+    // low/lower/newest tokenization and the train->apply round trip.
+    QDef("l35b_bpe_tokenize",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val merges = TextAnalysis.bpeMerges(docs, "text", nMerges = 8)
+          .collect().sortBy(_.getInt(0))
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        TextAnalysis.applyBpeMerges(docs, "doc_id", "text", merges)
+          .withColumnRenamed("id", "doc_id")
+      },
       None)
   )
 }

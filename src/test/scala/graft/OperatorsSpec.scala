@@ -823,6 +823,44 @@ class BpeMergesSpec extends SparkSpec {
   }
 }
 
+class BpeApplySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("replays the classic merge sequence: low/lower/newest tokenize as 1/3/3") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"), ("e", "w"))
+    val df = Seq(("d1", "low lower newest")).toDF("doc_id", "text")
+    val r = TextAnalysis.applyBpeMerges(df, "doc_id", "text", merges).collect()(0)
+    // low -> [low]; lower -> [low, e, r]; newest -> [n, ew, est]
+    assert(r.getInt(1) == 16, s"n_chars ${r.getInt(1)}")
+    assert(r.getLong(2) == 7L, s"n_bpe_tokens ${r.getLong(2)}")
+    assert(r.getLong(3) == 2000000L, s"chars_per_token ${r.getLong(3)}")
+  }
+
+  test("train then apply: learned merges compress the training corpus") {
+    val words =
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = words.grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+      .withColumn("id", org.apache.spark.sql.functions.monotonically_increasing_id())
+    val merges = TextAnalysis.bpeMerges(df, "text", nMerges = 5)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = TextAnalysis.applyBpeMerges(df, "id", "text", merges)
+    // with es/est/lo/low/ew learned, every token stream is shorter than
+    // its character stream
+    assert(out.filter($"n_bpe_tokens" >= $"n_chars").count() == 0L)
+    // "low" x4-per-row corpora: the word low is ONE symbol everywhere
+    val one = TextAnalysis.applyBpeMerges(
+      Seq(("a", "low low")).toDF("id", "text"), "id", "text", merges).collect()(0)
+    assert(one.getLong(2) == 2L, one.toString)
+  }
+
+  test("no merges and empty-ish inputs degrade to character tokenization") {
+    val df = Seq(("a", "ab c")).toDF("id", "text")
+    val r = TextAnalysis.applyBpeMerges(df, "id", "text", Seq.empty).collect()(0)
+    assert(r.getLong(2) == 3L) // a, b, c — the space is not a token
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
