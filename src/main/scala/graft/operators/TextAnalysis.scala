@@ -168,6 +168,54 @@ object TextAnalysis {
           .as("lm_score_micro"))
   }
 
+  /** Interpolated bigram LM score per document — the next step up from
+    * [[unigramLmScore]]'s perplexity proxy: Jelinek-Mercer smoothing,
+    * p(w|h) = 0.75·c(h,w)/c(h) + 0.25·c(w)/N. A bigram model separates
+    * shuffled-word soup from coherent text, which a unigram model is
+    * blind to — the standard second quality gate.
+    *
+    * Scale shape: bigram pairs are generated SCAN-LOCALLY from each
+    * document's token array (never a positional self-join of the
+    * exploded corpus); unigram and bigram count tables are
+    * vocabulary-sized with map-side combine; scoring joins are keyed on
+    * the gram (AQE broadcasts them while they fit, shuffles beyond);
+    * the per-doc aggregation is one keyed exchange. Per-pair log-probs
+    * are FLOOR-scaled to integer micro-nats before the BIGINT sum (the
+    * l10 recipe: floor of identical IEEE doubles is engine-independent
+    * where round() is not), so the final score is exact-integer-derived
+    * and summation-order-independent.
+    *
+    * Output: (id, n_bigrams, lm2_score_micro) — docs with ≥2 tokens. */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+    val bigrams = toks.filter(size(col("ws")) >= 2)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("prev"),
+          element_at(col("ws"), i + 1).as("cur")))).as("b"))
+      .select(col("id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).as("n"))
+    val big = bigrams.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("cb"))
+    bigrams
+      .join(big, Seq("prev", "cur"))
+      .join(uni.select(col("w").as("prev"), col("cu").as("cup")), Seq("prev"))
+      .join(uni.select(col("w").as("cur"), col("cu").as("cuc")), Seq("cur"))
+      .crossJoin(broadcast(total))
+      .select(col("id"),
+        floor(log(
+          lit(0.75) * col("cb").cast("double") / col("cup") +
+            lit(0.25) * col("cuc").cast("double") / col("n")) * 1e6)
+          .as("lp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        floor(sum(col("lp")).cast("double") / count(lit(1)))
+          .as("lm2_score_micro"))
+  }
+
   /** TF-IDF top-k keywords per document — the classic content-signature
     * op (keyword extraction, near-dup explanation, topic drift
     * monitoring). Shapes: one explode + groupBy(doc, tok) with map-side

@@ -478,6 +478,42 @@ object TextOps extends QGroup {
     // one-shot SQL, so the gate is rows-only; BpeMergesSpec pins the
     // hand-derived merge sequence of the BPE paper's worked example,
     // left-to-right greedy adjacency, and exhaustion/empty behavior.
+    // L36: interpolated bigram LM score — Jelinek-Mercer smoothed
+    // p(w|h) = 0.75 c(h,w)/c(h) + 0.25 c(w)/N, the quality gate that
+    // separates shuffled-word soup from coherent text (unigram-blind).
+    // Bigrams generate scan-locally per document; the count tables are
+    // vocab-sized; log-probs floor-scale to micro-nats before the
+    // BIGINT sum (the l10 determinism recipe).
+    QDef("l36_bigram_lm_score",
+      (s, dir) =>
+        TextAnalysis.bigramLmScore(
+          Tables(s, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id"),
+      Some("""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |bg AS (
+        |  SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur
+        |  FROM (SELECT doc_id, ws, UNNEST(range(1, len(ws))) AS i
+        |        FROM d WHERE len(ws) >= 2)),
+        |uni AS (SELECT w, COUNT(*) AS cu
+        |        FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w),
+        |tot AS (SELECT SUM(cu) AS n FROM uni),
+        |big AS (SELECT prev, cur, COUNT(*) AS cb FROM bg GROUP BY prev, cur)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(FLOOR(CAST(SUM(lp) AS DOUBLE) / COUNT(*)) AS BIGINT)
+        |    AS lm2_score_micro
+        |FROM (
+        |  SELECT bg.doc_id,
+        |    CAST(FLOOR(ln(0.75 * CAST(cb AS DOUBLE) / cup
+        |                  + 0.25 * CAST(cuc AS DOUBLE) / n) * 1e6) AS BIGINT) AS lp
+        |  FROM bg
+        |  JOIN big USING (prev, cur)
+        |  JOIN (SELECT w AS prev, cu AS cup FROM uni) USING (prev)
+        |  JOIN (SELECT w AS cur, cu AS cuc FROM uni) USING (cur)
+        |  CROSS JOIN tot)
+        |GROUP BY doc_id""".stripMargin)),
+
     QDef("l35_bpe_merges",
       (s, dir) => TextAnalysis.bpeMerges(
         Tables(s, dir, "documents"), "text", nMerges = 8),
