@@ -81,29 +81,29 @@ object Percentiles {
         sum(col("c")).over(wAll).as("n"))
 
     // requested ranks: pos = p·(n−1) (Spark Percentile's arithmetic),
-    // lo rank = ⌊pos⌋+1, hi rank = min(lo+1, n), 1-indexed
+    // lo rank = ⌊pos⌋+1, hi rank = min(lo+1, n), 1-indexed. The rank→
+    // bucket location runs directly on the hist frame (every hist row
+    // already carries its (cum0, c, n) — a separate distinct + re-join
+    // would add two stages of pure floor at small SF).
     val specDf = df.sparkSession
       .createDataFrame(specs.zipWithIndex.map { case (s, i) => (i, s.measure, s.p) })
       .toDF("sid", "m", "p")
-    val ranks = hist.select(col("k"), col("m"), col("n")).distinct()
-      .join(broadcast(specDf), "m")
-      .select(col("k"), col("m"), col("sid"), col("n"),
+    val targets = hist.join(broadcast(specDf), "m")
+      .select(col("k"), col("m"), col("sid"), col("b"), col("c"),
+        col("cum0"), col("n"),
         (col("p") * (col("n") - 1).cast("double")).as("pos"))
-      .select(col("k"), col("m"), col("sid"), col("n"), col("pos"),
+      .select(col("k"), col("m"), col("sid"), col("b"), col("c"),
+        col("cum0"), col("pos"),
         explode(array(
           struct(lit("lo").as("which"),
             (floor(col("pos")) + 1).cast("long").as("r")),
           struct(lit("hi").as("which"),
             least(floor(col("pos")) + 2, col("n")).cast("long").as("r"))))
           .as("t"))
-      .select(col("k"), col("m"), col("sid"), col("n"), col("pos"),
-        col("t.which").as("which"), col("t.r").as("r"))
-
-    // locate each rank's bucket + in-bucket offset (tiny × tiny join)
-    val targets = ranks.join(hist, Seq("k", "m"))
-      .filter(col("cum0") < col("r") && col("r") <= col("cum0") + col("c"))
+      .filter(col("cum0") < col("t.r") && col("t.r") <= col("cum0") + col("c"))
       .select(col("k"), col("m"), col("sid"), col("b"),
-        (col("r") - col("cum0")).as("off"), col("which"), col("pos"))
+        (col("t.r") - col("cum0")).as("off"),
+        col("t.which").as("which"), col("pos"))
 
     // pass 2: resolve the off-th smallest value inside targeted buckets
     val wVal = Window.partitionBy(col("k"), col("m"), col("sid"), col("which"))
@@ -118,30 +118,27 @@ object Percentiles {
         (coalesce(sum(col("c")).over(wVal), lit(0L)) + col("c")).as("cum"))
       .filter(col("cum0") < col("off") && col("off") <= col("cum"))
 
-    // interpolate exactly as Spark's Percentile does
+    // interpolate exactly as Spark's Percentile does, pivoting every
+    // spec's (vlo, vhi, pos) out of ONE key-grouped aggregation — the
+    // result is ≤ 2·|specs| rows per key, so a separate per-spec
+    // aggregation before the pivot is a pure extra stage
     val vd = (col("v").cast("double") / 1e6)
-    val interp = resolved
-      .groupBy(col("k"), col("sid"), col("pos"))
-      .agg(max(when(col("which") === "lo", vd)).as("vlo"),
-        max(when(col("which") === "hi", vd)).as("vhi"))
-      .select(col("k"), col("sid"),
-        when(floor(col("pos")) === col("pos"), col("vlo"))
-          .otherwise(
-            (ceil(col("pos")) - col("pos")) * col("vlo") +
-              (col("pos") - floor(col("pos"))) * col("vhi")).as("pv"))
+    def interpOf(i: Int): Column = {
+      val pos = max(when(col("sid") === i, col("pos")))
+      val vlo = max(when(col("sid") === i && col("which") === "lo", vd))
+      val vhi = max(when(col("sid") === i && col("which") === "hi", vd))
+      when(floor(pos) === pos, vlo)
+        .otherwise((ceil(pos) - pos) * vlo + (pos - floor(pos)) * vhi)
+    }
+    val pivoted = resolved.groupBy(col("k"))
+      .agg(interpOf(0).as(specs.head.alias),
+        specs.zipWithIndex.tail.map { case (s, i) => interpOf(i).as(s.alias) }: _*)
 
-    // pivot specs into columns; keep every key (all-NULL measures stay
-    // as NULL percentiles, matching the built-in aggregate)
+    // keep every key (all-NULL measures stay as NULL percentiles,
+    // matching the built-in aggregate)
     val keyUniverse = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)))
       .select(col("k"))
-    keyUniverse.join(
-        interp.groupBy(col("k"))
-          .agg(specs.zipWithIndex.map { case (s, i) =>
-            max(when(col("sid") === i, col("pv"))).as(s.alias)
-          }.head, specs.zipWithIndex.tail.map { case (s, i) =>
-            max(when(col("sid") === i, col("pv"))).as(s.alias)
-          }: _*),
-        Seq("k"), "left")
+    keyUniverse.join(pivoted, Seq("k"), "left")
       .withColumnRenamed("k", keyCol)
   }
 }
