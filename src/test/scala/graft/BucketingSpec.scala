@@ -53,6 +53,31 @@ class BucketingSpec extends SparkSpec {
     assert(df.count() == 5) // the five o_orderpriority classes
   }
 
+  test("s12's layout guard: reuses fresh layouts, rebuilds on newer source") {
+    // copy a tiny sf dir so the SOURCE mtime is writable (the real
+    // testdata is read-only), then drive the query three times:
+    //   run 1 -> lays out both bucketed tables (marker appears)
+    //   run 2 -> reuses them (layout files untouched)
+    //   touch source -> run 3 -> relays out (marker newer than before)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = tmpDir("graft-s12-guard")
+    for (t <- Seq("lineitem", "orders"))
+      Files.copy(Paths.get(s"$testdataRoot/$t.parquet"),
+        Paths.get(s"$dir/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    def run(): Long = SparkEntry.queries("s12_bucketed_join")(spark, dir).count()
+    val marker = new java.io.File(
+      graft.queries.QShared.sink(dir, "s12_lineitem"), "_SUCCESS")
+
+    assert(run() > 0 && marker.exists())
+    val m1 = marker.lastModified()
+    assert(run() > 0)
+    assert(marker.lastModified() == m1, "fresh layout must be reused, not rewritten")
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    assert(src.setLastModified(m1 + 60000), "test needs a touchable source")
+    assert(run() > 0)
+    assert(marker.lastModified() > m1, "newer source must force a relayout")
+  }
+
   test("aggregation on the bucket key is exchange-free") {
     ParquetIO.writeBucketed(spark.read.parquet(sf("orders")),
       "orders_b2", buckets = 8, keys = Seq("o_custkey"))
