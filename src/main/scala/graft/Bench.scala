@@ -40,7 +40,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
+      // SPARK_GRAFT_BENCH_AQE=false is an A/B probe ONLY (quantifies
+      // AQE's per-stage replan overhead at tiny SF); the engine posture
+      // keeps AQE on — skew joins and runtime coalescing are
+      // load-bearing at scale. Measurement recorded in BASELINE.md.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // mirror Engine.session: AQE-default post-shuffle sizing — the
       // byte-advisory alternative was measured 2x slower on keyed-window
