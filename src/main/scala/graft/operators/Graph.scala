@@ -60,10 +60,13 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint(true)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // lazy: the nNodes count right below is the materializing action
+    // (one job instead of two); e itself stays EAGER — its two union
+    // branches are sibling stages that would race-compute a lazy cache
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // The rank table has one row per NODE — usually orders of magnitude
     // smaller than the edge list. When the node count is provably small
@@ -84,8 +87,11 @@ object Graph {
     // the rank side each round (a node×node join, trivial); shuffle
     // path: degree attached to each edge ONCE so per-round joins carry
     // (src, dst, d) vs the rank table
+    // lazy: first materialized inside the terminal job by round 1's
+    // broadcast build (rounds are sequentially dependent, so there is
+    // exactly one first consumer), then read from cache every round
     val degById =
-      if (bcast) deg.withColumnRenamed("src", "id").localCheckpoint(true) else null
+      if (bcast) deg.withColumnRenamed("src", "id").localCheckpoint(false) else null
     val withDeg = if (bcast) null else e.join(deg, "src").localCheckpoint(true)
     if (!bcast) Dedup.unpersistCheckpoint(e) // rounds read withDeg, not e
 
