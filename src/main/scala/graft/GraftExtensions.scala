@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomMightContain, CharEntropy, CosineSimilarity, LangId, MinHashSignature, RepetitionStats, TokenFingerprint, UnicodeNormalize}
+import graft.functions.{BloomMightContain, CharEntropy, CosineSimilarity, LangId, MinHashSignature, NearestCentroid, RepetitionStats, TokenFingerprint, UnicodeNormalize}
 
 /** Session extension registering graft's native expressions, for use via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(CharEntropy.name), CharEntropy.info,
         CharEntropy.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(NearestCentroid.name), NearestCentroid.info,
+        NearestCentroid.builder))
     ext.injectOptimizerRule(graft.plans.CorruptDateRebaseRule.apply)
   }
 }
@@ -67,6 +70,9 @@ object GraftFunctions {
     val ce = FunctionIdentifier(CharEntropy.name)
     if (!reg.functionExists(ce))
       reg.registerFunction(ce, CharEntropy.info, CharEntropy.builder)
+    val nc = FunctionIdentifier(NearestCentroid.name)
+    if (!reg.functionExists(nc))
+      reg.registerFunction(nc, NearestCentroid.info, NearestCentroid.builder)
     // sessions built without withExtensions still get the transparent
     // corrupt-date rebase via the user-provided optimizer batch; skip
     // when the extensions path already injected it (double installation
@@ -83,6 +89,12 @@ object GraftFunctions {
   def cosineNative(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function(CosineSimilarity.name, a, b)
+  }
+
+  /** Column API for the native nearest-centroid assignment kernel. */
+  def nearestCentroidNative(spark: SparkSession, vec: Column, centroids: Column): Column = {
+    ensureRegistered(spark)
+    call_function(NearestCentroid.name, vec, centroids)
   }
 
   /** Column API for the native one-pass MinHash signature. */

@@ -241,6 +241,19 @@ object Similarity {
         (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
 
+  /** REFERENCE composition of the nearest-centroid assignment: the HOF
+    * fold the native graft_nearest_centroid expression replaced on the
+    * hot path. Kept so NativeExprPropertySpec can pin bit-identity
+    * (same left-to-right double sums, strict-< lowest-index ties,
+    * null/ragged candidates skipped, (MaxValue, -1) when none match). */
+  private[graft] def nearestHof(vec: Column, cents: Column, k: Int): Column =
+    aggregate(
+      zip_with(cents, sequence(lit(0), lit(k - 1)),
+        (cv, i) => struct(sqDist(vec, cv).as("d2"), i.as("cell"))),
+      struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cell")),
+      (best, cand) => when(cand.getField("d2") < best.getField("d2"), cand)
+        .otherwise(best))
+
   /** Distributed Lloyd k-means over an embedding column — the vector-
     * quantization trainer whose centroids [[ivfTopK]]'s scaladoc
     * promises to accept in place of its hash-sampled seeds (IVF cell
@@ -300,15 +313,14 @@ object Similarity {
     def centLit(c: Array[Array[Double]]): Column =
       array(c.map(v => array(v.map(lit): _*)): _*)
 
-    /** (cell, dist2) of the nearest centroid, as one fold over a
-      * plan-time literal centroid array — no join, no shuffle. */
+    /** (d2, cell) of the nearest centroid over a plan-time literal
+      * centroid array — no join, no shuffle. Native codegen'd kernel
+      * (graft_nearest_centroid): the HOF fold it replaces dispatched an
+      * interpreted lambda per element PER CENTROID per row per
+      * iteration; [[nearestHof]] keeps that form as the semantic
+      * reference the property spec pins bit-identity against. */
     def nearest(c: Array[Array[Double]]): Column =
-      aggregate(
-        zip_with(centLit(c), sequence(lit(0), lit(c.length - 1)),
-          (cv, i) => struct(sqDist(col("v"), cv).as("d2"), i.as("cell"))),
-        struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cell")),
-        (best, cand) => when(cand.getField("d2") < best.getField("d2"), cand)
-          .otherwise(best))
+      graft.GraftFunctions.nearestCentroidNative(spark, col("v"), centLit(c))
 
     for (_ <- 1 to iterations) {
       val assigned = vecs.withColumn("__n", nearest(centroids))

@@ -13,6 +13,43 @@ import graft.operators.{Dedup, Similarity}
 class NativeExprPropertySpec extends SparkSpec {
   import spark.implicits._
 
+  test("graft_nearest_centroid == HOF fold on generated vectors and centroids") {
+    val dim = 8
+    val vGen = Gen.listOfN(dim, Gen.chooseNum(-1e3, 1e3).map(_ / 7.0))
+    val rows = (1 to 80).map { seed =>
+      Tuple1(vGen.pureApply(Gen.Parameters.default, Seed(seed.toLong)).toArray)
+    }
+    val df = rows.toDF("v")
+    for (k <- Seq(1, 3, 8)) {
+      val cents: Array[Array[Double]] = (0 until k).map { j =>
+        vGen.pureApply(Gen.Parameters.default, Seed(1000L + j)).toArray
+      }.toArray
+      // include a duplicated centroid so the strict-< lowest-index
+      // tie-break is actually exercised
+      val withDup = if (k >= 3) cents.updated(2, cents(0).clone) else cents
+      val centLit = array(withDup.map(c => array(c.map(lit): _*)): _*)
+      val both = df.select(
+        Similarity.nearestHof(col("v"), centLit, withDup.length).as("hof"),
+        graft.GraftFunctions.nearestCentroidNative(spark, col("v"), centLit)
+          .as("native"))
+      val diff = both.filter(
+        (col("hof").isNull =!= col("native").isNull) ||
+          (col("hof").isNotNull && col("hof") =!= col("native"))).count()
+      assert(diff == 0, s"k=$k")
+    }
+    // ragged centroid (skipped by both) and the nothing-qualifies seed
+    val rag = array(array(lit(1.0), lit(2.0)), array((1 to dim).map(i => lit(i * 1.0)): _*))
+    val both = df.select(
+      Similarity.nearestHof(col("v"), rag, 2).as("hof"),
+      graft.GraftFunctions.nearestCentroidNative(spark, col("v"), rag).as("native"))
+    assert(both.filter(col("hof") =!= col("native")).count() == 0)
+    assert(both.filter(col("native.cell") === -1).count() == 0) // dim-matching one wins
+    val none = array(array(lit(1.0), lit(2.0), lit(3.0)))
+    val empty = df.select(
+      graft.GraftFunctions.nearestCentroidNative(spark, col("v"), none).as("n"))
+    assert(empty.filter(col("n.cell") =!= -1).count() == 0)
+  }
+
   test("graft_minhash == HOF composition on generated shingle-hash arrays") {
     val arrGen = Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
       .map(_.take(200))
