@@ -584,6 +584,40 @@ object LlmOps extends QGroup {
         |  MAX(doc_id) AS max_doc_id
         |FROM ranked WHERE rn <= 50 GROUP BY lang""".stripMargin)),
 
+    // L37: deterministic weighted sampling WITHOUT replacement per
+    // source (Efraimidis-Spirakis, IPL'06 — public algorithm): key_i =
+    // -ln(u_i)/w_i, keep the k smallest keys per stratum; inclusion
+    // probability is proportional to the weight (here document length),
+    // so long documents are favored but never guaranteed. u comes from
+    // the l15 multiplier-mod hash, not rand(): the sample is REPRODUCIBLE
+    // across runs, engines, retries, and partitionings — the property a
+    // training-data subsample must have for ablations and audits. Both
+    // engines compute the identical double key from identical exact
+    // integers (ln of equal doubles; the hash compares only the integer
+    // outputs). Scale shape: scan + ONE stratum-keyed top-k window; the
+    // l15 overflow bound applies (doc_id*48271 needs |doc_id| < 1.9e14,
+    // loud under ANSI past it).
+    QDef("l37_weighted_sample",
+      (s, dir) => {
+        val u = (pmod(col("doc_id") * 48271L + 11L, lit(2147483647L)) + 1L)
+          .cast("double") / 2147483648.0
+        val key = -log(u) / (col("n_chars") + 1).cast("double")
+        val w = Window.partitionBy(col("source"))
+          .orderBy(key.asc_nulls_first, col("doc_id").asc_nulls_first)
+        Tables(s, dir, "documents")
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 20)
+          .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+      },
+      Some("""SELECT source, rank, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |      -ln((((doc_id * 48271 + 11) % 2147483647) + 1) / 2147483648.0)
+        |        / (n_chars + 1) ASC NULLS FIRST,
+        |      doc_id ASC NULLS FIRST) AS rank
+        |  FROM documents)
+        |WHERE rank <= 20""".stripMargin)),
+
     // L2: brute-force cosine top-k (query side broadcast; ranking-only
     // output — each engine computes its own double cosine, rankings agree
     // and raw sims are checked to 6 dp).
