@@ -200,16 +200,25 @@ object TextAnalysis {
     val total = uni.agg(sum(col("cu")).as("n"))
     val big = bigrams.groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("cb"))
-    bigrams
-      .join(big, Seq("prev", "cur"))
+    // fuse the three count tables FIRST: big⋈uni⋈uni⋈total moves only
+    // vocab-sized data, yielding one (prev, cur, lp) lookup. The raw
+    // bigram stream then crosses exactly ONE join (AQE broadcasts the
+    // lookup at small scale; past the threshold it degrades to a single
+    // stream shuffle on the pair key) instead of the old chain that
+    // re-exchanged the full doc-grain stream on (prev,cur), prev, cur
+    // in turn. Per-occurrence lp values are unchanged, so the exact
+    // BIGINT sums — and the oracle hash — are too.
+    val scored = big
       .join(uni.select(col("w").as("prev"), col("cu").as("cup")), Seq("prev"))
       .join(uni.select(col("w").as("cur"), col("cu").as("cuc")), Seq("cur"))
       .crossJoin(broadcast(total))
-      .select(col("id"),
+      .select(col("prev"), col("cur"),
         floor(log(
           lit(0.75) * col("cb").cast("double") / col("cup") +
             lit(0.25) * col("cuc").cast("double") / col("n")) * 1e6)
           .as("lp"))
+    bigrams
+      .join(scored, Seq("prev", "cur"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
         floor(sum(col("lp")).cast("double") / count(lit(1)))

@@ -136,6 +136,21 @@ class PlanSpec extends SparkSpec {
       "l_suppkey", "s_name")), s"unexpected exchange keys: $keys")
   }
 
+  test("j29: Q2-shape shares ONE lineitem pair exchange between min and probe") {
+    // the correlated-SQL form decorrelated to TWO copies of the
+    // scan + distinct-pair tree (9 scans, no exchange reuse) — the
+    // hand shape exchanges the pair set once; the min branch re-reads
+    // it via ReusedExchange in the final adaptive plan, and the min
+    // join keys on partkey alone so the pair set is never re-exchanged
+    val df = SparkEntry.queries("j29_q2_min_supplier")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("ReusedExchange"),
+      s"the pair-set exchange must be shared with the min branch:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t4: snapshot diff is a single keyed full-outer join, no nested loop") {
     val p = planOf("t4_snapshot_diff")
     assert(p.contains("FullOuter"), p)
