@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   *    re-encoded as PNG. No external codec libs needed.
   *  - **Audio is REAL for WAV/AIFF/AU**: `javax.sound.sampled` parses
   *    the header — true duration from frame count / frame rate.
-  *  - **Video stays a declared stub** ([[FakeCodec]]): no video codec
-  *    ships with the JDK and this container has no ffmpeg/javacv; the
-  *    deterministic digest-seeded stand-in keeps the distributed
-  *    plumbing (schema, batching, byte accounting) testable. Swapping
-  *    it for real bindings is a one-object change.
+  *  - **Video is REAL for GIF-class media** ([[VideoCodec]]): the
+  *    JDK's ImageIO GIF reader exposes animated-GIF frames and their
+  *    GraphicControlExtension delays, so frame count, true duration,
+  *    first-frame dimensions/channel stats, and evenly-spaced frame
+  *    sampling are all real decode work. Container video (mp4/webm)
+  *    has no JDK codec and stays on the declared [[FakeCodec]] stub;
+  *    swapping that for real bindings is a one-object change.
   *  - A payload that does NOT decode reports `decoded=false` with
   *    zeroed dimensions — honest nulls, never fake dimensions.
   *
@@ -110,10 +112,65 @@ object Multimodal {
         } catch { case _: Exception => None }
   }
 
-  /** Deterministic fake decoder — VIDEO ONLY now (see codec surface
-    * above): "decoded" dimensions/duration are pure functions of the
-    * payload digest so the plumbing around a future real codec stays
-    * testable and deterministic. */
+  /** REAL video kernels for GIF-class media on the JDK's ImageIO GIF
+    * reader: frame count, per-frame GraphicControlExtension delays
+    * (centiseconds), first-frame pixel stats, and an evenly-spaced
+    * frame-index sample. */
+  object VideoCodec {
+    final case class GifInfo(
+        width: Int, height: Int, nFrames: Int, durationMs: Long,
+        channels: Int, channelMeans: Array[Double], sampledFrames: Array[Long])
+
+    /** None when the payload isn't an animated (or single-frame) GIF. */
+    def decodeGif(bytes: Array[Byte], maxSample: Int = 8): Option[GifInfo] = {
+      if (bytes == null || bytes.length < 6 ||
+        bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F') None
+      else
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) None
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis, false)
+                val n = reader.getNumImages(true)
+                if (n <= 0) None
+                else {
+                  var totalCs = 0L
+                  var i = 0
+                  while (i < n) {
+                    val root = reader.getImageMetadata(i)
+                      .getAsTree("javax_imageio_gif_image_1.0")
+                      .asInstanceOf[org.w3c.dom.Element]
+                    val gces = root.getElementsByTagName("GraphicControlExtension")
+                    if (gces.getLength > 0) {
+                      val d = gces.item(0).asInstanceOf[org.w3c.dom.Element]
+                        .getAttribute("delayTime")
+                      totalCs += (try d.toLong
+                      catch { case _: NumberFormatException => 0L })
+                    }
+                    i += 1
+                  }
+                  val (w, h, nch, means) = ImageCodec.stats(reader.read(0))
+                  val stride = math.max(1, n / maxSample)
+                  val sampled =
+                    (0 until n by stride).take(maxSample).map(_.toLong).toArray
+                  Some(GifInfo(w, h, n, totalCs * 10, nch, means, sampled))
+                }
+              } finally reader.dispose()
+            }
+          } finally iis.close()
+        } catch { case _: Exception => None }
+    }
+  }
+
+  /** Deterministic fake decoder — non-GIF VIDEO ONLY now (see codec
+    * surface above): "decoded" dimensions/duration are pure functions
+    * of the payload digest so the plumbing around a future real codec
+    * stays testable and deterministic. */
   object FakeCodec {
     def digestOf(bytes: Array[Byte]): String = {
       val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -166,10 +223,20 @@ object Multimodal {
                   decoded = false, 0, 0, 0, Array.empty, 0L, frames)
             }
           case "video" =>
-            // declared stub: decoded=false signals the fake kernel
-            val (w, h, d) = FakeCodec.videoFromDigest(digest)
-            MediaFeatures(r.id, r.kind, nBytes, digest,
-              decoded = false, w, h, 0, Array.empty, d, frames)
+            VideoCodec.decodeGif(bytes) match {
+              case Some(g) =>
+                // real GIF decode: frames_sampled carries FRAME INDICES
+                // (not byte offsets) — the evenly-spaced sample a frame
+                // extractor would pull
+                MediaFeatures(r.id, r.kind, nBytes, digest,
+                  decoded = true, g.width, g.height, g.channels,
+                  g.channelMeans, g.durationMs, g.sampledFrames)
+              case None =>
+                // declared stub for non-GIF video: decoded=false
+                val (w, h, d) = FakeCodec.videoFromDigest(digest)
+                MediaFeatures(r.id, r.kind, nBytes, digest,
+                  decoded = false, w, h, 0, Array.empty, d, frames)
+            }
           case _ =>
             MediaFeatures(r.id, r.kind, nBytes, digest,
               decoded = false, 0, 0, 0, Array.empty, 0L, frames)

@@ -219,8 +219,9 @@ object TextOps extends QGroup {
         |SELECT doc_id, tok, CAST(rank AS INTEGER) AS rank, tfidf_micro
         |FROM ranked WHERE rank <= 3""".stripMargin)),
 
-    // Multimodal feature extraction over binary payloads (STUB codec,
-    // real mapPartitions plumbing; rows-only + MultimodalSpec).
+    // Multimodal feature extraction over binary payloads (REAL JDK
+    // codecs for images/audio/GIF video, digest stub only for
+    // container video; rows-only + MultimodalSpec).
     QDef("l4b_multimodal_features",
       (s, dir) => {
         val media = Tables(s, dir, "documents").select(

@@ -915,6 +915,65 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Long]("duration_ms") == 500L, r.toString)
   }
 
+  // 3-frame animated GIF built HERE with ImageIO's own GIF writer:
+  // solid-color frames + a 25 cs GraphicControlExtension delay each, so
+  // every expectation (dims, frame count, total duration, first-frame
+  // channel means) is derived independently of the decoder under test
+  private def animatedGif(
+      colors: Seq[Int], w: Int, h: Int, delayCs: Int): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    val writer = ImageIO.getImageWritersBySuffix("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val params = writer.getDefaultWriteParam
+    val meta = writer.getDefaultImageMetadata(
+      ImageTypeSpecifier.createFromBufferedImageType(
+        java.awt.image.BufferedImage.TYPE_INT_RGB), params)
+    val fmt = meta.getNativeMetadataFormatName
+    val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+    val gce = new IIOMetadataNode("GraphicControlExtension")
+    gce.setAttribute("disposalMethod", "none")
+    gce.setAttribute("userInputFlag", "FALSE")
+    gce.setAttribute("transparentColorFlag", "FALSE")
+    gce.setAttribute("delayTime", delayCs.toString)
+    gce.setAttribute("transparentColorIndex", "0")
+    root.appendChild(gce)
+    meta.setFromTree(fmt, root)
+    writer.prepareWriteSequence(null)
+    for (c <- colors) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(c)); g.fillRect(0, 0, w, h) }
+      finally g.dispose()
+      writer.writeToSequence(new IIOImage(img, null, meta), params)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  test("REAL video decode: animated GIF gives frame count, duration, first-frame stats") {
+    val gif = animatedGif(
+      Seq(0xff0000, 0x00ff00, 0x0000ff), w = 16, h = 12, delayCs = 25)
+    val media = Seq((1L, "video", gif)).toDF("id", "kind", "payload")
+    val r = Multimodal.extractFeatures(media, "id", "kind", "payload").head()
+    assert(r.getAs[Boolean]("decoded"), r.toString)
+    assert(r.getAs[Int]("width") == 16 && r.getAs[Int]("height") == 12, r.toString)
+    // 3 frames × 25 cs = 750 ms, read back from per-frame metadata
+    assert(r.getAs[Long]("duration_ms") == 750L, r.toString)
+    // evenly-spaced frame-index sample covers all 3 frames
+    assert(r.getSeq[Long](r.fieldIndex("frames_sampled")) == Seq(0L, 1L, 2L),
+      r.toString)
+    // first frame is solid red
+    val means = r.getSeq[Double](r.fieldIndex("channel_means"))
+    assert(math.abs(means(0) - 255.0) < 1e-9 && means(1) == 0.0 && means(2) == 0.0,
+      means.toString)
+  }
+
   test("undecodable payloads report decoded=false with zeroed features, never fake dims") {
     val media = Seq(
       (1L, "image", "hello".getBytes("UTF-8")),
