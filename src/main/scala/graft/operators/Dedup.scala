@@ -364,9 +364,12 @@ object Dedup {
     * the planner pick a shuffled join instead.
     * The train side pays one repartition (ngramRows' full token-array
     * shuffle, the deliberate projection barrier that keeps the n-gram
-    * lambda O(tokens) — see ngramRows) plus the final per-doc count
-    * (keyed, combiner-friendly). Never a corpus self-join; cost is
-    * linear in corpus grams.
+    * lambda O(tokens) — see ngramRows) plus ONE per-doc aggregation:
+    * the broadcast probe marks each gram hit/miss left-outer (bench
+    * grams are distinct, so no fan-out), and n_grams and n_hits come
+    * out of the same keyed count — the old sizes⋈hits form aggregated
+    * the gram stream by doc twice and joined the results back. Never a
+    * corpus self-join; cost is linear in corpus grams.
     *
     * Output: (doc_id, n_grams, n_hits, cpm) for train docs with ≥1 hit;
     * cpm = contaminated grams per mille (integer-div, oracle-stable). */
@@ -379,11 +382,13 @@ object Dedup {
     val trainGrams = ngramRows(train, idCol, textCol, n)
     val benchGrams = ngramRows(bench, idCol, textCol, n)
       .select(col("gram")).distinct()
-    val sizes = trainGrams.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_grams"))
-    val hits = trainGrams.join(broadcast(benchGrams), Seq("gram"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
-    sizes.join(hits, Seq("id"))
+    trainGrams
+      .join(broadcast(benchGrams.withColumn("__hit", lit(1L))),
+        Seq("gram"), "left_outer")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .filter(col("n_hits") > 0)
       .select(col("id").as("doc_id"), col("n_grams"), col("n_hits"),
         expr("(n_hits * 1000) div n_grams").as("cpm"))
   }
@@ -394,19 +399,25 @@ object Dedup {
     * each doc, the share of its distinct word n-grams whose corpus
     * document-frequency exceeds 1.
     *
-    * Scale shape: gram rows → one keyed aggregation for document
-    * frequency, then gram rows join that aggregate ON THE SAME gram key
-    * (the exchange is reused, not repeated), then one per-doc count.
-    * Never a doc↔doc self-join — cost is linear in corpus grams, and
-    * the df table is the only intermediate bigger than the output.
+    * Scale shape: ONE gram-keyed exchange. The document frequency is a
+    * count-over-window on that partitioning, annotating every gram row
+    * in place — the aggregate-then-join-back form exchanged the gram
+    * stream twice (once partial-aggregated for the df table, once in
+    * full for the join) for the same answer. The per-doc count is then
+    * one combiner-friendly keyed aggregation. Never a doc↔doc
+    * self-join — cost is linear in corpus grams. (The gram window is
+    * corpus-cardinality — millions of partitions — so it can never
+    * funnel into one task; hub grams concentrate exactly as much as
+    * they would in the df aggregation.)
     *
     * Output: (doc_id, n_grams, n_dup, dpm); dpm = duplicated grams per
     * mille (integer-div, oracle-stable). */
   def ngramDupFraction(
       df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
-    val grams = ngramRows(df, idCol, textCol, n)
-    val dfreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    grams.join(dfreq, Seq("gram"))
+    import org.apache.spark.sql.expressions.Window
+    ngramRows(df, idCol, textCol, n)
+      .repartition(col("gram"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))

@@ -974,6 +974,14 @@ class MultimodalSpec extends SparkSpec {
       means.toString)
   }
 
+  test("truncated GIF (valid magic, cut body) falls back to the stub, never crashes") {
+    val gif = animatedGif(Seq(0xff0000, 0x00ff00), w = 16, h = 12, delayCs = 10)
+    val cut = gif.take(gif.length / 3) // keeps "GIF89a", loses frame data
+    val media = Seq((1L, "video", cut)).toDF("id", "kind", "payload")
+    val r = Multimodal.extractFeatures(media, "id", "kind", "payload").head()
+    assert(!r.getAs[Boolean]("decoded"), r.toString)
+  }
+
   test("undecodable payloads report decoded=false with zeroed features, never fake dims") {
     val media = Seq(
       (1L, "image", "hello".getBytes("UTF-8")),
