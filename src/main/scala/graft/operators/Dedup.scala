@@ -443,8 +443,15 @@ object Dedup {
     * oracle-stable). */
   def crossSourceOverlap(
       df: DataFrame, groupCol: String, textCol: String, n: Int = 4): DataFrame = {
+    // one gram-keyed repartition serves BOTH the (src, gram) distinct
+    // (hashpartitioning(gram) ⊆ the dedup keys, so no second exchange)
+    // and the per-gram source-set aggregation right below it; the old
+    // pair-keyed distinct exchanged the deduped stream a second time
+    // to get gram-clustered
     val sg = ngramRows(df, groupCol, textCol, n)
-      .select(col("id").as("src"), col("gram")).distinct()
+      .select(col("id").as("src"), col("gram"))
+      .repartition(col("gram"))
+      .dropDuplicates("src", "gram")
     val sizes = sg.groupBy(col("src")).agg(count(lit(1)).as("n_grams"))
     sg.groupBy(col("gram"))
       .agg(array_sort(collect_set(col("src"))).as("srcs"))
