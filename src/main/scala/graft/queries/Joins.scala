@@ -867,15 +867,13 @@ object Joins extends QGroup {
     // (collect_set of suppliers, bounded by suppliers-per-part — ~4
     // in any partsupp-like dataset; at pathological hub-part skew a
     // two-exchange dropDuplicates is the fallback); the per-part MIN
-    // is a hash aggregate riding that same partitioning (the EUROPE
-    // supplier join broadcasts, preserving it — no second exchange of
-    // the pair set, and no window sort: A/B-measured 0.86 s vs 1.07 s
-    // for the window-min form at sf0.1). The min table is O(#parts),
-    // NOT provably broadcastable — no broadcast() hint; AQE broadcasts
-    // it while it fits and degrades to a partkey-colocated join past
-    // that. The pair-set subtree above the ReusedExchange is
-    // recomputed for the min branch — explode + broadcast-probe only,
-    // the scan and the exchange are shared. Ties keep all minimal
+    // and the tie-keeping both live in a SECOND partkey aggregation
+    // riding that same partitioning (the EUROPE supplier join
+    // broadcasts, preserving it) — min + bounded supplier list in one
+    // row per part, minimal suppliers filtered out of the array by an
+    // HOF. One corpus scan, one exchange, no min join, no window sort
+    // (both alternatives A/B-measured slower at sf0.1: window-min
+    // 1.07 s, min-join-back 0.86–0.88 s). Ties keep all minimal
     // suppliers, a deterministic SET; MIN and the equality compare
     // copies of the same stored value — exact.
     QDef("j29_q2_min_supplier",
@@ -887,26 +885,33 @@ object Joins extends QGroup {
             col("n_regionkey") === col("r_regionkey"))
           .filter(col("r_name") === "EUROPE")
           .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
-        val psEu = Tables(s, dir, "lineitem")
+        // second per-part aggregation rides the SAME partkey
+        // partitioning (no exchange): the bounded EU-supplier list and
+        // its min land in one row per part, and the tie-keeping min
+        // filter is an array HOF — no min join, no second read of the
+        // pair subtree
+        Tables(s, dir, "lineitem")
           .groupBy(col("l_partkey"))
           .agg(collect_set(col("l_suppkey")).as("__sks"))
           .select(col("l_partkey"), explode(col("__sks")).as("l_suppkey"))
-          .join(eu, col("l_suppkey") === col("s_suppkey"))
-        val mins = psEu.groupBy(col("l_partkey"))
-          .agg(min(col("s_acctbal")).as("__mb"))
-          .withColumnRenamed("l_partkey", "__mk")
-        // (an equi-join on partkey with the min equality as a post-filter
-        // optimizes back to the same composite-key join — Catalyst folds
-        // equality filters into join keys; AQE's broadcast of the small
-        // min side is what keeps the pair set un-re-exchanged at runtime)
-        psEu.join(mins,
-            col("l_partkey") === col("__mk") && col("s_acctbal") === col("__mb"))
+          // broadcast the dim side EXPLICITLY: left alone the planner
+          // broadcasts the (estimated-smaller) pair set into supplier,
+          // which puts the pairs on the build side and throws away the
+          // partkey partitioning the next aggregation needs
+          .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"))
+          .agg(min(col("s_acctbal")).as("__mb"),
+            collect_list(struct(col("s_suppkey"), col("s_name"),
+              col("s_acctbal"))).as("__sups"))
+          .select(col("l_partkey"),
+            explode(expr("filter(__sups, x -> x.s_acctbal = __mb)")).as("__s"))
           .join(Tables(s, dir, "part")
               .filter(col("p_size") === 5)
               .select(col("p_partkey"), col("p_name")),
             col("l_partkey") === col("p_partkey"))
-          .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
-            col("s_name"), col("s_acctbal").cast("double").as("acctbal"))
+          .select(col("p_partkey"), col("p_name"),
+            col("__s.s_suppkey").as("s_suppkey"), col("__s.s_name").as("s_name"),
+            col("__s.s_acctbal").cast("double").as("acctbal"))
       },
       Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
         |SELECT p_partkey, p_name, s_suppkey, s_name,

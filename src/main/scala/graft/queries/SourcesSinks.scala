@@ -292,6 +292,40 @@ object SourcesSinks extends QGroup {
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)))
         |       AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority""".stripMargin))
+        |GROUP BY o_orderpriority""".stripMargin)),
+
+    // S13: file provenance via the hidden `_metadata` columns — the
+    // lineage audit a 100 TB pipeline runs when a bad shard must be
+    // traced back to the files that produced it. The write half also
+    // certifies FILE-COUNT CONTROL (repartition on the partition column
+    // → exactly one file per partition directory — the small-files
+    // guard for partitioned fact tables); the read half derives every
+    // group key from `_metadata.file_path` alone, so the counts only
+    // match the oracle if the hidden columns report real paths. NULL
+    // partition values are keyed to a sentinel before the write (Hive
+    // layouts encode NULL as __HIVE_DEFAULT_PARTITION__, which would
+    // not round-trip the oracle compare).
+    QDef("s13_file_provenance",
+      (s, dir) => {
+        val out = sink(dir, "s13_file_provenance")
+        val staged = Tables(s, dir, "documents")
+          .withColumn("lang_k", coalesce(col("lang"), lit("__null__")))
+        staged
+          .repartition(col("lang_k"))
+          .write.mode("overwrite").partitionBy("lang_k").parquet(out)
+        // explicit schema: an all-empty write leaves no footer to infer
+        // from (s6 precedent); `_metadata` stays available regardless
+        s.read.schema(staged.schema).parquet(out)
+          .select(
+            regexp_extract(col("_metadata.file_path"), "lang_k=([^/]+)", 1)
+              .as("lang_k"),
+            col("_metadata.file_name").as("__f"))
+          .groupBy(col("lang_k"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("__f")).as("n_files"))
+      },
+      Some("""SELECT COALESCE(lang, '__null__') AS lang_k,
+        |  COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS n_files
+        |FROM documents GROUP BY 1""".stripMargin))
   )
 }

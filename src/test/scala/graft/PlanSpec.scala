@@ -136,18 +136,17 @@ class PlanSpec extends SparkSpec {
       "l_suppkey", "s_name")), s"unexpected exchange keys: $keys")
   }
 
-  test("j29: Q2-shape shares ONE lineitem pair exchange between min and probe") {
+  test("j29: Q2-shape is one lineitem scan and one partkey exchange") {
     // the correlated-SQL form decorrelated to TWO copies of the
     // scan + distinct-pair tree (9 scans, no exchange reuse) — the
-    // hand shape exchanges the pair set once; the min branch re-reads
-    // it via ReusedExchange in the final adaptive plan, and the min
-    // join keys on partkey alone so the pair set is never re-exchanged
-    val df = SparkEntry.queries("j29_q2_min_supplier")(spark, dir)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("isFinalPlan=true"), p)
-    assert(p.contains("ReusedExchange"),
-      s"the pair-set exchange must be shared with the min branch:\n$p")
+    // hand shape scans lineitem once and the min/tie-keeping
+    // aggregation rides the pair exchange's partkey partitioning
+    val p = planOf("j29_q2_min_supplier")
+    assert("lineitem".r.findAllIn(p).size >= 1 &&
+      "FileScan parquet \\[l_partkey".r.findAllIn(p).size == 1,
+      s"lineitem must be scanned exactly once:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"one partkey exchange only — the second aggregation must not re-exchange:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 
