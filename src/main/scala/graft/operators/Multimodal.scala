@@ -154,8 +154,25 @@ object Multimodal {
                     }
                     i += 1
                   }
-                  val (w, h, nch, means) = ImageCodec.stats(reader.read(0))
-                  val stride = math.max(1, n / maxSample)
+                  val (fw, fh, nch, means) = ImageCodec.stats(reader.read(0))
+                  // dimensions from the logical screen descriptor when
+                  // present — an optimized GIF's first image descriptor
+                  // can be a sub-rectangle of the canvas
+                  val (w, h) =
+                    try {
+                      val sd = reader.getStreamMetadata
+                        .getAsTree("javax_imageio_gif_stream_1.0")
+                        .asInstanceOf[org.w3c.dom.Element]
+                        .getElementsByTagName("LogicalScreenDescriptor")
+                      if (sd.getLength > 0) {
+                        val e = sd.item(0).asInstanceOf[org.w3c.dom.Element]
+                        (e.getAttribute("logicalScreenWidth").toInt,
+                          e.getAttribute("logicalScreenHeight").toInt)
+                      } else (fw, fh)
+                    } catch { case _: Exception => (fw, fh) }
+                  // ceil stride: floor would bias the sample to the head
+                  // (15 frames / max 8 → stride 1 → frames 0-7 only)
+                  val stride = (n + maxSample - 1) / maxSample
                   val sampled =
                     (0 until n by stride).take(maxSample).map(_.toLong).toArray
                   Some(GifInfo(w, h, n, totalCs * 10, nch, means, sampled))
@@ -191,9 +208,10 @@ object Multimodal {
     }
   }
 
-  /** Decode + feature-extract via typed mapPartitions. Images and
-    * audio run the REAL JDK codecs; video runs the declared stub;
-    * undecodable payloads report decoded=false with zeroed features. */
+  /** Decode + feature-extract via typed mapPartitions. Images, audio,
+    * and GIF-class video run the REAL JDK codecs; container video
+    * falls back to the declared stub (decoded=false); undecodable
+    * payloads report decoded=false with zeroed features. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.mapPartitions { rows =>

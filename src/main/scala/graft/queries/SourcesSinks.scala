@@ -317,7 +317,11 @@ object SourcesSinks extends QGroup {
         // from (s6 precedent); `_metadata` stays available regardless
         s.read.schema(staged.schema).parquet(out)
           .select(
-            regexp_extract(col("_metadata.file_path"), "lang_k=([^/]+)", 1)
+            // url_decode: partition VALUES are Hive/URL-escaped in the
+            // directory name (a lang like 'pt BR' writes lang_k=pt%20BR);
+            // the oracle groups by the raw value
+            url_decode(
+              regexp_extract(col("_metadata.file_path"), "lang_k=([^/]+)", 1))
               .as("lang_k"),
             col("_metadata.file_name").as("__f"))
           .groupBy(col("lang_k"))

@@ -974,6 +974,17 @@ class MultimodalSpec extends SparkSpec {
       means.toString)
   }
 
+  test("GIF frame sampling is evenly spaced and covers the tail (ceil stride)") {
+    // 15 frames, max sample 8: floor stride would return frames 0-7
+    // (first half only); ceil stride gives 0,2,...,14
+    val gif = animatedGif((0 until 15).map(i => i * 0x111111),
+      w = 8, h = 8, delayCs = 5)
+    val info = Multimodal.VideoCodec.decodeGif(gif).get
+    assert(info.nFrames == 15, info.toString)
+    assert(info.sampledFrames.toSeq == Seq(0L, 2L, 4L, 6L, 8L, 10L, 12L, 14L),
+      info.sampledFrames.toSeq.toString)
+  }
+
   test("truncated GIF (valid magic, cut body) falls back to the stub, never crashes") {
     val gif = animatedGif(Seq(0xff0000, 0x00ff00), w = 16, h = 12, delayCs = 10)
     val cut = gif.take(gif.length / 3) // keeps "GIF89a", loses frame data
