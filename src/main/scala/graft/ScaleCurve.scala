@@ -17,7 +17,8 @@ object ScaleCurve {
     "a1_agg_q1", "j7_star_join", "j12_q5_shape", "l1_exact_dedup",
     "l23_ppjoin_pairs", "l25_connected_components", "l26_pagerank",
     "l34_cross_source_overlap", "a26_equidepth_histogram",
-    "s12_bucketed_join", "b1_floor_select1")
+    "s12_bucketed_join", "j29_q2_min_supplier", "l17_ngram_dupfrac",
+    "b1_floor_select1")
 
   def main(args: Array[String]): Unit = {
     val spark = Engine.session()
