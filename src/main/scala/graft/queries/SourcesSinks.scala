@@ -330,6 +330,33 @@ object SourcesSinks extends QGroup {
       },
       Some("""SELECT COALESCE(lang, '__null__') AS lang_k,
         |  COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS n_files
+        |FROM documents GROUP BY 1""".stripMargin)),
+
+    // S14: small-file compaction round-trip — fragment documents into
+    // 32 deliberately tiny files, compact to ~256 KB targets
+    // (graft.sources.Compaction: one listing + one repartition to
+    // ceil(bytes/target) writers), and certify CONTENT preservation
+    // through the rewrite via per-lang counts and exact token sums
+    // against the original table. File-count arithmetic (and that the
+    // compacted count strictly shrinks) is pinned in CompactionSpec —
+    // byte totals are environment-dependent, so the count stays out of
+    // the oracle columns.
+    QDef("s14_compaction",
+      (s, dir) => {
+        val frag = sink(dir, "s14_frag")
+        val out = sink(dir, "s14_compacted")
+        val docs = Tables(s, dir, "documents")
+        docs.repartition(32).write.mode("overwrite").parquet(frag)
+        graft.sources.Compaction.compact(
+          s, frag, out, targetBytes = 256L * 1024, schema = Some(docs.schema))
+        s.read.schema(docs.schema).parquet(out)
+          .groupBy(coalesce(col("lang"), lit("__null__")).as("lang_k"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+      },
+      Some("""SELECT COALESCE(lang, '__null__') AS lang_k, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+        |    AS total_tokens
         |FROM documents GROUP BY 1""".stripMargin))
   )
 }

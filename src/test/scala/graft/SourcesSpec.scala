@@ -443,3 +443,43 @@ class CompressionSpec extends SparkSpec {
         s"$c (${sizes(c)}B) should out-compress snappy (${sizes("snappy")}B)")
   }
 }
+
+class CompactionSpec extends SparkSpec {
+  import graft.sources.Compaction
+
+  test("compacts a fragmented directory to ceil(bytes/target) files, content intact") {
+    val frag = tmpDir("graft-compact") + "/frag"
+    val out = tmpDir("graft-compact") + "/out"
+    val docs = spark.read.parquet(sf("documents"))
+    docs.repartition(24).write.mode("overwrite").parquet(frag)
+    val (nBefore, bytes) = Compaction.dataFiles(spark, frag)
+    assert(nBefore == 24, s"fragmentation setup: $nBefore files")
+    val target = 256L * 1024
+    val stats = Compaction.compact(spark, frag, out, target, Some(docs.schema))
+    val expectedN = math.max(1L, (bytes + target - 1) / target).toInt
+    assert(stats.nFilesAfter == expectedN,
+      s"file-count arithmetic: got ${stats.nFilesAfter}, expected $expectedN " +
+        s"from $bytes bytes at $target")
+    assert(stats.nFilesAfter < nBefore, "compaction must shrink the file count")
+    // content byte-identical row-for-row (order-insensitive)
+    val a = docs
+    val b = spark.read.schema(docs.schema).parquet(out)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, "content drift")
+  }
+
+  test("single-file target and empty input degenerate cleanly") {
+    val frag = tmpDir("graft-compact1") + "/frag"
+    val out = tmpDir("graft-compact1") + "/out"
+    val docs = spark.read.parquet(sf("nation"))
+    docs.repartition(4).write.mode("overwrite").parquet(frag)
+    // huge target: everything lands in ONE file
+    val stats = Compaction.compact(spark, frag, out, 1L << 40, Some(docs.schema))
+    assert(stats.nFilesAfter == 1, stats.toString)
+    // empty input: zero data files in, one empty part file out, no crash
+    val emptyIn = tmpDir("graft-compact2") + "/in"
+    val emptyOut = tmpDir("graft-compact2") + "/out"
+    docs.limit(0).write.mode("overwrite").parquet(emptyIn)
+    val es = Compaction.compact(spark, emptyIn, emptyOut, 1024, Some(docs.schema))
+    assert(spark.read.schema(docs.schema).parquet(emptyOut).count() == 0, es.toString)
+  }
+}
