@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomMightContain, CharEntropy, CosineSimilarity, LangId, MinHashSignature, NearestCentroid, RepetitionStats, TokenFingerprint, UnicodeNormalize}
+import graft.functions.{BloomMightContain, CharEntropy, CosineSimilarity, DsirBuckets, LangId, MinHashSignature, NearestCentroid, RepetitionStats, TokenFingerprint, UnicodeNormalize}
 
 /** Session extension registering graft's native expressions, for use via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(NearestCentroid.name), NearestCentroid.info,
         NearestCentroid.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(DsirBuckets.name), DsirBuckets.info,
+        DsirBuckets.builder))
     ext.injectOptimizerRule(graft.plans.CorruptDateRebaseRule.apply)
   }
 }
@@ -73,6 +76,9 @@ object GraftFunctions {
     val nc = FunctionIdentifier(NearestCentroid.name)
     if (!reg.functionExists(nc))
       reg.registerFunction(nc, NearestCentroid.info, NearestCentroid.builder)
+    val db = FunctionIdentifier(DsirBuckets.name)
+    if (!reg.functionExists(db))
+      reg.registerFunction(db, DsirBuckets.info, DsirBuckets.builder)
     // sessions built without withExtensions still get the transparent
     // corrupt-date rebase via the user-provided optimizer batch; skip
     // when the extensions path already injected it (double installation
@@ -95,6 +101,12 @@ object GraftFunctions {
   def nearestCentroidNative(spark: SparkSession, vec: Column, centroids: Column): Column = {
     ensureRegistered(spark)
     call_function(NearestCentroid.name, vec, centroids)
+  }
+
+  /** Column API for the native DSIR hashed-ngram bucket histogram. */
+  def dsirBucketsNative(spark: SparkSession, tokens: Column): Column = {
+    ensureRegistered(spark)
+    call_function(DsirBuckets.name, tokens)
   }
 
   /** Column API for the native one-pass MinHash signature. */

@@ -348,4 +348,84 @@ object Similarity {
         coalesce(col("n_members"), lit(0L)).as("n_members"),
         coalesce(col("sse"), lit(0.0)).as("sse"))
   }
+
+  /** SemDeDup-style semantic (embedding-space) deduplication (Abbas et
+    * al., arXiv:2303.09540 — public method): cluster the corpus in
+    * embedding space, then within each cluster drop every vector that
+    * has an earlier (lower-id) cluster-mate with cosine ≥ tau — exact
+    * near-duplicate semantics the cheap way: the quadratic probe runs
+    * only WITHIN clusters, never across the corpus.
+    *
+    * Deterministic variant, end-to-end oracle-checkable: centroids are
+    * the first k non-null vectors by id (l2d's kmeans is the trained
+    * seeding — id-seeding keeps both engines bit-aligned); cosines
+    * compare at 6 dp (the l1f/l2 cross-engine double-agreement grain)
+    * with argmax ties to the lowest centroid id; the drop rule is the
+    * keep-first EXISTS witness (x drops iff SOME earlier cluster-mate is
+    * tau-close, whether or not that mate itself drops — no recursion, so
+    * the rule is expressible in portable SQL; cosine is not transitive,
+    * so a chain-collapsing variant would need the l25 component
+    * machinery instead).
+    *
+    * Scale shape: the centroid collect is k rows (dimension-sized, the
+    * ivfTopK precedent); assignment is scan-local against the literal
+    * centroid matrix (zero shuffle); the witness probe is ONE
+    * cluster-keyed self-join — at production scale k grows with the
+    * corpus so |cluster| stays bounded and the per-cluster quadratic is
+    * the algorithm's declared cost, exactly as in the paper.
+    *
+    * Output: (id, cluster, status ∈ {kept, dropped}) for every non-null
+    * vector; cluster = the seed vector's id. */
+  def semDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      tau: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    val vecs = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+    val seeds: Array[(Long, Array[Double])] = vecs
+      .orderBy(col("id").asc_nulls_first)
+      .limit(k)
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toArray))
+    if (seeds.isEmpty) // empty slice: nothing to dedup, keep the schema
+      return vecs.select(col("id"), lit(-1L).as("cluster"),
+        lit("kept").as("status")).limit(0)
+    val centLit = array(seeds.map(s =>
+      typedlit(s._2).cast("array<double>")): _*)
+    val cidLit = typedlit(seeds.map(_._1))
+    // rounded sims against each seed; first max index wins (ties → the
+    // lowest centroid id, matching the oracle's (sim6 DESC, cid ASC))
+    val sims = transform(centLit,
+      c => round(graft.GraftFunctions.cosineNative(spark, col("v"), c), 6))
+    val assigned = vecs
+      .withColumn("__sims", sims)
+      .withColumn("cluster",
+        // all-null sims (zero-norm vector): no assignable cell → its own
+        // singleton bucket, never dropped (cosine to it is null anyway)
+        coalesce(
+          element_at(cidLit,
+            array_position(col("__sims"), array_max(col("__sims")))
+              .cast("int")),
+          lit(-1L)))
+      .select(col("id"), col("cluster"), col("v"))
+    val dropped = assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("y.id") < col("x.id") &&
+          round(graft.GraftFunctions.cosineNative(
+            spark, col("x.v"), col("y.v")), 6) >= tau,
+        "left_semi")
+      .select(col("id"), lit(true).as("__dup"))
+    assigned.select(col("id"), col("cluster"))
+      .join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        when(col("__dup"), lit("dropped")).otherwise(lit("kept"))
+          .as("status"))
+  }
 }
+

@@ -524,6 +524,109 @@ object TextAnalysis {
       .withColumn("label",
         when(col("score") >= 0, lit("keep")).otherwise(lit("drop")))
 
+  /** DSIR-style importance weighting + Gumbel top-k resampling (Xie et
+    * al., "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS'23 — public method): estimate a target and a source
+    * distribution over HASHED n-gram feature buckets (unigrams +
+    * bigrams → 256 md5 buckets — no vocabulary to fit in memory), score
+    * every document by its log importance weight
+    * Σ_grams [ln p̂_target(bucket) − ln p̂_source(bucket)] (Laplace +1
+    * smoothing), and select the top `topK` documents under Gumbel
+    * perturbation — which IS sampling without replacement proportional
+    * to the importance weights, made reproducible by driving the Gumbel
+    * noise from the l15/l37 multiplier-mod hash of the id instead of
+    * rand().
+    *
+    * Determinism: per-bucket log-probs are FLOOR-scaled to integer
+    * micro-nats before any sum (the l10 recipe — floor of identical IEEE
+    * doubles is engine-independent where round() is not), so the per-doc
+    * weight is a BIGINT sum of exact integers, order-independent; the
+    * Gumbel key floor-scales the same way and the final top-k is a total
+    * order (key DESC, id ASC). |dlogm| ≤ ~12e6 micro-nats, so BIGINT
+    * overflows only past ~7e11 grams/doc.
+    *
+    * Scale shape: DSIR is a two-pass algorithm (fit, then score) and
+    * runs as exactly two scans, each collapsing every document to one
+    * 256-int bucket histogram via the native
+    * [[graft.functions.DsirBuckets]] kernel (no bigram strings, no hex
+    * digests, no per-gram explode). The fit pass aggregates histograms
+    * to ≤256 (bucket, count, target-count) rows — map-side partials
+    * carry ≤256 rows per task — which COLLECT to the driver (bounded
+    * stat, the kmeans literal-centroid recipe) and become a 256-long
+    * literal weight vector; per-bucket dlogm is computed on the driver
+    * with the same JVM Math.log/floor an in-plan expression would use —
+    * bit-identical inputs, identical libm, identical integers. The
+    * score pass zips each histogram against that literal per-row —
+    * fully scan-local, zero exchanges — ahead of a global top-k
+    * (TakeOrderedAndProject — per-partition heaps, never a full sort).
+    * Design A/Bs at sf0.1: in-plan broadcast weights replan the gram
+    * subtree under every broadcast (3 planned copies, 1.61 s);
+    * driver-literal weights with the md5-hex Column composition hit
+    * that composition's per-gram allocation floor (2 × 0.72 s); the
+    * native-kernel form runs 0.83 s — the ~5.4 M MD5 digests
+    * themselves, the floor both engines pay.
+    *
+    * Output: (id, n_feat, weight_micro, gkey_micro) — the topK selected
+    * docs. */
+  def dsirWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      topK: Int): DataFrame = {
+    val spark = df.sparkSession
+    // per-doc 256-bucket gram histogram: ONE native pass per DSIR pass
+    // (graft_dsir_buckets — no bigram strings, no hex, no gram explode),
+    // property-pinned bit-identical to the portable md5-hex composition
+    // the ORACLE uses (NativeExprPropertySpec)
+    def hist(withTgt: Boolean): DataFrame = {
+      val lead = Seq(col(idCol).as("id")) ++
+        (if (withTgt) Seq(isTarget.as("tgt")) else Nil)
+      df.filter(col(textCol).isNotNull)
+        .select(lead :+ graft.GraftFunctions
+          .dsirBucketsNative(spark, split(col(textCol), " ")).as("counts"): _*)
+    }
+    // fit pass: ≤256 ints per doc into one bucket-keyed aggregate
+    // (map-side partials carry ≤256 rows per task), collected (bounded
+    // stat). (c+1)/(N+256) divides exact integers → identical doubles →
+    // ln differs by at most the libm ulp both engines share (the l10
+    // precedent); computed here with the same JVM Math.log/floor the
+    // in-plan expression would use.
+    val statsRows = hist(withTgt = true)
+      .select(col("tgt"), posexplode(col("counts")).as(Seq("b", "c")))
+      .filter(col("c") > 0)
+      .groupBy(col("b"))
+      .agg(sum(col("c")).as("cs"),
+        sum(when(col("tgt"), col("c")).otherwise(0L)).as("ct"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val ns = statsRows.map(_._2).sum
+    val nt = statsRows.map(_._3).sum
+    val dlogm = new Array[Long](256) // unseen buckets: weight 0 (c=0 there)
+    statsRows.foreach { case (b, cs, ct) =>
+      dlogm(b) =
+        math.floor(math.log((ct + 1).toDouble / (nt + 256).toDouble) * 1e6).toLong -
+          math.floor(math.log((cs + 1).toDouble / (ns + 256).toDouble) * 1e6).toLong
+    }
+    val u = (pmod(col("id") * 48271L + 11L, lit(2147483647L)) + 1L)
+      .cast("double") / 2147483648.0
+    // score pass: per-row zip against the 256-long literal — fully
+    // scan-local, ZERO exchanges ahead of the global top-k heap
+    // (TakeOrderedAndProject)
+    hist(withTgt = false)
+      .select(col("id"),
+        aggregate(col("counts"), lit(0L),
+          (acc, c) => acc + c).as("n_feat"),
+        aggregate(zip_with(col("counts"), typedlit(dlogm.toSeq),
+            (c, d) => c.cast("long") * d),
+          lit(0L), (acc, x) => acc + x).as("weight_micro"))
+      .withColumn("gkey_micro",
+        col("weight_micro") +
+          floor(-log(-log(u)) * 1e6).cast("long"))
+      .orderBy(col("gkey_micro").desc, col("id").asc)
+      .limit(topK)
+  }
+
   /** Convenience: annotate a corpus with all analysis columns (native
     * one-pass lang-id / fingerprint — the corpus-scan hot path). */
   def annotate(df: DataFrame, textCol: String): DataFrame =
@@ -534,3 +637,4 @@ object TextAnalysis {
       .withColumn("fingerprint",
         graft.GraftFunctions.fingerprintNative(df.sparkSession, col(textCol)))
 }
+

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.operators.{Dedup, Graph, Similarity}
+import graft.operators.{Dedup, Graph, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline surface (SURVEY §2B L1–L4 + the north-star ops):
   * exact/near dedup, cosine similarity search, text analysis, multimodal
@@ -618,6 +618,55 @@ object LlmOps extends QGroup {
         |  FROM documents)
         |WHERE rank <= 20""".stripMargin)),
 
+    // L38: DSIR importance-resampled data selection (Xie et al.,
+    // NeurIPS'23) — score every doc by its hashed-ngram log importance
+    // weight toward a target domain (here: lang='en'), then Gumbel
+    // top-k select, which IS weight-proportional sampling without
+    // replacement made reproducible by the l15/l37 hash-uniform. Two
+    // passes (fit 256 bucket stats → broadcast; score + doc-keyed sum),
+    // then a global top-k heap. Floor-scaled micro-nat integers
+    // throughout (the l10 recipe) keep both engines bit-aligned.
+    QDef("l38_dsir_select",
+      (s, dir) =>
+        TextAnalysis.dsirWeights(
+          Tables(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+          isTarget = col("lang") === "en", topK = 200)
+          .withColumnRenamed("id", "doc_id"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |uni AS (SELECT doc_id, lang, unnest(t) AS g FROM toks),
+        |bi AS (
+        |  SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS g
+        |  FROM (SELECT doc_id, lang, t,
+        |          unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks)),
+        |feat AS (
+        |  SELECT doc_id,
+        |    (instr('0123456789abcdef', substring(md5(g), 1, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substring(md5(g), 2, 1)) - 1) AS b,
+        |    (lang = 'en') AS tgt
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |stats AS (
+        |  SELECT b, COUNT(*) AS cs, COUNT(*) FILTER (WHERE tgt) AS ct
+        |  FROM feat GROUP BY b),
+        |tot AS (SELECT SUM(cs) AS ns, SUM(ct) AS nt FROM stats),
+        |w AS (
+        |  SELECT b,
+        |    CAST(floor(ln((ct + 1) / (nt + 256.0)) * 1e6) AS BIGINT)
+        |      - CAST(floor(ln((cs + 1) / (ns + 256.0)) * 1e6) AS BIGINT) AS dlogm
+        |  FROM stats CROSS JOIN tot),
+        |doc AS (
+        |  SELECT doc_id, COUNT(*) AS n_feat,
+        |    CAST(SUM(dlogm) AS BIGINT) AS weight_micro
+        |  FROM feat JOIN w USING (b) GROUP BY doc_id)
+        |SELECT doc_id, n_feat, weight_micro,
+        |  weight_micro + CAST(floor(-ln(-ln(
+        |    (((doc_id * 48271 + 11) % 2147483647) + 1) / 2147483648.0))
+        |    * 1e6) AS BIGINT) AS gkey_micro
+        |FROM doc
+        |ORDER BY gkey_micro DESC, doc_id ASC LIMIT 200""".stripMargin)),
+
     // L2: brute-force cosine top-k (query side broadcast; ranking-only
     // output — each engine computes its own double cosine, rankings agree
     // and raw sims are checked to 6 dp).
@@ -687,6 +736,39 @@ object LlmOps extends QGroup {
             .withColumn("sse_milli", floor(col("sse") * 1e3).cast("long"))
             .drop("sse")),
       None),
+
+    // L39: SemDeDup semantic dedup — the embedding-space near-dup
+    // remover (cluster, then drop tau-close later ids WITHIN the
+    // cluster; quadratic only per cluster, the paper's own cost model).
+    // Deterministic id-seeded centroids + 6dp cosine grain keep the
+    // whole pipeline oracle-checkable; the kmeans-seeded production
+    // variant is the l2d trainer feeding the same operator.
+    QDef("l39_semdedup",
+      (s, dir) =>
+        Similarity.semDedup(
+          Tables(s, dir, "embeddings"),
+          idCol = "vec_id", vecCol = "embedding", k = 8, tau = 0.35)
+          .withColumnRenamed("id", "vec_id"),
+      Some("""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id ASC LIMIT 8),
+        |assign AS (
+        |  SELECT vec_id, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+        |      round(list_cosine_similarity(v, cv), 6) DESC NULLS LAST,
+        |      cid ASC) AS rk
+        |  FROM e CROSS JOIN c),
+        |cl AS (SELECT vec_id, cid AS cluster FROM assign WHERE rk = 1)
+        |SELECT x.vec_id, x.cluster,
+        |  CASE WHEN EXISTS (
+        |    SELECT 1 FROM cl y
+        |    JOIN e ex ON ex.vec_id = x.vec_id
+        |    JOIN e ey ON ey.vec_id = y.vec_id
+        |    WHERE y.cluster = x.cluster AND y.vec_id < x.vec_id
+        |      AND round(list_cosine_similarity(ex.v, ey.v), 6) >= 0.35)
+        |  THEN 'dropped' ELSE 'kept' END AS status
+        |FROM cl x""".stripMargin)),
 
     // L21: embedding L2-normalization + int8 scalar quantization — the
     // vector-index prep step (SQ8 cuts index memory 4× before IVF/LSH
@@ -1127,3 +1209,4 @@ object LlmOps extends QGroup {
       None)
   )
 }
+

@@ -37,8 +37,9 @@ class AdversarialTextSpec extends SparkSpec {
           "l4b_multimodal_features",
           // read lineitem/orders (the interaction graph), not documents
           "l26_pagerank", "l30_triangle_count",
-          // these two also read the embeddings table, absent here
-          "f1_flatten_multimap", "l1f_embedding_dedup").contains(q.name))
+          // these also read the embeddings table, absent here
+          "f1_flatten_multimap", "l1f_embedding_dedup",
+          "l39_semdedup").contains(q.name))
     val failures = docQueries.flatMap { q =>
       try {
         q.spark(spark, dir).write.format("noop").mode("overwrite").save()

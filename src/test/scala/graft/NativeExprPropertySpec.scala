@@ -228,6 +228,41 @@ class NativeExprPropertySpec extends SparkSpec {
     assert(both.filter(!(col("lh") <=> col("ln")) || !(col("fh") <=> col("fn")) ||
       !(col("rh") <=> col("rn"))).count() == 0)
   }
+
+  test("graft_dsir_buckets == md5-hex gram composition on corpus + edge arrays") {
+    val docs = spark.read.parquet(sf("documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").as("id"), split(col("text"), " ").as("ws"))
+      .union(Seq(
+        // space INSIDE a token, empty token, non-ASCII, single, empty
+        (9001L, Array("汉字", "tokens", "汉字 mixed", "", "a")),
+        (9002L, Array("solo")),
+        (9003L, Array.empty[String])).toDF("id", "ws"))
+    val comp = docs.select(col("id"), explode(concat(
+        col("ws"),
+        when(size(col("ws")) >= 2,
+          transform(sequence(lit(1), size(col("ws")) - 1),
+            i => concat_ws(" ",
+              element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+          .otherwise(typedlit(Array.empty[String])))).as("g"))
+      .withColumn("b", expr(
+        "(instr('0123456789abcdef', substring(md5(g), 1, 1)) - 1) * 16" +
+          " + (instr('0123456789abcdef', substring(md5(g), 2, 1)) - 1)"))
+      .groupBy(col("id"), col("b")).agg(count(lit(1)).cast("int").as("c_comp"))
+    val nat = docs.select(col("id"), posexplode(
+        graft.GraftFunctions.dsirBucketsNative(spark, col("ws")))
+        .as(Seq("b", "c_nat")))
+      .filter(col("c_nat") > 0)
+    val joined = nat.join(comp, Seq("id", "b"), "full_outer")
+    assert(joined.filter(!(col("c_nat") <=> col("c_comp"))).count() == 0)
+    // the native histogram always sums to the gram count: 2·|ws| − 1
+    val sums = docs.select(col("id"), size(col("ws")).as("n"),
+      aggregate(graft.GraftFunctions.dsirBucketsNative(spark, col("ws")),
+        lit(0L), (a, c) => a + c).as("s"))
+    assert(sums.filter(col("n") >= 1 && col("s") =!= col("n") * 2 - 1)
+      .count() == 0)
+    assert(sums.filter(col("n") === 0 && col("s") =!= 0).count() == 0)
+  }
 }
 
 /** Property tests for the round-4 operators: the bucketed interval join

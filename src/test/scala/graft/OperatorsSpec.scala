@@ -483,6 +483,27 @@ class SimilaritySpec extends SparkSpec {
     assert(both.filter(col("generic") =!= col("literal")).count() == 0)
     assert(both.filter(col("literal") =!= array_repeat(lit(0L), 12)).count() > 0)
   }
+
+  test("semDedup assigns by nearest seed and drops tau-close later ids in-cluster") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1f, 0f)),      // seed of cluster 0
+      (1L, Array(0f, 1f)),      // seed of cluster 1
+      (10L, Array(0.99f, 0.05f)), // ~seed 0: dropped (cos to id 0 ≈ 0.999)
+      (11L, Array(0f, 0.95f)),  // ∥seed 1: dropped (cos to id 1 = 1.0)
+      (12L, Array(0.6f, 0.8f))  // cluster 1 but cos to mates < 0.9: kept
+    ).toDF("vec_id", "embedding")
+      .union(Seq((13L, null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "embedding")) // null vector: excluded entirely
+    val out = Similarity.semDedup(df, "vec_id", "embedding", k = 2, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.keySet == Set(0L, 1L, 10L, 11L, 12L))
+    assert(out(0L) == ((0L, "kept")) && out(1L) == ((1L, "kept")),
+      "seeds have no earlier cluster-mate")
+    assert(out(10L) == ((0L, "dropped")))
+    assert(out(11L) == ((1L, "dropped")))
+    assert(out(12L) == ((1L, "kept")), "same cluster but below tau")
+  }
 }
 
 class NativeExprSpec extends SparkSpec {
@@ -778,6 +799,33 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextAnalysis.chunkTokens(df, "id", "text", chunkSize = 2, stride = 3)
     }
+  }
+
+  test("dsirWeights favors target-like docs and is repartition-invariant") {
+    val df = Seq(
+      (0L, "alpha beta alpha gamma", "en"),
+      (1L, "alpha gamma beta beta", "en"),
+      (2L, "zeta eta theta zeta", "de"),
+      (3L, "alpha beta gamma alpha", "de"), // target-LIKE words, wrong lang
+      (4L, "zeta theta eta eta", "de")      // source-only words
+    ).toDF("doc_id", "text", "lang")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.dsirWeights(d, "doc_id", "text",
+        isTarget = col("lang") === "en", topK = 5)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val out = run(df)
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // 4 tokens → 4 unigrams + 3 bigrams
+    assert(out.values.forall(_._1 == 7L))
+    // importance transfers by CONTENT, not by the label: doc 3 uses the
+    // target domain's vocabulary and must outscore the source-only doc 4
+    assert(out(3L)._2 > out(4L)._2,
+      s"target-like ${out(3L)._2} vs source-only ${out(4L)._2}")
+    assert(out(0L)._2 > out(4L)._2)
+    // hash-driven Gumbel keys: identical under any partitioning
+    assert(run(df.repartition(7)) == out)
   }
 }
 
