@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomMightContain, CharEntropy, CosineSimilarity, DsirBuckets, LangId, MinHashSignature, NearestCentroid, RepetitionStats, TokenFingerprint, UnicodeNormalize}
+import graft.functions.{BloomMightContain, CharEntropy, CosineSimilarity, DsirBuckets, LangId, SortedPairs, MinHashSignature, NearestCentroid, RepetitionStats, TokenFingerprint, UnicodeNormalize}
 
 /** Session extension registering graft's native expressions, for use via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -40,6 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(DsirBuckets.name), DsirBuckets.info,
         DsirBuckets.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(SortedPairs.name), SortedPairs.info,
+        SortedPairs.builder))
     ext.injectOptimizerRule(graft.plans.CorruptDateRebaseRule.apply)
   }
 }
@@ -79,6 +82,9 @@ object GraftFunctions {
     val db = FunctionIdentifier(DsirBuckets.name)
     if (!reg.functionExists(db))
       reg.registerFunction(db, DsirBuckets.info, DsirBuckets.builder)
+    val sp = FunctionIdentifier(SortedPairs.name)
+    if (!reg.functionExists(sp))
+      reg.registerFunction(sp, SortedPairs.info, SortedPairs.builder)
     // sessions built without withExtensions still get the transparent
     // corrupt-date rebase via the user-provided optimizer batch; skip
     // when the extensions path already injected it (double installation
@@ -107,6 +113,12 @@ object GraftFunctions {
   def dsirBucketsNative(spark: SparkSession, tokens: Column): Column = {
     ensureRegistered(spark)
     call_function(DsirBuckets.name, tokens)
+  }
+
+  /** Column API for the native all-(i<j)-pairs fan-out. */
+  def sortedPairsNative(spark: SparkSession, arr: Column): Column = {
+    ensureRegistered(spark)
+    call_function(SortedPairs.name, arr)
   }
 
   /** Column API for the native one-pass MinHash signature. */

@@ -29,28 +29,30 @@ object Scratch {
       ts.min
     }
 
-    // l38: is the shared (id,tgt,b) pre-agg exchange actually reused?
-    val q = SparkEntry.queries("l38_dsir_select")(spark, sfDir)
-    time("l38 current") { SparkEntry.queries("l38_dsir_select")(spark, sfDir) }
-
-    // the md5 floor alone: one pass, hash every gram, count
-    val docs = Tables(spark, sfDir, "documents")
-    time("gram md5 floor (one pass)") {
-      docs.filter(col("text").isNotNull)
-        .select(col("doc_id").as("id"), split(col("text"), " ").as("ws"))
-        .select(col("id"), explode(concat(
-          col("ws"),
-          when(size(col("ws")) >= 2,
-            transform(sequence(lit(1), size(col("ws")) - 1),
-              i => concat_ws(" ",
-                element_at(col("ws"), i), element_at(col("ws"), i + 1))))
-            .otherwise(typedlit(Array.empty[String])))).as("g"))
-        .withColumn("b", expr(
-          "(instr('0123456789abcdef', substring(md5(g), 1, 1)) - 1) * 16" +
-            " + (instr('0123456789abcdef', substring(md5(g), 2, 1)) - 1)"))
-        .groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val li = Tables(spark, sfDir, "lineitem")
+    time("a19 current") { SparkEntry.queries("a19_association_rules")(spark, sfDir) }
+    val baskets = li
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("items"))
+    time("a19 baskets only") { baskets }
+    time("a19 baskets+pairs+top (HOF)") {
+      baskets.select(explode(expr(
+          "flatten(transform(items, (x, i) -> " +
+            "transform(slice(items, i + 2, size(items) - i - 1), " +
+            "y -> struct(x AS a, y AS b))))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .orderBy(col("n_ab").desc, col("a").asc, col("b").asc)
+        .limit(200)
     }
-
+    time("a19 baskets+pairs+top (native)") {
+      baskets.select(explode(
+          GraftFunctions.sortedPairsNative(spark, col("items"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .orderBy(col("n_ab").desc, col("a").asc, col("b").asc)
+        .limit(200)
+    }
     spark.stop()
   }
 }

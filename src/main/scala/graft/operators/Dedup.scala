@@ -433,7 +433,8 @@ object Dedup {
     * Scale shape: NEVER a source×source gram join. One gram-keyed
     * exchange collects the distinct set of sources containing each gram
     * — an array bounded by |sources| (dimension-sized), not corpus size
-    * — and the a19 recipe (sorted set + scan-local i<j HOF pairing)
+    * — and the a19 recipe (sorted set + scan-local native i<j pairing,
+    * `graft_sorted_pairs`)
     * fans each gram out to its source pairs; one pair-keyed count then
     * yields every |A∩B| in a single pass over corpus grams. Per-source
     * gram totals ride the same distinct gram relation.
@@ -456,10 +457,10 @@ object Dedup {
     sg.groupBy(col("gram"))
       .agg(array_sort(collect_set(col("src"))).as("srcs"))
       .filter(size(col("srcs")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(srcs, (x, i) -> " +
-          "transform(slice(srcs, i + 2, size(srcs) - i - 1), " +
-          "y -> struct(x AS a, y AS b))))")).as("p"))
+      // native i<j fan-out (graft_sorted_pairs, the a19 kernel): no
+      // per-element slice allocation, no per-pair lambda dispatch
+      .select(explode(graft.GraftFunctions
+        .sortedPairsNative(df.sparkSession, col("srcs"))).as("p"))
       .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
       .agg(count(lit(1)).as("n_common"))
       .join(sizes.select(col("src").as("src_a"), col("n_grams").as("n_a")), Seq("src_a"))
@@ -744,6 +745,10 @@ object Dedup {
       val wm = withMins(e)
       wm.filter(col("v") <= col("u"))
         .select(col("v").as("u"), col("m").as("v"))
+        // the inner distinct looks redundant under the outer one, but
+        // removing it is a measured LOSS (l25 2.47 s → 3.10 s): the
+        // (u,m) branch is per-edge and heavily duplicated, and
+        // pre-shrinking it is worth the extra exchange
         .union(wm.select(col("u"), col("m").as("v")).distinct())
         .filter(col("u") =!= col("v")).distinct()
     }

@@ -263,6 +263,36 @@ class NativeExprPropertySpec extends SparkSpec {
       .count() == 0)
     assert(sums.filter(col("n") === 0 && col("s") =!= 0).count() == 0)
   }
+
+  test("graft_sorted_pairs == flatten/transform/slice HOF on long + string arrays") {
+    def hofPairs(c: String) = expr(
+      s"flatten(transform($c, (x, i) -> " +
+        s"transform(slice($c, i + 2, size($c) - i - 1), " +
+        "y -> struct(x AS a, y AS b))))")
+    // long arrays: generated sizes 0..12 incl. duplicates and nulls
+    val longRows = (0 until 60).map { seed =>
+      val n = seed % 13
+      Tuple1((0 until n).map { i =>
+        val v = Gen.chooseNum(0L, 20L).pureApply(Gen.Parameters.default,
+          Seed(seed * 100L + i))
+        if ((seed + i) % 11 == 0) null else java.lang.Long.valueOf(v)
+      }.toArray)
+    }
+    val dl = longRows.toDF("arr")
+    val bothL = dl.select(hofPairs("arr").as("hof"),
+      graft.GraftFunctions.sortedPairsNative(spark, col("arr")).as("native"))
+    assert(bothL.filter(!(col("hof") <=> col("native"))).count() == 0)
+    // string arrays (the l34 source-set shape), incl. empty strings
+    val ds = Seq(
+      Tuple1(Array("src1", "src2", "src3")),
+      Tuple1(Array("", "a", "a b", "汉")),
+      Tuple1(Array("solo")),
+      Tuple1(Array.empty[String]),
+      Tuple1(null.asInstanceOf[Array[String]])).toDF("arr")
+    val bothS = ds.select(hofPairs("arr").as("hof"),
+      graft.GraftFunctions.sortedPairsNative(spark, col("arr")).as("native"))
+    assert(bothS.filter(!(col("hof") <=> col("native"))).count() == 0)
+  }
 }
 
 /** Property tests for the round-4 operators: the bucketed interval join
