@@ -186,17 +186,22 @@ object Dedup {
     // monotone-sum convergence: labels only ever DECREASE (min
     // propagation), so Σlabel unchanged ⟺ no label changed — one
     // scan-agg over the checkpointed snapshot instead of a self-join.
-    // Decimal sum: at corpus scale Σ(id) overflows BIGINT. Numeric ids
-    // only — a string id would crash the cast under ANSI (or, worse,
-    // null-coerce and false-converge with ANSI off), so non-numeric
-    // label types take the join-based equality check instead.
-    import org.apache.spark.sql.types.{DecimalType, NumericType}
+    // EXACTNESS requires the cast("long") below to be injective, so the
+    // fast path is gated to INTEGRAL id types only (long-castable
+    // without truncation). Fractional ids (double/float, decimal with
+    // scale > 0) would checksum truncated values — distinct labels
+    // differing only in fraction could falsely compare equal and stop
+    // propagation early — and a string id would crash the cast under
+    // ANSI; both take the join-based equality check instead.
+    import org.apache.spark.sql.types._
     val numericIds = banded.schema("id").dataType match {
-      case _: NumericType | _: DecimalType => true
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType if d.scale == 0 && d.precision <= 18 => true
       case _ => false
     }
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      // exact split-sum on primitive longs (ids are full-range numerics)
+      // exact split-sum on primitive longs (gate above guarantees the
+      // cast is lossless for every value of the id type)
       val s = df.agg(graft.queries.QShared.splitSum(
         col("label").cast("long"), Seq(21, 42))).head().getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s // empty graph

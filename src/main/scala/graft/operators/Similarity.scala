@@ -405,13 +405,17 @@ object Similarity {
     val assigned = vecs
       .withColumn("__sims", sims)
       .withColumn("cluster",
-        // all-null sims (zero-norm vector): no assignable cell → its own
-        // singleton bucket, never dropped (cosine to it is null anyway)
+        // all-null sims (zero-norm vector): assign the LOWEST centroid
+        // id — DuckDB's list_cosine_similarity yields -1.0 (not NULL)
+        // for a zero vector, so the oracle's (sim6 DESC, cid ASC) tie
+        // lands on the lowest cid; mirroring that here keeps the cluster
+        // column oracle-stable. The row itself still never drops anyone
+        // (its pairwise cosine is NULL here, -1.0 < tau there).
         coalesce(
           element_at(cidLit,
             array_position(col("__sims"), array_max(col("__sims")))
               .cast("int")),
-          lit(-1L)))
+          lit(seeds.map(_._1).min)))
       .select(col("id"), col("cluster"), col("v"))
     val dropped = assigned.as("x")
       .join(assigned.as("y"),

@@ -317,16 +317,25 @@ object SourcesSinks extends QGroup {
         // from (s6 precedent); `_metadata` stays available regardless
         s.read.schema(staged.schema).parquet(out)
           .select(
-            // url_decode: partition VALUES are Hive/URL-escaped in the
-            // directory name (a lang like 'pt BR' writes lang_k=pt%20BR);
-            // the oracle groups by the raw value
-            url_decode(
-              regexp_extract(col("_metadata.file_path"), "lang_k=([^/]+)", 1))
-              .as("lang_k"),
+            regexp_extract(col("_metadata.file_path"), "lang_k=([^/]+)", 1)
+              .as("lang_k_esc"),
             col("_metadata.file_name").as("__f"))
-          .groupBy(col("lang_k"))
+          .groupBy(col("lang_k_esc"))
           .agg(count(lit(1)).as("n_rows"),
             countDistinct(col("__f")).as("n_files"))
+          // partition VALUES are Hive-escaped in the directory name —
+          // %XX for chars in Hive's escape set ONLY ('/', ':', '=', '%',
+          // '#', control chars, …). Space and '+' are NOT escaped, so
+          // url_decode (x-www-form-urlencoded) would corrupt a literal
+          // '+' into a space; decode strictly the %XX pairs instead
+          // (graft.sources.ParquetIO.unescapeHivePath, mirroring
+          // ExternalCatalogUtils.unescapePathName). Applied POST-agg:
+          // the non-codegen decode runs once per partition value, never
+          // on the scan path.
+          .select(
+            graft.sources.ParquetIO.unescapeHivePathUdf(col("lang_k_esc"))
+              .as("lang_k"),
+            col("n_rows"), col("n_files"))
       },
       Some("""SELECT COALESCE(lang, '__null__') AS lang_k,
         |  COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS n_files

@@ -26,15 +26,28 @@ object Compaction {
   final case class CompactionStats(
       nFilesBefore: Int, bytesBefore: Long, nFilesAfter: Int)
 
-  /** List the data files of a parquet directory: (count, total bytes).
-    * Ignores _SUCCESS and other metadata sidecars. */
-  def dataFiles(spark: SparkSession, dir: String): (Int, Long) = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter(s =>
-      s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-    (files.length, files.map(_.getLen).sum)
+  /** List the data files of a parquet directory RECURSIVELY:
+    * (count, total bytes, sawSubdirFiles). Ignores _SUCCESS and other
+    * metadata sidecars; `sawSubdirFiles` reports whether any data file
+    * lives below the top level (a partitioned/Hive layout). */
+  def dataFiles(spark: SparkSession, dir: String): (Int, Long, Boolean) = {
+    val raw = new Path(dir)
+    val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = fs.makeQualified(raw) // listed paths come back qualified
+    var n = 0
+    var bytes = 0L
+    var nested = false
+    val it = fs.listFiles(p, /* recursive = */ true)
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      if (s.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        n += 1
+        bytes += s.getLen
+        if (s.getPath.getParent != p) nested = true
+      }
+    }
+    (n, bytes, nested)
   }
 
   /** Rewrite `in` into `out` as ~`targetBytes`-sized files:
@@ -50,7 +63,16 @@ object Compaction {
       targetBytes: Long,
       schema: Option[org.apache.spark.sql.types.StructType] = None): CompactionStats = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val (nBefore, bytes) = dataFiles(spark, in)
+    val (nBefore, bytes, nested) = dataFiles(spark, in)
+    // a partitioned (Hive-layout) input would have its partition
+    // columns silently folded into data columns by this flat rewrite —
+    // refuse loudly; partitioned tables compact per-partition-directory
+    // (each leaf directory is a flat input to this same call)
+    require(!nested,
+      s"compact: '$in' contains data files in subdirectories " +
+        "(partitioned layout) — compact each leaf partition directory " +
+        "separately; a flat rewrite would fold partition columns into " +
+        "the data files")
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     // explicit schema when provided: an all-empty input directory has
     // no footer to infer from (and a stable read contract beats
@@ -59,7 +81,7 @@ object Compaction {
     reader.parquet(in)
       .repartition(n) // explicit numPartitions: AQE does not coalesce it
       .write.mode("overwrite").parquet(out)
-    val (nAfter, _) = dataFiles(spark, out)
+    val (nAfter, _, _) = dataFiles(spark, out)
     CompactionStats(nBefore, bytes, nAfter)
   }
 }

@@ -362,4 +362,38 @@ object ParquetIO {
       partitionCols: Seq[String] = Nil): Unit =
     write(df, path, mode, compression, partitionCols,
       extraOptions = s3aWriteOptions)
+
+  /** Decode a Hive-escaped partition-directory VALUE: strictly the
+    * `%XX` (two-hex-digit) sequences Hive's `escapePathName` emits,
+    * nothing else — mirrors Catalyst's
+    * `ExternalCatalogUtils.unescapePathName`. NOT url_decode: Hive
+    * never escapes space or '+', so x-www-form-urlencoded decoding
+    * would corrupt a literal '+' in a partition value into a space.
+    * A '%' not followed by two hex digits passes through verbatim
+    * (same as the Catalyst impl). */
+  def unescapeHivePath(s: String): String = {
+    if (s == null) return null
+    if (s.indexOf('%') < 0) return s // common case: nothing escaped
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        // both chars must be hex DIGITS — parseInt alone would also
+        // accept a signed "+5"/"-5" pair, which is not a Hive escape
+        val h1 = Character.digit(s.charAt(i + 1), 16)
+        val h2 = Character.digit(s.charAt(i + 2), 16)
+        if (h1 >= 0 && h2 >= 0) { sb.append((h1 * 16 + h2).toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Column form of [[unescapeHivePath]]. A UDF is the right tool here
+    * (no builtin decodes only-%XX), but callers must keep it OFF the
+    * scan path — apply it to aggregated partition values, whose
+    * cardinality is the partition count, not the row count. */
+  def unescapeHivePathUdf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udf(unescapeHivePath _).apply(c)
 }

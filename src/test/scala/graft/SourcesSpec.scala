@@ -452,7 +452,8 @@ class CompactionSpec extends SparkSpec {
     val out = tmpDir("graft-compact") + "/out"
     val docs = spark.read.parquet(sf("documents"))
     docs.repartition(24).write.mode("overwrite").parquet(frag)
-    val (nBefore, bytes) = Compaction.dataFiles(spark, frag)
+    val (nBefore, bytes, nested) = Compaction.dataFiles(spark, frag)
+    assert(!nested, "flat layout expected")
     assert(nBefore == 24, s"fragmentation setup: $nBefore files")
     val target = 256L * 1024
     val stats = Compaction.compact(spark, frag, out, target, Some(docs.schema))
@@ -481,5 +482,22 @@ class CompactionSpec extends SparkSpec {
     docs.limit(0).write.mode("overwrite").parquet(emptyIn)
     val es = Compaction.compact(spark, emptyIn, emptyOut, 1024, Some(docs.schema))
     assert(spark.read.schema(docs.schema).parquet(emptyOut).count() == 0, es.toString)
+  }
+
+  test("refuses a partitioned (nested) layout instead of folding partition columns") {
+    val part = tmpDir("graft-compact3") + "/part"
+    val out = tmpDir("graft-compact3") + "/out"
+    val docs = spark.read.parquet(sf("documents"))
+    docs.withColumn("lang_k", org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.lit("__null__")))
+      .write.mode("overwrite").partitionBy("lang_k").parquet(part)
+    val (n, bytes, nested) = Compaction.dataFiles(spark, part)
+    assert(nested, "partitioned layout must be detected as nested")
+    assert(n > 0 && bytes > 0, s"recursive listing must see the leaf files: $n/$bytes")
+    val ex = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, part, out, 256L * 1024)
+    }
+    assert(ex.getMessage.contains("partition"), ex.getMessage)
   }
 }
