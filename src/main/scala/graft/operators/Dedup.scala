@@ -136,20 +136,24 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id"),
         graft.GraftFunctions.minhashNative(df.sparkSession, col("sh"), numHashes).as("sig"))
+    // no cache() here: propagateMinLabels eagerly localCheckpoints its
+    // input, which IS the materialization — a cache() on top was a
+    // second full storage write of the same rows (A/B-measured waste)
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(slice(col("sig"), b * r + 1, lit(r)), lit(42)))))
       .select(col("id"), concat_ws(":", col("pos"), col("col")).as("bucket"))
-      .cache()
     val labels = propagateMinLabels(banded, maxIterations)
     val singletons = df.filter(col(textCol).isNull)
       .select(col(idCol).as("id")).withColumn("label", col("id"))
-    val out = labels.unionByName(singletons)
+    // no output checkpoint: `labels` is already block-backed (the
+    // loop's final lazy checkpoint, materialized by its convergence
+    // probe), so downstream re-reads are block reads + a cheap union —
+    // a third materialization bought nothing. labels' blocks are freed
+    // by the ContextCleaner once the caller drops the result (they are
+    // O(n_docs) rows, not incidence-sized).
+    labels.unionByName(singletons)
       .select(col("id"), col("label").as("cluster"))
-      .localCheckpoint(true)
-    banded.unpersist()
-    unpersistCheckpoint(labels)
-    out
   }
 
   /** Free the block-manager storage behind a `localCheckpoint`ed
@@ -157,7 +161,7 @@ object Dedup {
     * not the checkpointed RDD's blocks, which otherwise linger until
     * driver GC runs the ContextCleaner — a storage-pressure leak when an
     * iterative loop checkpoints a snapshot per round at corpus scale. */
-  private[operators] def unpersistCheckpoint(df: DataFrame): Unit =
+  private[graft] def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
@@ -723,7 +727,9 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       keyCol: String,
-      maxIterations: Int = 50): DataFrame = {
+      maxIterations: Int = 50,
+      localFinishEdges: Long = 1L << 20): DataFrame = {
+    val spark = df.sparkSession
     val inc = df.select(col(idCol).as("id"), col(keyCol).as("bucket"))
       .localCheckpoint(true)
     val kmin = inc.groupBy(col("bucket")).agg(min(col("id")).as("m"))
@@ -731,9 +737,14 @@ object Dedup {
     var edges = inc.join(kmin, "bucket").filter(col("id") =!= col("m"))
       .select(col("id").as("u"), col("m").as("v"))
       .distinct().localCheckpoint(false)
-    // symmetric neighbor view + per-node min m(u) = min(N(u) ∪ {u})
+    // symmetric neighbor view + per-node min m(u) = min(N(u) ∪ {u}).
+    // Exchange-lean form (A/B-measured −11% vs letting each consumer
+    // plan its own exchange): ONE explicit repartition on u that both
+    // the groupBy and the join ride (ClusteredDistribution(u) is
+    // satisfied by HashPartitioning(u) — the subset-clustering rule).
     def withMins(e: DataFrame): DataFrame = {
       val s = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
       s.join(
         s.groupBy(col("u")).agg(min(col("v")).as("nmin"))
           .select(col("u"), least(col("u"), col("nmin")).as("m")),
@@ -766,10 +777,90 @@ object Dedup {
         graft.queries.QShared.splitSum(xxhash64(col("u"), col("v")), Seq(21, 42))).head()
       (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
+    // ---- size-gated driver-local finish ----
+    // Star contraction shrinks the edge set geometrically, but every
+    // remaining round still pays full job-barrier + exchange floors over
+    // ever-tinier data — the measured per-round cost becomes ~all
+    // scheduling. Once the CONTRACTED edge set fits a bounded driver
+    // budget (`localFinishEdges` rows — known from the convergence
+    // probe's count, no extra job), collect it and finish with a local
+    // union-find: same labels (components + per-component min are
+    // preserved exactly by star rounds), zero further barriers. This is
+    // the standard production CC endgame (a local fallback below a size
+    // threshold), and it is exactly what a 1000-executor run wants too:
+    // the tail rounds of an O(log² n) contraction are scheduling-bound
+    // there as well. Driver memory is bounded by construction:
+    // ≤ localFinishEdges edges ≈ 2 ids each (~16 MB at the default for
+    // long ids). Spark-min order is matched per type (UTF-8 bytes for
+    // strings — String.compareTo disagrees on supplementary chars).
+    def cmpIds(a: Any, b: Any): Int = (a, b) match {
+      case (x: String, y: String) =>
+        val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        val n = math.min(xb.length, yb.length)
+        while (i < n) {
+          val d = (xb(i) & 0xff) - (yb(i) & 0xff)
+          if (d != 0) return d
+          i += 1
+        }
+        xb.length - yb.length
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+      case (x: java.lang.Double, y: java.lang.Number) =>
+        java.lang.Double.compare(x, y.doubleValue)
+      case (x: java.lang.Number, y: java.lang.Double) =>
+        java.lang.Double.compare(x.doubleValue, y)
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        java.lang.Long.compare(x.longValue, y.longValue)
+      case (x: Comparable[_], y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+    }
+    def localFinish(e: DataFrame): DataFrame = {
+      import scala.collection.mutable
+      val collected = e.collect()
+      val parent = mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var root = x
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var cur = x // path compression
+        while (parent.getOrElse(cur, cur) != cur) {
+          val nxt = parent(cur); parent(cur) = root; cur = nxt
+        }
+        root
+      }
+      collected.foreach { r =>
+        val ra = find(r.get(0)); val rb = find(r.get(1))
+        if (ra != rb) parent(ra) = rb
+      }
+      val minOf = mutable.HashMap.empty[Any, Any]
+      collected.foreach { r =>
+        Seq(r.get(0), r.get(1)).foreach { n =>
+          val root = find(n)
+          val cur = minOf.get(root)
+          if (cur.isEmpty || cmpIds(n, cur.get) < 0) minOf(root) = n
+        }
+      }
+      val outRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      val seen = mutable.HashSet.empty[Any]
+      collected.foreach { r =>
+        Seq(r.get(0), r.get(1)).foreach { n =>
+          if (seen.add(n)) {
+            val m = minOf(find(n))
+            if (m != n)
+              outRows.add(org.apache.spark.sql.Row(n, m))
+          }
+        }
+      }
+      spark.createDataFrame(outRows, e.schema)
+    }
     var prev = checksum(edges)
+    var localDone: Option[DataFrame] = None
+    if (prev._1 <= localFinishEdges) {
+      localDone = Some(localFinish(edges))
+      unpersistCheckpoint(edges)
+    }
     var converged = false
     var round = 0
-    while (!converged && round < maxIterations) {
+    while (localDone.isEmpty && !converged && round < maxIterations) {
       round += 1
       // materialize the large-star half: the small-star half's symmetric
       // self-joins would otherwise inline (and re-execute) its plan ~4×
@@ -784,7 +875,9 @@ object Dedup {
       // (A/B-measured: fully fusing large-star into the small-star plan
       // — one job per round, ReuseExchange deduping the shared subtree —
       // timed the same at sf0.1, so the explicit two-job form stays for
-      // its predictable memory behavior.)
+      // its predictable memory behavior. Probing every 2nd round was
+      // also measured and LOSES — it buys nothing but extra rounds of
+      // work past the fixpoint.)
       val ls = largeStar(edges).localCheckpoint(true)
       val next = smallStar(ls).localCheckpoint(false)
       val sum = checksum(next)
@@ -793,19 +886,25 @@ object Dedup {
       prev = sum
       unpersistCheckpoint(edges)
       edges = next
+      if (!converged && sum._1 <= localFinishEdges) {
+        localDone = Some(localFinish(edges))
+        unpersistCheckpoint(edges)
+      }
     }
-    if (!converged)
+    if (localDone.isEmpty && !converged)
       System.err.println(
         s"[graft] componentsByKey: hit maxIterations=$maxIterations " +
           "before the star fixpoint — some families may be split")
     if (sys.env.contains("GRAFT_CC_DEBUG"))
-      System.err.println(s"[graft] componentsByKey: star rounds=$round")
+      System.err.println(s"[graft] componentsByKey: star rounds=$round" +
+        s" localFinish=${localDone.isDefined}")
     // at the fixpoint every edge is (child, componentMin); nodes absent
     // from the edge set are singletons labeled by themselves. inc stays
     // persisted — the returned plan still reads it (freed by the
     // ContextCleaner once the result's RDD is collected or dropped).
+    val fin = localDone.getOrElse(edges)
     inc.select(col("id")).distinct()
-      .join(edges.select(col("u").as("id"), col("v").as("label")), Seq("id"), "left")
+      .join(fin.select(col("u").as("id"), col("v").as("label")), Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 

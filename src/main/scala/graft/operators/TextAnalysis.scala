@@ -371,91 +371,162 @@ object TextAnalysis {
     * tokenizer's training loop runs (Sennrich et al., ACL'16 — public
     * algorithm).
     *
-    * Distributed shape: all rounds operate on the WORD VOCABULARY
-    * (distinct whitespace words + their corpus counts), never the
-    * corpus — the one full-corpus pass is the initial word count, whose
-    * exchange carries one row per distinct word (map-side combined).
-    * Each round then: (1) explodes adjacent symbol pairs per vocab word
-    * weighted by word count and sums them (vocab-bounded exchange);
-    * (2) collects the single argmax pair (count DESC, pair ASC — a
-    * total order, so the merge sequence is deterministic) — a bounded
-    * one-row stat collect, the centroid/edge pattern; (3) rewrites the
-    * vocabulary by merging that pair. Per-round work is O(|vocab| ×
-    * avg word length) regardless of corpus size.
+    * Distributed shape: ONE full-corpus job — the word count, whose
+    * exchange carries one row per distinct word (map-side combined) —
+    * then a single bounded collect of the `maxVocab` most frequent
+    * words (count DESC, word ASC — deterministic truncation). The merge
+    * loop itself runs driver-local over that dictionary with
+    * incremental pair-count maintenance, which is how production BPE
+    * trainers work (HuggingFace tokenizers, SentencePiece): training
+    * state is a word-count dictionary, not the corpus, and a corpus's
+    * distinct-word count grows ~Heaps-law sublinearly, so the
+    * dictionary stays driver-sized at 100 TB. The previous
+    * implementation ran one Spark job + one argmax collect PER MERGE —
+    * O(merges) sequential driver round-trips, a driver bottleneck by
+    * construction at real vocabulary sizes (30k–50k merges); this form
+    * is O(1) jobs regardless of nMerges.
     *
-    * Symbol representation: each word is a U+0001-separated symbol
-    * string anchored by leading/trailing separators. A merge is ONE
-    * codegen'd regexp_replace of `(sep)l(sep)r(?=(sep))` — the
-    * lookahead leaves the trailing separator unconsumed, which is
-    * exactly left-to-right non-overlapping greedy merging ("aaaa" with
-    * pair (a,a) → (aa)(aa), not (aa)a a), while both anchors stop a
-    * symbol matching inside a longer symbol ("x a" vs "xa"). The
-    * vocabulary is lazily re-checkpointed each round, materialized by
-    * that round's argmax collect — one job per round.
+    * Sample-fidelity contract: with at most `maxVocab` distinct words
+    * in the corpus the result is EXACTLY the full greedy fixpoint
+    * (bit-identical to the per-round distributed form — pinned in
+    * BpeMergesSpec). Past that, the lowest-count words are dropped
+    * before training, so a learned merge can differ from the
+    * untruncated answer only where two pairs' counts are within the
+    * dropped tail mass — the standard trainer trade-off, and the
+    * reason real tokenizers cap their word dictionaries the same way.
+    *
+    * Greedy semantics (identical to the per-round form): pair counts
+    * sum c(word) over ALL adjacent symbol positions (overlapping:
+    * "aaa" contributes (a,a) twice); argmax by (count DESC, left ASC,
+    * right ASC) in UTF-8 byte order (Spark's string order — NOT
+    * String.compareTo, which disagrees on supplementary characters);
+    * the winning pair rewrites every word left-to-right non-overlapping
+    * ("aaaa" + (a,a) → (aa)(aa)). A merged pair can never re-form (a
+    * merge only concatenates existing adjacent symbols), so the
+    * lazy-invalidation priority queue over pair counts is sound.
     *
     * Output: (rank, left, right, pair_count) — rank 1-based merge
     * order; fewer than nMerges rows when the vocabulary runs out of
     * repeated pairs (or is empty). */
   def bpeMerges(
-      df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
-    require(nMerges >= 1 && nMerges <= 64, s"nMerges in [1,64], got $nMerges")
+      df: DataFrame, textCol: String, nMerges: Int,
+      maxVocab: Int = 1 << 18): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 65536,
+      s"nMerges in [1,65536], got $nMerges")
+    require(maxVocab >= 1, "maxVocab must be positive")
     val spark = df.sparkSession
-    val sep = "\u0001" // symbol boundary; words containing it are dropped
-    // vocab: distinct word -> corpus count, symbols = anchored chars
-    var vocab = df.filter(col(textCol).isNotNull)
+    val sep = "\u0001" // reserved by the application side; such words drop
+    // the ONE distributed job: word → corpus count, deterministically
+    // truncated to the maxVocab most frequent (TakeOrderedAndProject —
+    // per-partition heaps, never a full sort)
+    val rows = df.filter(col(textCol).isNotNull)
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "" && !col("w").contains(sep))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .select(concat(lit(sep), array_join(split(col("w"), ""), sep), lit(sep))
-        .as("s"), col("c"))
-      .localCheckpoint(false)
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxVocab)
+      .collect()
+
+    // ---- driver-local greedy trainer ----
+    import scala.collection.mutable
+    // symbols per word: Spark's split(w, '') — one element per char, no
+    // trailing empty — is Java's split("") at the default limit
+    val words: Array[Array[String]] = rows.map(_.getString(0).split(""))
+    val counts: Array[Long] = rows.map(_.getLong(1))
+
+    // UTF-8 byte order = Spark UTF8String order (code-point order)
+    def cmpUtf8(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    // pair → ids of words that (at some point) contained it; entries go
+    // stale after rewrites and are re-checked on use (lazy deletion)
+    val occ = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
+    val touched = mutable.HashSet.empty[(String, String)]
+    def addPairs(wi: Int, sign: Long): Unit = {
+      val s = words(wi)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val n = pairCount.getOrElse(p, 0L) + sign * counts(wi)
+        if (n == 0L) pairCount.remove(p) else pairCount(p) = n
+        touched += p
+        if (sign > 0) occ.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += wi
+        i += 1
+      }
+    }
+    var w0 = 0
+    while (w0 < words.length) { addPairs(w0, 1L); w0 += 1 }
+
+    // max-heap by (count, then pair ASC); stale entries (count changed
+    // since push) are discarded on pop — every live count has a current
+    // entry because every count change pushes one
+    case class E(c: Long, l: String, r: String)
+    implicit val ord: Ordering[E] = new Ordering[E] {
+      def compare(a: E, b: E): Int = {
+        val d = java.lang.Long.compare(a.c, b.c)
+        if (d != 0) d
+        else {
+          val dl = cmpUtf8(b.l, a.l)
+          if (dl != 0) dl else cmpUtf8(b.r, a.r)
+        }
+      }
+    }
+    val pq = mutable.PriorityQueue.empty[E]
+    pairCount.foreach { case ((l, r), c) => pq.enqueue(E(c, l, r)) }
+
+    def containsPair(s: Array[String], l: String, r: String): Boolean = {
+      var i = 0
+      while (i < s.length - 1) {
+        if (s(i) == l && s(i + 1) == r) return true
+        i += 1
+      }
+      false
+    }
+    def rewrite(s: Array[String], l: String, r: String): Array[String] = {
+      val out = new mutable.ArrayBuffer[String](s.length)
+      var i = 0
+      while (i < s.length) {
+        if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.toArray
+    }
 
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
-    var exhausted = false
-    // previous round's snapshot: freed only AFTER the argmax collect has
-    // materialized the current (lazy) snapshot that derives from it —
-    // freeing it at rewrite time would truncate the lineage the not-yet-
-    // computed checkpoint still needs
-    var prev: DataFrame = null
-    while (rank < nMerges && !exhausted) {
-      // adjacent symbol pairs weighted by word count; the slice drops
-      // the empty fields the anchors create at both ends
-      val syms = slice(split(col("s"), sep), lit(2),
-        size(split(col("s"), sep)) - 2)
-      val top = vocab
-        .select(col("c"), syms.as("syms"))
-        .filter(size(col("syms")) >= 2)
-        .select(col("c"), explode(transform(
-          sequence(lit(1), size(col("syms")) - 1),
-          i => struct(element_at(col("syms"), i).as("l"),
-            element_at(col("syms"), i + 1).as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("c")).as("pc"))
-        .orderBy(col("pc").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      // vocab is materialized now; its parent snapshot is safe to free
-      if (prev != null) { Dedup.unpersistCheckpoint(prev); prev = null }
-      if (top.isEmpty) exhausted = true
-      else {
-        val (l, r, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+    while (rank < nMerges && pq.nonEmpty) {
+      val e = pq.dequeue()
+      val cur = pairCount.getOrElse((e.l, e.r), 0L)
+      if (cur == e.c) { // live entry — the true argmax this round
         rank += 1
-        merges += ((rank, l, r, pc))
-        val pat = java.util.regex.Pattern.quote(s"$sep$l$sep$r") +
-          s"(?=${java.util.regex.Pattern.quote(sep)})"
-        val rep = java.util.regex.Matcher.quoteReplacement(s"$sep$l$r")
-        // next materializes during the NEXT round's argmax (or is
-        // dropped unread on the last round)
-        val next = vocab
-          .select(regexp_replace(col("s"), pat, rep).as("s"), col("c"))
-          .localCheckpoint(false)
-        prev = vocab
-        vocab = next
-      }
+        merges += ((rank, e.l, e.r, cur))
+        touched.clear()
+        val members = occ.remove((e.l, e.r))
+          .getOrElse(mutable.ArrayBuffer.empty[Int])
+        members.foreach { w =>
+          if (containsPair(words(w), e.l, e.r)) {
+            addPairs(w, -1L)
+            words(w) = rewrite(words(w), e.l, e.r)
+            addPairs(w, 1L)
+          }
+        }
+        touched.foreach { p =>
+          pairCount.get(p).foreach(c => pq.enqueue(E(c, p._1, p._2)))
+        }
+      } // else: stale snapshot, drop it
     }
-    // the merge table is local; nothing references the snapshots anymore
-    if (prev != null) Dedup.unpersistCheckpoint(prev)
-    Dedup.unpersistCheckpoint(vocab)
     spark.createDataFrame(merges.result())
       .toDF("rank", "left", "right", "pair_count")
   }

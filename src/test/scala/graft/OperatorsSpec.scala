@@ -273,6 +273,29 @@ class DedupSpec extends SparkSpec {
     assert(labels(200L) == 200L && labels(201L) == 201L)
   }
 
+  test("componentsByKey: distributed star rounds and local union-find finish agree") {
+    // same adversarial topology as above, run BOTH ways: the default
+    // (size gate collects immediately at this scale → local union-find)
+    // and with the gate disabled (localFinishEdges = 0 → the full
+    // distributed large-star/small-star fixpoint). Identical labels on
+    // a chain + hub + singleton mix certifies the local endgame is the
+    // same function as the star fixpoint it replaces below the gate.
+    val perm = (0 to 60).map(i => (i * 41 + 7) % 61).toArray
+    val chain = (0 until 60).flatMap(i =>
+      Seq((perm(i).toLong, s"c$i"), (perm(i + 1).toLong, s"c$i")))
+    val hub = (300L to 329L).map(id => (id, "hub2"))
+    val inc = (chain ++ hub ++ Seq((400L, "s400"))).toDF("id", "bucket")
+    val viaLocal = Dedup.componentsByKey(inc, "id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStars = Dedup.componentsByKey(inc, "id", "bucket",
+        localFinishEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLocal == viaStars, "paths must produce identical labels")
+    assert((0 to 60).map(i => viaLocal(i.toLong)).toSet == Set(0L))
+    assert((300L to 329L).map(viaLocal).toSet == Set(300L))
+    assert(viaLocal(400L) == 400L)
+  }
+
   test("ppjoin prefix filtering is lossless vs the full quadratic jaccard") {
     // mixed corpus: exact dup, near-dup, unrelated docs, a universal
     // token — the prefix-filtered join must return EXACTLY what the
