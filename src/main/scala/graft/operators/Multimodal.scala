@@ -18,9 +18,15 @@ import org.apache.spark.sql.functions._
   *    JDK's ImageIO GIF reader exposes animated-GIF frames and their
   *    GraphicControlExtension delays, so frame count, true duration,
   *    first-frame dimensions/channel stats, and evenly-spaced frame
-  *    sampling are all real decode work. Container video (mp4/webm)
-  *    has no JDK codec and stays on the declared [[FakeCodec]] stub;
-  *    swapping that for real bindings is a one-object change.
+  *    sampling are all real decode work.
+  *  - **Container-video METADATA is REAL for ISO-BMFF (mp4/mov/m4v)**
+  *    ([[Mp4Codec]], r8): a pure byte-level box walk per ISO/IEC
+  *    14496-12 yields true duration (`mvhd`), video-track dimensions
+  *    (`tkhd`), sample-entry codec fourcc (`stsd`) and frame count
+  *    (`stts`) — a multimodal pipeline's first question ("what is this
+  *    file?") needs no codec. Only frame PIXEL decode stays on the
+  *    declared [[FakeCodec]] stub (that genuinely needs codec libs);
+  *    swapping it for real bindings is a one-object change.
   *  - A payload that does NOT decode reports `decoded=false` with
   *    zeroed dimensions — honest nulls, never fake dimensions.
   *
@@ -35,9 +41,28 @@ object Multimodal {
   case class MediaRow(id: Long, kind: String, payload: Array[Byte])
   case class MediaFeatures(
       id: Long, kind: String, n_bytes: Long, digest: String,
-      decoded: Boolean, width: Int, height: Int, channels: Int,
-      channel_means: Array[Double], duration_ms: Long,
+      decoded: Boolean, codec: String, width: Int, height: Int,
+      channels: Int, channel_means: Array[Double], duration_ms: Long,
       frames_sampled: Array[Long])
+
+  /** Container/codec sniff from magic bytes — answers "what format is
+    * this payload?" without a decode. "" when unrecognized. */
+  def sniffFormat(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length < 12) return ""
+    def at(o: Int, s: String): Boolean =
+      s.zipWithIndex.forall { case (c, i) => bytes(o + i) == c.toByte }
+    if (bytes(0) == 0x89.toByte && at(1, "PNG")) "png"
+    else if (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte) "jpeg"
+    else if (at(0, "GIF8")) "gif"
+    else if (at(0, "BM")) "bmp"
+    else if (at(0, "RIFF") && at(8, "WAVE")) "wav"
+    else if (at(0, "FORM") && (at(8, "AIFF") || at(8, "AIFC"))) "aiff"
+    else if (at(0, ".snd")) "au"
+    else if (at(4, "ftyp") || at(4, "styp") || at(4, "moov")) "isobmff"
+    else if (bytes(0) == 0x1a.toByte && bytes(1) == 0x45.toByte &&
+      bytes(2) == 0xdf.toByte && bytes(3) == 0xa3.toByte) "webm"
+    else ""
+  }
 
   /** REAL image kernels on the JDK's built-in codecs. */
   object ImageCodec {
@@ -184,6 +209,114 @@ object Multimodal {
     }
   }
 
+  /** REAL container-video METADATA for ISO-BMFF media (MP4/MOV/M4V):
+    * a pure byte-level box walk per ISO/IEC 14496-12 — no codec needed
+    * to answer "what is this file?". Extracts movie duration from
+    * `mvhd` (duration/timescale), the first video track's dimensions
+    * from its `tkhd` (16.16 fixed point), the sample-description
+    * fourcc from `stsd` (e.g. "avc1", "hvc1", "vp09"), and the frame
+    * count from `stts` (Σ sample_count). Frame PIXEL decode remains
+    * the declared stub — that genuinely needs a codec. */
+  object Mp4Codec {
+    final case class Mp4Info(
+        width: Int, height: Int, durationMs: Long, codec: String,
+        nFrames: Int)
+
+    private final val Containers =
+      Set("moov", "trak", "mdia", "minf", "stbl")
+
+    /** None when the payload isn't a parseable ISO-BMFF container. */
+    def parse(bytes: Array[Byte]): Option[Mp4Info] = {
+      if (bytes == null || bytes.length < 16) return None
+      def u32(o: Int): Long =
+        ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+          ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+      def fourcc(o: Int): String =
+        new String(bytes, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+      // (type, payloadStart, payloadEnd) triples of the boxes in
+      // [start, end); malformed sizes terminate the walk
+      def boxes(start: Int, end: Int): List[(String, Int, Int)] = {
+        var o = start
+        val out = List.newBuilder[(String, Int, Int)]
+        while (o + 8 <= end) {
+          val size32 = u32(o)
+          val typ = fourcc(o + 4)
+          var payload = o + 8
+          val boxEnd: Long =
+            if (size32 == 0L) end.toLong // "to end of file"
+            else if (size32 == 1L) {
+              if (o + 16 > end) return out.result()
+              payload = o + 16
+              o + u64(o + 8)
+            } else o + size32
+          if (boxEnd < payload || boxEnd > end) return out.result()
+          out += ((typ, payload, boxEnd.toInt))
+          o = boxEnd.toInt
+        }
+        out.result()
+      }
+      def find(bs: List[(String, Int, Int)], t: String): Option[(Int, Int)] =
+        bs.collectFirst { case (`t`, s, e) => (s, e) }
+
+      try {
+        val top = boxes(0, bytes.length)
+        // gate: a real ISO-BMFF stream leads with ftyp (or a bare
+        // moov/styp fragment) — random binary almost never does
+        if (!top.headOption.exists(b =>
+            b._1 == "ftyp" || b._1 == "moov" || b._1 == "styp")) return None
+        val (moovS, moovE) = find(top, "moov").getOrElse(return None)
+        val moov = boxes(moovS, moovE)
+        // mvhd: v0 → timescale@12 duration@16 (4B); v1 → @20/@24 (8B)
+        val durationMs = find(moov, "mvhd").map { case (s, _) =>
+          val v = bytes(s) & 0xff
+          val (ts, dur) =
+            if (v == 1) (u32(s + 20), u64(s + 24)) else (u32(s + 12), u32(s + 16))
+          if (ts <= 0) 0L else dur * 1000L / ts
+        }.getOrElse(0L)
+        // first trak whose tkhd has nonzero dimensions = the video track
+        val vtrak = moov.collect { case ("trak", s, e) => boxes(s, e) }
+          .flatMap { tb =>
+            find(tb, "tkhd").flatMap { case (s, _) =>
+              val v = bytes(s) & 0xff
+              val dimOff = if (v == 1) s + 88 else s + 76
+              val w = (u32(dimOff) >> 16).toInt
+              val h = (u32(dimOff + 4) >> 16).toInt
+              if (w > 0 && h > 0) Some((w, h, tb)) else None
+            }
+          }.headOption
+        val (w, h, stbl) = vtrak match {
+          case Some((tw, th, tb)) =>
+            val sb = for {
+              (ms, me) <- find(tb, "mdia")
+              (ns, ne) <- find(boxes(ms, me), "minf")
+              (ss, se) <- find(boxes(ns, ne), "stbl")
+            } yield boxes(ss, se)
+            (tw, th, sb.getOrElse(Nil))
+          case None => (0, 0, List.empty[(String, Int, Int)])
+        }
+        // stsd payload: ver/flags(4) + entry_count(4) + first entry
+        // [size(4) fourcc(4) ...] → fourcc at payload offset 12
+        val codec = find(stbl, "stsd").map { case (s, e) =>
+          if (s + 16 <= e && u32(s + 4) >= 1) fourcc(s + 12) else ""
+        }.getOrElse("")
+        // stts payload: ver/flags(4) + entry_count(4) + (count, delta)*
+        val nFrames = find(stbl, "stts").map { case (s, e) =>
+          val n = u32(s + 4)
+          var total = 0L
+          var i = 0
+          while (i < n && s + 8 + i * 8 + 8 <= e) {
+            total += u32(s + 8 + i * 8)
+            i += 1
+          }
+          math.min(total, Int.MaxValue).toInt
+        }.getOrElse(0)
+        Some(Mp4Info(w, h, durationMs, codec, nFrames))
+      } catch { case _: Exception => None }
+    }
+  }
+
   /** Deterministic fake decoder — non-GIF VIDEO ONLY now (see codec
     * surface above): "decoded" dimensions/duration are pure functions
     * of the payload digest so the plumbing around a future real codec
@@ -220,25 +353,26 @@ object Multimodal {
         val nBytes = bytes.length.toLong
         val digest = FakeCodec.digestOf(bytes) // hash once: digest column + stub seed
         val frames = FakeCodec.sampleFrames(nBytes)
+        val fmt = sniffFormat(bytes)
         r.kind match {
           case "image" =>
             ImageCodec.decode(bytes) match {
               case Some(img) =>
                 val (w, h, nch, means) = ImageCodec.stats(img)
                 MediaFeatures(r.id, r.kind, nBytes, digest,
-                  decoded = true, w, h, nch, means, 0L, frames)
+                  decoded = true, fmt, w, h, nch, means, 0L, frames)
               case None =>
                 MediaFeatures(r.id, r.kind, nBytes, digest,
-                  decoded = false, 0, 0, 0, Array.empty, 0L, frames)
+                  decoded = false, fmt, 0, 0, 0, Array.empty, 0L, frames)
             }
           case "audio" =>
             AudioCodec.durationMs(bytes) match {
               case Some(ms) =>
                 MediaFeatures(r.id, r.kind, nBytes, digest,
-                  decoded = true, 0, 0, 0, Array.empty, ms, frames)
+                  decoded = true, fmt, 0, 0, 0, Array.empty, ms, frames)
               case None =>
                 MediaFeatures(r.id, r.kind, nBytes, digest,
-                  decoded = false, 0, 0, 0, Array.empty, 0L, frames)
+                  decoded = false, fmt, 0, 0, 0, Array.empty, 0L, frames)
             }
           case "video" =>
             VideoCodec.decodeGif(bytes) match {
@@ -247,17 +381,36 @@ object Multimodal {
                 // (not byte offsets) — the evenly-spaced sample a frame
                 // extractor would pull
                 MediaFeatures(r.id, r.kind, nBytes, digest,
-                  decoded = true, g.width, g.height, g.channels,
+                  decoded = true, "gif", g.width, g.height, g.channels,
                   g.channelMeans, g.durationMs, g.sampledFrames)
               case None =>
-                // declared stub for non-GIF video: decoded=false
-                val (w, h, d) = FakeCodec.videoFromDigest(digest)
-                MediaFeatures(r.id, r.kind, nBytes, digest,
-                  decoded = false, w, h, 0, Array.empty, d, frames)
+                Mp4Codec.parse(bytes) match {
+                  case Some(m) =>
+                    // REAL ISO-BMFF metadata: true dims/duration/codec/
+                    // frame count from the container boxes; channels=0
+                    // + empty means signal "no pixel decode" (frame
+                    // decode is the one remaining declared stub).
+                    // frames_sampled = evenly-spaced frame indices per
+                    // the stts sample count, like the GIF path.
+                    val stride =
+                      if (m.nFrames <= 0) 1 else (m.nFrames + 7) / 8
+                    val sampled =
+                      (0 until m.nFrames by stride).take(8).map(_.toLong).toArray
+                    MediaFeatures(r.id, r.kind, nBytes, digest,
+                      decoded = true,
+                      if (m.codec.nonEmpty) m.codec else fmt,
+                      m.width, m.height, 0, Array.empty,
+                      m.durationMs, sampled)
+                  case None =>
+                    // declared stub for unparseable video: decoded=false
+                    val (w, h, d) = FakeCodec.videoFromDigest(digest)
+                    MediaFeatures(r.id, r.kind, nBytes, digest,
+                      decoded = false, fmt, w, h, 0, Array.empty, d, frames)
+                }
             }
           case _ =>
             MediaFeatures(r.id, r.kind, nBytes, digest,
-              decoded = false, 0, 0, 0, Array.empty, 0L, frames)
+              decoded = false, fmt, 0, 0, 0, Array.empty, 0L, frames)
         }
       }
     }

@@ -220,8 +220,9 @@ object TextOps extends QGroup {
         |FROM ranked WHERE rank <= 3""".stripMargin)),
 
     // Multimodal feature extraction over binary payloads (REAL JDK
-    // codecs for images/audio/GIF video, digest stub only for
-    // container video; rows-only + MultimodalSpec).
+    // codecs for images/audio/GIF video + REAL ISO-BMFF box-walk
+    // metadata for mp4/mov; the digest stub covers only undecodable
+    // payloads and frame pixels; rows-only + MultimodalSpec).
     QDef("l4b_multimodal_features",
       (s, dir) => {
         val media = Tables(s, dir, "documents").select(

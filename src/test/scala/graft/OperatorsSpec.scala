@@ -1064,6 +1064,39 @@ class MultimodalSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("decoded"), r.toString)
   }
 
+  test("REAL mp4 metadata: checked-in ISO-BMFF fixture gives true dims/duration/codec/frames") {
+    // fixture built by independent Python code straight from ISO/IEC
+    // 14496-12 box layouts (NOT by the parser under test): mvhd
+    // timescale 1000 / duration 2000 → 2000 ms; tkhd 320×240 in 16.16;
+    // stsd first entry 'avc1'; stts runs 24+24 → 48 frames
+    val mp4 = fixture("fixture_2s_320x240.mp4")
+    val info = Multimodal.Mp4Codec.parse(mp4).get
+    assert(info.width == 320 && info.height == 240, info.toString)
+    assert(info.durationMs == 2000L, info.toString)
+    assert(info.codec == "avc1", info.toString)
+    assert(info.nFrames == 48, info.toString)
+    // through the feature extractor: real metadata, no pixel decode
+    val media = Seq((1L, "video", mp4)).toDF("id", "kind", "payload")
+    val r = Multimodal.extractFeatures(media, "id", "kind", "payload").head()
+    assert(r.getAs[Boolean]("decoded"), r.toString)
+    assert(r.getAs[String]("codec") == "avc1", r.toString)
+    assert(r.getAs[Int]("width") == 320 && r.getAs[Int]("height") == 240, r.toString)
+    assert(r.getAs[Long]("duration_ms") == 2000L, r.toString)
+    assert(r.getAs[Int]("channels") == 0, "no pixel decode claim")
+    // ceil-stride frame-index sample over 48 frames
+    assert(r.getSeq[Long](r.fieldIndex("frames_sampled")) ==
+      Seq(0L, 6L, 12L, 18L, 24L, 30L, 36L, 42L), r.toString)
+  }
+
+  test("mp4 parser rejects truncated/garbage payloads and non-BMFF magic") {
+    val mp4 = fixture("fixture_2s_320x240.mp4")
+    assert(Multimodal.Mp4Codec.parse(mp4.take(40)).isEmpty, "truncated moov")
+    assert(Multimodal.Mp4Codec.parse("not a video at all".getBytes).isEmpty)
+    assert(Multimodal.Mp4Codec.parse(Array.empty[Byte]).isEmpty)
+    // format sniff: ISO-BMFF recognized from the ftyp box
+    assert(Multimodal.sniffFormat(mp4) == "isobmff")
+  }
+
   test("undecodable payloads report decoded=false with zeroed features, never fake dims") {
     val media = Seq(
       (1L, "image", "hello".getBytes("UTF-8")),
