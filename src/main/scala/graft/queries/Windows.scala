@@ -96,19 +96,24 @@ object Windows extends QGroup {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
 
     // W3b: RANGE frame over integer cents (value-based frame is
-    // tie-insensitive, hence deterministic).
+    // tie-insensitive, hence deterministic). Routed through the
+    // size-adaptive operators.RangeFrame: below the byte gate this
+    // plans as the plain 3-task window (faster at bench scale —
+    // measured); above it (the 100 TB posture) the bucket-decomposed
+    // prefix-sum shape ships, parallelism 3 × n_buckets. Both shapes
+    // and the switch itself are pinned in RangeFrameSpec.
     QDef("w3b_range_frame",
-      (s, dir) => {
-        val cents = round(col("o_totalprice") * 100).cast("long")
-        val w = Window.partitionBy(col("o_orderstatus"))
-          .orderBy(cents.asc_nulls_first)
-          .rangeBetween(-100000L, 0L)
-        Tables(s, dir, "orders").select(
-          col("o_orderstatus"), col("o_orderkey"),
-          cents.as("cents"),
-          count(lit(1)).over(w).as("n_within_1000"),
-          sum(cents).over(w).as("cents_within_1000"))
-      },
+      (s, dir) =>
+        graft.operators.RangeFrame.countSum(
+          Tables(s, dir, "orders").select(
+            col("o_orderstatus"), col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents")),
+          partCol = "o_orderstatus", idCol = "o_orderkey",
+          valCol = "cents", width = 100000L)
+          .select(col("part").as("o_orderstatus"), col("id").as("o_orderkey"),
+            col("value").as("cents"),
+            col("n_in_range").as("n_within_1000"),
+            col("sum_in_range").as("cents_within_1000")),
       Some("""SELECT o_orderstatus, o_orderkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
         |  COUNT(*) OVER w AS n_within_1000,

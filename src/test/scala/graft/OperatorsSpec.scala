@@ -1211,3 +1211,54 @@ class KMeansSpec extends SparkSpec {
     assert(run().toSeq == run().toSeq)
   }
 }
+
+class RangeFrameSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.operators.RangeFrame
+
+  private def orders = spark.read.parquet(sf("orders")).select(
+    col("o_orderstatus"), col("o_orderkey"),
+    round(col("o_totalprice") * 100).cast("long").as("cents"))
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.orderBy(col("part"), col("id")).collect().map(_.toString).toSeq
+
+  test("windowed and bucket-decomposed range frames are bit-identical") {
+    val a = canon(RangeFrame.windowed(orders, "o_orderstatus", "o_orderkey", "cents", 100000L))
+    val b = canon(RangeFrame.decomposed(orders, "o_orderstatus", "o_orderkey", "cents", 100000L))
+    assert(a.nonEmpty && a == b,
+      s"shapes diverge: ${a.size} vs ${b.size} rows")
+  }
+
+  test("the size gate switches shapes: window below the byte threshold, decomposed above") {
+    // tiny threshold -> the optimizer's size estimate exceeds it ->
+    // decomposed (plan contains the probe JOIN, no RANGE window);
+    // huge threshold -> plain window (RANGE frame, no join)
+    val below = RangeFrame.countSum(orders, "o_orderstatus", "o_orderkey",
+      "cents", 100000L, decomposeOverBytes = Long.MaxValue)
+    val above = RangeFrame.countSum(orders, "o_orderstatus", "o_orderkey",
+      "cents", 100000L, decomposeOverBytes = 0L)
+    val belowPlan = below.queryExecution.optimizedPlan.toString
+    val abovePlan = above.queryExecution.optimizedPlan.toString
+    assert(belowPlan.contains("specifiedwindowframe(RangeFrame"),
+      s"window shape expected below the gate:\n$belowPlan")
+    assert(!belowPlan.contains("Join"), "window shape must not join")
+    assert(abovePlan.contains("Join"),
+      s"decomposed shape expected above the gate:\n$abovePlan")
+    // and both still agree on the answer
+    assert(canon(below) == canon(above))
+  }
+
+  test("decomposed handles negative probe values and empty intermediate buckets") {
+    import spark.implicits._
+    // values straddle bucket boundaries with a gap (bucket 2 empty);
+    // low probes go negative for small values
+    val df = Seq(
+      ("a", 1L, 5L), ("a", 2L, 90L), ("a", 3L, 100L), ("a", 4L, 350L),
+      ("b", 5L, 0L), ("b", 6L, 400L)
+    ).toDF("p", "id", "v")
+    val a = canon(RangeFrame.windowed(df, "p", "id", "v", 100L))
+    val b = canon(RangeFrame.decomposed(df, "p", "id", "v", 100L))
+    assert(a == b, s"$a\nvs\n$b")
+  }
+}
