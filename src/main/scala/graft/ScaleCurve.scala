@@ -18,6 +18,11 @@ object ScaleCurve {
     "l23_ppjoin_pairs", "l25_connected_components", "l26_pagerank",
     "l34_cross_source_overlap", "a26_equidepth_histogram",
     "s12_bucketed_join", "j29_q2_min_supplier", "l17_ngram_dupfrac",
+    // r7-era operators (VERDICT r7 #5): the driver-fit DSIR weights,
+    // the per-cluster-quadratic SemDeDup, the chained-regex tokenizer
+    // application, the fused bigram LM, and the compaction rewrite
+    "l38_dsir_select", "l39_semdedup", "l35b_bpe_tokenize",
+    "l36_bigram_lm_score", "s14_compaction",
     "b1_floor_select1")
 
   def main(args: Array[String]): Unit = {

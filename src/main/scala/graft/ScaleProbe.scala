@@ -75,6 +75,27 @@ object ScaleProbe {
       time(s"winnowing_fp x$mult") {
         operators.Dedup.winnowedFingerprints(d, "doc_id", "text").count()
       }
+      // r7 operators (VERDICT r7 #5). DSIR is two scans + a 256-row
+      // stat collect — should track the scan. SemDeDup's drop check is
+      // per-cluster quadratic in the worst case; duplicate-amplified
+      // data is actually its FRIENDLY case (the left-semi probe
+      // short-circuits on the first tau-close earlier row, and dups
+      // make that the first candidate), so the fixed-k curve measures
+      // the semi-join's real short-circuit behavior, and the k ∝ n
+      // variant is the paper's own prescription (cluster size held
+      // constant as the corpus grows).
+      time(s"dsir_select x$mult") {
+        operators.TextAnalysis.dsirWeights(d, "doc_id", "text",
+          isTarget = col("doc_id") % 7 === 0, topK = 200).count()
+      }
+      time(s"semdedup_fixed_k8 x$mult") {
+        operators.Similarity.semDedup(e, "vec_id", "embedding",
+          k = 8, tau = 0.35).count()
+      }
+      time(s"semdedup_k_prop_n x$mult") {
+        operators.Similarity.semDedup(e, "vec_id", "embedding",
+          k = 8 * mult, tau = 0.35).count()
+      }
       d.unpersist(); e.unpersist()
     }
     spark.stop()
