@@ -182,69 +182,73 @@ object Dedup {
     * one row per distinct id. */
   private[graft] def propagateMinLabels(
       bandedIn: DataFrame, maxIterations: Int): DataFrame = {
-    // the incidence list is read TWICE per round; materialize it once
-    // instead of re-running its upstream plan (token split + n-gram /
-    // signature expansion over the whole corpus) 2×rounds times —
-    // at 100 TB the recompute would dominate the entire algorithm
-    val banded = bandedIn.localCheckpoint(true)
-    // monotone-sum convergence: labels only ever DECREASE (min
-    // propagation), so Σlabel unchanged ⟺ no label changed — one
-    // scan-agg over the checkpointed snapshot instead of a self-join.
-    // EXACTNESS requires the cast("long") below to be injective, so the
-    // fast path is gated to INTEGRAL id types only (long-castable
-    // without truncation). Fractional ids (double/float, decimal with
-    // scale > 0) would checksum truncated values — distinct labels
-    // differing only in fraction could falsely compare equal and stop
-    // propagation early — and a string id would crash the cast under
-    // ANSI; both take the join-based equality check instead.
+    import org.apache.spark.sql.expressions.Window
+    // State is ONE frame: (id, bucket, label), label starting as id.
+    // Each round is two chained whole-partition window mins —
+    //   label := min(label) over (partition by bucket)   // bucket min
+    //   label := min(label) over (partition by id)       // doc min
+    // — exactly the bipartite min propagation, with NO joins and no
+    // separate label table: two keyed exchanges per round instead of
+    // the old join shape's four (labels⋈incidence, groupBy bucket,
+    // bucketMin⋈incidence, groupBy id), and the incidence is read ONCE
+    // per round, so no standing incidence checkpoint is needed either —
+    // round 1's lazy checkpoint materializes the upstream (signature /
+    // n-gram) plan exactly once and later rounds read blocks. Hot-key
+    // skew is no worse than the join shape: a degenerate bucket routed
+    // all its rows through one reduce partition there too (the
+    // join-back side has no partial aggregation).
+    //
+    // Convergence: labels only ever DECREASE, so the Σlabel over
+    // INCIDENCE ROWS is monotone and unchanged ⟺ no row changed ⟺
+    // fixpoint — probed by the same split-BIGINT sum, fused into each
+    // round's materialization. EXACTNESS requires cast("long") to be
+    // injective, so the fast path is gated to INTEGRAL id types;
+    // fractional ids (truncating cast could falsely converge) and
+    // non-numeric ids (ANSI cast crash) take a per-id label-table
+    // equality join instead.
     import org.apache.spark.sql.types._
-    val numericIds = banded.schema("id").dataType match {
+    val numericIds = bandedIn.schema("id").dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
       case d: DecimalType if d.scale == 0 && d.precision <= 18 => true
       case _ => false
     }
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      // exact split-sum on primitive longs (gate above guarantees the
-      // cast is lossless for every value of the id type)
+    def rowLabelSum(df: DataFrame): java.math.BigDecimal = {
       val s = df.agg(graft.queries.QShared.splitSum(
         col("label").cast("long"), Seq(21, 42))).head().getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s // empty graph
+      if (s == null) java.math.BigDecimal.ZERO else s // empty incidence
     }
-    // round 1 specialized: labels are the identity, so the bucket min is
-    // just min(id) per bucket — no join against a label table needed
-    val firstBucketMin = banded.groupBy(col("bucket")).agg(min(col("id")).as("bmin"))
-    // numeric ids: LAZY checkpoint — the labelSum convergence probe right
-    // below is the materializing action, folding snapshot+probe into one
-    // job per round. Non-numeric ids run no immediate probe, so stay
-    // eager (two sibling consumers would race-compute a lazy cache).
-    var labels = banded.join(firstBucketMin, "bucket")
-      .groupBy(col("id")).agg(min(col("bmin")).as("label"))
-      .localCheckpoint(!numericIds)
-    var prevSum = if (numericIds) labelSum(labels) else null
+    def labelsOf(df: DataFrame): DataFrame =
+      df.groupBy(col("id")).agg(min(col("label")).as("label"))
+    val wBucket = Window.partitionBy(col("bucket"))
+    val wId = Window.partitionBy(col("id"))
+    var state = bandedIn.select(col("id"), col("bucket"), col("id").as("label"))
+    var prevState: DataFrame = null
+    var prevSum: java.math.BigDecimal = null
     var converged = false
-    var round = 1
+    var round = 0
     while (!converged && round < maxIterations) {
       round += 1
-      val bucketMin = banded.join(labels, "id")
-        .groupBy(col("bucket")).agg(min(col("label")).as("bmin"))
-      // lazy: the convergence probe (labelSum / isEmpty-join) is the
-      // single materializing action — one job per round, not two
-      val next = banded.join(bucketMin, "bucket")
-        .groupBy(col("id")).agg(min(col("bmin")).as("label"))
+      // lazy checkpoint: the convergence probe is the materializing
+      // action — one job per round
+      val next = state
+        .withColumn("label", min(col("label")).over(wBucket))
+        .withColumn("label", min(col("label")).over(wId))
         .localCheckpoint(false)
       if (numericIds) {
-        val nextSum = labelSum(next)
-        converged = nextSum.compareTo(prevSum) == 0
+        val nextSum = rowLabelSum(next)
+        converged = prevSum != null && nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
       } else
-        converged = next.as("n").join(labels.as("p"), "id")
-          .filter(col("n.label") =!= col("p.label")).isEmpty
-      // previous round's snapshot is dead once the convergence check has
-      // read it — free its blocks now instead of waiting for driver GC
-      // (up to maxIterations retained label tables otherwise)
-      unpersistCheckpoint(labels)
-      labels = next
+        converged = prevState != null &&
+          labelsOf(next).as("n").join(labelsOf(prevState).as("p"), "id")
+            .filter(col("n.label") =!= col("p.label")).isEmpty
+      // the previous snapshot is dead once the probe has read it — free
+      // its blocks now instead of waiting for driver GC
+      if (prevState != null) unpersistCheckpoint(prevState)
+      prevState = state
+      state = next
     }
+    if (prevState != null) unpersistCheckpoint(prevState)
     if (!converged)
       System.err.println(
         s"[graft] propagateMinLabels: hit maxIterations=$maxIterations " +
@@ -252,8 +256,10 @@ object Dedup {
           "into multiple clusters")
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[graft] propagateMinLabels: rounds=$round")
-    unpersistCheckpoint(banded) // the incidence snapshot is loop-local
-    labels
+    // after the final id-window every row of an id carries its label;
+    // the per-id collapse rides the id exchange the checkpoint
+    // preserved (LogicalRDD keeps outputPartitioning)
+    labelsOf(state)
   }
 
   /** Exact token-set Jaccard similarity pairs via the inverted-index

