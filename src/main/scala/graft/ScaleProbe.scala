@@ -96,6 +96,12 @@ object ScaleProbe {
         operators.Similarity.semDedup(e, "vec_id", "embedding",
           k = 8 * mult, tau = 0.35).count()
       }
+      // the FIX for k ∝ n's dense O(n·k) assignment: IVF-pruned
+      // assignment (√k coarse cells, nProbe=2) — per-row O(√k)
+      time(s"semdedup_ann_k_prop_n x$mult") {
+        operators.Similarity.semDedupAnn(e, "vec_id", "embedding",
+          k = 8 * mult, tau = 0.35).count()
+      }
       d.unpersist(); e.unpersist()
     }
     spark.stop()

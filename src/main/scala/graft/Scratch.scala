@@ -13,39 +13,54 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def noop(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    def timeT(name: String, reps: Int = 3)(f: => DataFrame): Double = {
-      noop(f)
-      val ts = (1 to reps).map { _ =>
-        val t0 = System.nanoTime(); noop(f); (System.nanoTime() - t0) / 1e9
-      }
-      println(f"[scratch] $name%-52s min=${ts.min}%.3f")
-      ts.min
+    def timeN(name: String)(f: => Long): Unit = {
+      f // warm
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scratch] $name%-40s ${(System.nanoTime() - t0) / 1e9}%7.2f s (rows=$n)")
     }
 
-    // ---- l26 decomposition ----
-    def edges = {
-      val li = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val ord = Tables(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("a"),
-          (col("l_suppkey") + lit(1000000L)).as("b"))
-        .distinct()
-      pairs.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-    }
-    timeT("l26 edge build only") { edges }
-    timeT("l26 full pageRank(3)") {
-      operators.Graph.pageRank(edges, "src", "dst", iterations = 3)
-    }
-    timeT("l26 pageRank(1)") {
-      operators.Graph.pageRank(edges, "src", "dst", iterations = 1)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val e = emb.crossJoin(spark.range(16).toDF("__rep"))
+      .withColumn("vec_id", col("vec_id") * 16 + col("__rep"))
+      .drop("__rep").cache()
+    e.count()
+    val vecs = e.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .filter(col("v").isNotNull)
+
+    for (k <- Seq(128, 1024)) {
+      val seeds: Array[(Long, Array[Double])] = vecs
+        .orderBy(col("id").asc_nulls_first).limit(k).collect()
+        .map(r => (r.getAs[Number](0).longValue,
+          r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toArray))
+      // dense assignment only
+      val centLit = array(seeds.map(s => typedlit(s._2).cast("array<double>")): _*)
+      val cidLit = typedlit(seeds.map(_._1))
+      timeN(s"assign-only dense k=$k") {
+        val sims = transform(centLit,
+          c => round(GraftFunctions.cosineNative(spark, col("v"), c), 6))
+        vecs.withColumn("__sims", sims)
+          .withColumn("cluster",
+            coalesce(element_at(cidLit,
+              array_position(col("__sims"), array_max(col("__sims"))).cast("int")),
+              lit(seeds.map(_._1).min)))
+          .groupBy(col("cluster")).count().count()
+      }
+      // ann assignment only (via the operator with tau below any cosine:
+      // every pair >= tau... no: tau = -3 means EVERY pair is a dup ->
+      // semi-join short-circuits on the FIRST candidate = cheap) —
+      // isolates assignment + O(1) join work
+      timeN(s"full ann  tau=-3 k=$k") {
+        operators.Similarity.semDedupAnn(e, "vec_id", "embedding",
+          k = k, tau = -3.0).count()
+      }
+      timeN(s"full dense tau=-3 k=$k") {
+        operators.Similarity.semDedup(e, "vec_id", "embedding",
+          k = k, tau = -3.0).count()
+      }
     }
     spark.stop()
   }

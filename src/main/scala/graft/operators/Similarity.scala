@@ -431,5 +431,130 @@ object Similarity {
         when(col("__dup"), lit("dropped")).otherwise(lit("kept"))
           .as("status"))
   }
+
+  /** IVF-assisted [[semDedup]] — the 100 TB assignment path.
+    *
+    * The dense variant's assignment computes cosine(v, centroid) for
+    * all k centroids per row: O(n·k), which at the paper's own
+    * prescription k ∝ n becomes the quadratic the ScaleProbe
+    * amplification run measures. This variant prunes it IVF-style:
+    * the k centroids are grouped (driver-side, k × √k trivial) into
+    * `coarseCells` cells by their nearest coarse centroid (the first
+    * `coarseCells` seeds); each row first picks its nearest COARSE
+    * centroid (O(√k) native-kernel scan) and then the nearest true
+    * centroid among that cell's members (O(k/√k) average) — per-row
+    * work O(√k) instead of O(k), with the same 6-dp rounded-cosine
+    * grain and lowest-cid tie-break inside each stage.
+    *
+    * APPROXIMATE by declaration: a vector whose true nearest centroid
+    * lives outside its `nProbe` best coarse cells assigns to the best
+    * probed centroid instead — the standard IVF recall/cost knob
+    * (probing all cells recovers the exact argmax; SimilaritySpec pins
+    * that, plus monotone agreement in nProbe on the real embeddings
+    * table, which — being near-random vectors — is IVF's WORST case:
+    * coarse cosines carry little signal there, so low-nProbe agreement
+    * is the floor, not the typical). Zero-norm vectors take the lowest
+    * centroid id, identical to [[semDedup]]. The within-cluster drop
+    * rule is unchanged — with k ∝ n it is the bounded per-cluster cost
+    * the paper declares. */
+  def semDedupAnn(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      tau: Double,
+      coarseCells: Int = 0,
+      nProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    val spark = corpus.sparkSession
+    val vecs = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+    val seeds: Array[(Long, Array[Double])] = vecs
+      .orderBy(col("id").asc_nulls_first)
+      .limit(k)
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toArray))
+    if (seeds.isEmpty)
+      return vecs.select(col("id"), lit(-1L).as("cluster"),
+        lit("kept").as("status")).limit(0)
+    val c = math.min(seeds.length,
+      if (coarseCells > 0) coarseCells
+      else math.max(1, math.round(math.sqrt(seeds.length.toDouble)).toInt))
+    val coarse = seeds.take(c)
+    // driver-side centroid→cell grouping (plain double cosine; any
+    // partition of the centroids is a VALID pruning structure — the
+    // choice only moves the approximation, determinism is what matters)
+    def dcos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) -2.0 else dot / math.sqrt(na * nb)
+    }
+    val cellOf: Array[Int] = seeds.map { s =>
+      var best = 0; var bestSim = -3.0
+      var j = 0
+      while (j < c) {
+        val sim = dcos(s._2, coarse(j)._2)
+        if (sim > bestSim) { bestSim = sim; best = j }
+        j += 1
+      }
+      best
+    }
+    // per-cell member lists, cid-ascending so in-cell argmax ties break
+    // to the lowest cid (array_position returns the FIRST max)
+    val cells: IndexedSeq[Array[(Long, Array[Double])]] =
+      (0 until c).map(j => seeds.zip(cellOf).filter(_._2 == j).map(_._1)
+        .sortBy(_._1))
+    val coarseLit = array(coarse.map(s => typedlit(s._2).cast("array<double>")): _*)
+    val memberVecsLit = typedlit(cells.map(_.map(_._2.toSeq).toSeq))
+    val memberCidsLit = typedlit(cells.map(_.map(_._1).toSeq))
+    val minCid = seeds.map(_._1).min
+    // coarse sims with nulls floored to -2 (below any real cosine):
+    // zero-norm rows then probe arbitrary cells whose in-cell sims are
+    // all null anyway, and the sort comparator never sees null
+    val coarseSims = transform(coarseLit,
+      cc => coalesce(
+        round(graft.GraftFunctions.cosineNative(spark, col("v"), cc), 6),
+        lit(-2.0)))
+    // top-nProbe cells by (sim DESC, index ASC) — a total order
+    val cellRank = array_sort(
+      zip_with(coarseSims, sequence(lit(1), lit(c)),
+        (s, i) => struct(s.as("s"), i.as("i"))),
+      (l, r) => when(l.getField("s") > r.getField("s"), -1)
+        .when(l.getField("s") < r.getField("s"), 1)
+        .otherwise(signum(l.getField("i") - r.getField("i")).cast("int")))
+    val probed = transform(slice(cellRank, 1, math.min(nProbe, c)),
+      p => p.getField("i").cast("int"))
+    val assigned = vecs
+      .withColumn("__cands",
+        flatten(transform(probed, j => element_at(memberVecsLit, j))))
+      .withColumn("__cids",
+        flatten(transform(probed, j => element_at(memberCidsLit, j))))
+      .withColumn("__sims", transform(col("__cands"),
+        m => round(graft.GraftFunctions.cosineNative(
+          spark, col("v"), m.cast("array<double>")), 6)))
+      .withColumn("cluster",
+        coalesce(
+          element_at(col("__cids"),
+            array_position(col("__sims"), array_max(col("__sims")))
+              .cast("int")),
+          lit(minCid)))
+      .select(col("id"), col("cluster"), col("v"))
+    val dropped = assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("y.id") < col("x.id") &&
+          round(graft.GraftFunctions.cosineNative(
+            spark, col("x.v"), col("y.v")), 6) >= tau,
+        "left_semi")
+      .select(col("id"), lit(true).as("__dup"))
+    assigned.select(col("id"), col("cluster"))
+      .join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        when(col("__dup"), lit("dropped")).otherwise(lit("kept"))
+          .as("status"))
+  }
 }
 

@@ -770,6 +770,25 @@ object LlmOps extends QGroup {
         |  THEN 'dropped' ELSE 'kept' END AS status
         |FROM cl x""".stripMargin)),
 
+    // L39b: the IVF-assisted SemDeDup assignment — the 100 TB path for
+    // l39's dense O(n·k) nearest-centroid scan (√k coarse cells,
+    // nProbe best cells probed per row → per-row O(√k)). Deterministic
+    // but declared rows-only: the oracle would have to replicate the
+    // two-stage pruning verbatim, and the property that matters —
+    // monotone agreement with the dense argmax in nProbe, exactness at
+    // all cells — is pinned in SimilaritySpec instead (the l2b/l2c
+    // ANN precedent). ScaleProbe carries its amplification curve next
+    // to the dense variant's.
+    QDef("l39b_semdedup_ann",
+      (s, dir) =>
+        Similarity.semDedupAnn(
+          Tables(s, dir, "embeddings"),
+          idCol = "vec_id", vecCol = "embedding", k = 16, tau = 0.35)
+          .groupBy(col("cluster"), col("status"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("cluster"), col("status")),
+      None),
+
     // L21: embedding L2-normalization + int8 scalar quantization — the
     // vector-index prep step (SQ8 cuts index memory 4× before IVF/LSH
     // bucketing; every major ANN stack runs it). Scan-linear,

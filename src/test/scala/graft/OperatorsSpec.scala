@@ -527,6 +527,61 @@ class SimilaritySpec extends SparkSpec {
     assert(out(11L) == ((1L, "dropped")))
     assert(out(12L) == ((1L, "kept")), "same cluster but below tau")
   }
+
+  test("semDedupAnn: agreement with the dense variant is monotone in nProbe, exact at all cells") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val dense = Similarity.semDedup(emb, "vec_id", "embedding", k = 16, tau = 0.35)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // c = √16 = 4 coarse cells; near-random synthetic embeddings are
+    // IVF's worst case, so the property pinned is STRUCTURAL: agreement
+    // grows with nProbe and probing every cell recovers the exact
+    // argmax (identical values; tie-break order could differ only on a
+    // 6-dp cosine tie between distinct centroids)
+    def agr(nProbe: Int): Double = {
+      val ann = Similarity.semDedupAnn(emb, "vec_id", "embedding",
+          k = 16, tau = 0.35, nProbe = nProbe)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ann.keySet == dense.keySet, "same row universe")
+      dense.keys.count(id => ann(id) == dense(id)).toDouble / dense.size
+    }
+    val a1 = agr(1); val a2 = agr(2); val a4 = agr(4)
+    assert(a1 <= a2 + 1e-9 && a2 <= a4 + 1e-9, s"not monotone: $a1 $a2 $a4")
+    assert(a4 >= 0.999, s"all-cells probe must equal the dense argmax, got $a4")
+    assert(a2 > 0.5, s"nProbe=2 of 4 cells should beat a coin flip, got $a2")
+    // determinism: second run identical
+    assert(agr(2) == a2)
+  }
+
+  test("semDedupAnn with coarseCells = k degenerates to the exact assignment") {
+    import spark.implicits._
+    // distinct, well-separated vectors: no 6-dp cosine ties, so the
+    // dense and the c=k pruned assignments must be IDENTICAL
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)), (2L, Array(0f, 0f, 1f)),
+      (10L, Array(0.9f, 0.1f, 0f)), (11L, Array(0.1f, 0.9f, 0.1f)),
+      (12L, Array(0f, 0.2f, 0.9f)), (13L, Array(0.5f, 0.5f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val dense = Similarity.semDedup(df, "vec_id", "embedding", k = 3, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val ann = Similarity.semDedupAnn(df, "vec_id", "embedding", k = 3, tau = 0.9,
+        coarseCells = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(dense == ann, s"dense $dense vs ann $ann")
+  }
+
+  test("semDedupAnn assigns zero-norm vectors the lowest centroid id, like semDedup") {
+    import spark.implicits._
+    val df = Seq(
+      (3L, Array(1f, 0f)), (4L, Array(0f, 1f)),
+      (20L, Array(0f, 0f)) // zero-norm: all cosines null
+    ).toDF("vec_id", "embedding")
+    for (f <- Seq(
+        Similarity.semDedup(df, "vec_id", "embedding", k = 2, tau = 0.9),
+        Similarity.semDedupAnn(df, "vec_id", "embedding", k = 2, tau = 0.9))) {
+      val r = f.filter(col("id") === 20L).head()
+      assert(r.getLong(1) == 3L && r.getString(2) == "kept", r.toString)
+    }
+  }
 }
 
 class NativeExprSpec extends SparkSpec {
