@@ -17,50 +17,57 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def timeN(name: String)(f: => Long): Unit = {
-      f // warm
-      val t0 = System.nanoTime(); val n = f
-      println(f"[scratch] $name%-40s ${(System.nanoTime() - t0) / 1e9}%7.2f s (rows=$n)")
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timeT(name: String, reps: Int = 5)(f: => DataFrame): Double = {
+      noop(f)
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); noop(f); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scratch] $name%-48s min=${ts.min}%.3f")
+      ts.min
     }
 
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val e = emb.crossJoin(spark.range(16).toDF("__rep"))
-      .withColumn("vec_id", col("vec_id") * 16 + col("__rep"))
-      .drop("__rep").cache()
-    e.count()
-    val vecs = e.select(col("vec_id").as("id"), col("embedding").as("v"))
-      .filter(col("v").isNotNull)
-
-    for (k <- Seq(128, 1024)) {
-      val seeds: Array[(Long, Array[Double])] = vecs
-        .orderBy(col("id").asc_nulls_first).limit(k).collect()
-        .map(r => (r.getAs[Number](0).longValue,
-          r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toArray))
-      // dense assignment only
-      val centLit = array(seeds.map(s => typedlit(s._2).cast("array<double>")): _*)
-      val cidLit = typedlit(seeds.map(_._1))
-      timeN(s"assign-only dense k=$k") {
-        val sims = transform(centLit,
-          c => round(GraftFunctions.cosineNative(spark, col("v"), c), 6))
-        vecs.withColumn("__sims", sims)
-          .withColumn("cluster",
-            coalesce(element_at(cidLit,
-              array_position(col("__sims"), array_max(col("__sims"))).cast("int")),
-              lit(seeds.map(_._1).min)))
-          .groupBy(col("cluster")).count().count()
-      }
-      // ann assignment only (via the operator with tau below any cosine:
-      // every pair >= tau... no: tau = -3 means EVERY pair is a dup ->
-      // semi-join short-circuits on the FIRST candidate = cheap) —
-      // isolates assignment + O(1) join work
-      timeN(s"full ann  tau=-3 k=$k") {
-        operators.Similarity.semDedupAnn(e, "vec_id", "embedding",
-          k = k, tau = -3.0).count()
-      }
-      timeN(s"full dense tau=-3 k=$k") {
-        operators.Similarity.semDedup(e, "vec_id", "embedding",
-          k = k, tau = -3.0).count()
-      }
+    def edges(bcast: Boolean) = {
+      val li = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord0 = Tables(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val ord = if (bcast) broadcast(ord0) else ord0
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("a"),
+          (col("l_suppkey") + lit(1000000L)).as("b"))
+        .distinct()
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    }
+    println("[scratch] edge plan (auto):")
+    edges(false).queryExecution.executedPlan.toString.split("\n")
+      .filter(l => l.contains("Join") || l.contains("Exchange"))
+      .foreach(l => println("[scratch]   " + l.trim.take(90)))
+    timeT("l26 edges auto") { edges(false) }
+    timeT("l26 edges broadcast(ord)") { edges(true) }
+    timeT("l26 full auto") {
+      operators.Graph.pageRank(edges(false), "src", "dst", 3)
+    }
+    timeT("l26 full broadcast(ord)") {
+      operators.Graph.pageRank(edges(true), "src", "dst", 3)
+    }
+    // single-pass symmetric build: explode both directions BEFORE one
+    // distinct — one join + one exchange instead of a doubled subtree
+    def edges1 = {
+      val li = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("a"),
+          (col("l_suppkey") + lit(1000000L)).as("b"))
+        .select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .distinct()
+    }
+    timeT("l26 edges single-pass") { edges1 }
+    timeT("l26 full single-pass") {
+      operators.Graph.pageRank(edges1, "src", "dst", 3)
     }
     spark.stop()
   }

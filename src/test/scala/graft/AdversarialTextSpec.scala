@@ -39,7 +39,7 @@ class AdversarialTextSpec extends SparkSpec {
           "l26_pagerank", "l30_triangle_count",
           // these also read the embeddings table, absent here
           "f1_flatten_multimap", "l1f_embedding_dedup",
-          "l39_semdedup").contains(q.name))
+          "l39_semdedup", "l39b_semdedup_ann").contains(q.name))
     val failures = docQueries.flatMap { q =>
       try {
         q.spark(spark, dir).write.format("noop").mode("overwrite").save()
