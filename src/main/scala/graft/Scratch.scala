@@ -28,47 +28,29 @@ object Scratch {
       ts.min
     }
 
-    def edges(bcast: Boolean) = {
-      val li = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val ord0 = Tables(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val ord = if (bcast) broadcast(ord0) else ord0
-      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("a"),
-          (col("l_suppkey") + lit(1000000L)).as("b"))
-        .distinct()
-      pairs.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    import operators.Dedup
+    val d = Tables(spark, sfDir, "documents")
+
+    def clusters(stringKey: Boolean): DataFrame = {
+      val sig = d.filter(col("text").isNotNull)
+        .select(col("doc_id").as("id"), Dedup.shingleHashes(col("text")).as("sh"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("id"),
+          GraftFunctions.minhashNative(spark, col("sh"), 64).as("sig"))
+      val key =
+        if (stringKey) concat_ws(":", col("pos"), col("col"))
+        else xxhash64(col("col"), col("pos"))
+      val banded = sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(15)), b =>
+          xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), lit(42)))))
+        .select(col("id"), key.as("bucket"))
+      val labels = Dedup.propagateMinLabels(banded, 20)
+      labels.groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
     }
-    println("[scratch] edge plan (auto):")
-    edges(false).queryExecution.executedPlan.toString.split("\n")
-      .filter(l => l.contains("Join") || l.contains("Exchange"))
-      .foreach(l => println("[scratch]   " + l.trim.take(90)))
-    timeT("l26 edges auto") { edges(false) }
-    timeT("l26 edges broadcast(ord)") { edges(true) }
-    timeT("l26 full auto") {
-      operators.Graph.pageRank(edges(false), "src", "dst", 3)
-    }
-    timeT("l26 full broadcast(ord)") {
-      operators.Graph.pageRank(edges(true), "src", "dst", 3)
-    }
-    // single-pass symmetric build: explode both directions BEFORE one
-    // distinct — one join + one exchange instead of a doubled subtree
-    def edges1 = {
-      val li = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val ord = Tables(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("a"),
-          (col("l_suppkey") + lit(1000000L)).as("b"))
-        .select(explode(array(
-          struct(col("a").as("src"), col("b").as("dst")),
-          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .distinct()
-    }
-    timeT("l26 edges single-pass") { edges1 }
-    timeT("l26 full single-pass") {
-      operators.Graph.pageRank(edges1, "src", "dst", 3)
-    }
+    timeT("l1g string bucket key") { clusters(true) }
+    timeT("l1g long bucket key") { clusters(false) }
+    timeT("l1g string bucket key (2)") { clusters(true) }
+    timeT("l1g long bucket key (2)") { clusters(false) }
     spark.stop()
   }
 }

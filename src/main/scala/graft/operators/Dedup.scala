@@ -142,7 +142,13 @@ object Dedup {
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(slice(col("sig"), b * r + 1, lit(r)), lit(42)))))
-      .select(col("id"), concat_ws(":", col("pos"), col("col")).as("bucket"))
+      // LONG bucket key (band index folded into the band hash by one
+      // more xxhash64) instead of a "pos:hash" string: the incidence is
+      // exchanged and sorted twice per propagation round, and an 8-byte
+      // key beats a ~25-byte string on every one of those passes. A
+      // 64-bit collision merges two buckets — the same failure mode
+      // (and magnitude) the 64-bit band hash itself already carries.
+      .select(col("id"), xxhash64(col("col"), col("pos")).as("bucket"))
     val labels = propagateMinLabels(banded, maxIterations)
     val singletons = df.filter(col(textCol).isNull)
       .select(col(idCol).as("id")).withColumn("label", col("id"))
