@@ -203,14 +203,26 @@ object SourcesSinks extends QGroup {
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
         val codecs = Seq("none", "snappy", "gzip", "lz4", "zstd")
-        codecs.map { c =>
-          val out = sink(dir, s"s11_compression_$c")
-          docs.write.mode("overwrite").option("compression", c).parquet(out)
-          s.read.schema(docs.schema).parquet(out)
-            .select(lit(c).as("codec"), col("doc_id"),
-              sha2(coalesce(col("text"), lit("")), 256).as("text_sha"),
-              col("n_chars"))
-        }.reduce(_.unionAll(_))
+        // the five codec writes are INDEPENDENT jobs over the same
+        // input — submit them concurrently (Spark schedules concurrent
+        // jobs from different threads; each write is byte-light here
+        // and cluster-parallel at scale, so overlapping their job setup
+        // + IO latency is free wall-clock either way)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.DurationInt
+        val frames = Await.result(
+          Future.sequence(codecs.map { c =>
+            Future {
+              val out = sink(dir, s"s11_compression_$c")
+              docs.write.mode("overwrite").option("compression", c).parquet(out)
+              s.read.schema(docs.schema).parquet(out)
+                .select(lit(c).as("codec"), col("doc_id"),
+                  sha2(coalesce(col("text"), lit("")), 256).as("text_sha"),
+                  col("n_chars"))
+            }
+          }), 10.minutes)
+        frames.reduce(_.unionAll(_))
       },
       Some("""SELECT codec, doc_id, sha256(COALESCE(text, '')) AS text_sha, n_chars
         |FROM documents
