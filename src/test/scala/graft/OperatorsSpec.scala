@@ -929,6 +929,33 @@ class BpeMergesSpec extends SparkSpec {
       (4, "lo", "w", 7L), (5, "e", "w", 6L)), got.toSeq.toString)
   }
 
+  test("maxVocab truncation is deterministic and drops only tail-count words") {
+    // 'newest' (x6) and 'low' (x5) dominate; with maxVocab = 2 only
+    // those two words train, so the learned merges are the fixpoint of
+    // the truncated dictionary — recomputed here by hand. All newest-
+    // pairs tie at count 6, so the LEXICAL order decides every round:
+    //   round 1: (e,s) < (e,w) < (n,e) < (s,t) < (w,e)   -> (e,s,6)
+    //   round 2: n,e,w,es,t — (e,w) < (es,t) < (n,e)     -> (e,w,6)
+    //            ("e" is a byte-order PREFIX of "es", so it sorts first)
+    //   round 3: n,ew,es,t — candidates (n,ew),(ew,es),(es,t);
+    //            "es" < "ew" < "n"                      -> (es,t,6)
+    val words =
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = words.grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+    val got = TextAnalysis.bpeMerges(df, "text", nMerges = 3, maxVocab = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "e", "s", 6L), (2, "e", "w", 6L), (3, "es", "t", 6L)),
+      got.toSeq.toString)
+    // and an over-large cap changes nothing vs the full dictionary
+    val full = TextAnalysis.bpeMerges(df, "text", nMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val capped = TextAnalysis.bpeMerges(df, "text", nMerges = 5, maxVocab = 1000)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(full.toSeq == capped.toSeq)
+  }
+
   test("consecutive-pair merging is left-to-right greedy (aaaa -> two aa merges)") {
     val df = Seq("aaaa aaaa").toDF("text")
     val got = TextAnalysis.bpeMerges(df, "text", nMerges = 2)
@@ -1141,6 +1168,45 @@ class MultimodalSpec extends SparkSpec {
     // ceil-stride frame-index sample over 48 frames
     assert(r.getSeq[Long](r.fieldIndex("frames_sampled")) ==
       Seq(0L, 6L, 12L, 18L, 24L, 30L, 36L, 42L), r.toString)
+  }
+
+  test("mp4 parser reads version-1 (64-bit) mvhd/tkhd boxes") {
+    // v1 layouts per ISO/IEC 14496-12: mvhd v1 = 8-byte creation/
+    // modification + u32 timescale @20 + u64 duration @24; tkhd v1 =
+    // dims at payload offset 88. Assembled here independently of the
+    // parser, like the Python-built v0 fixture.
+    import java.nio.ByteBuffer
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes("ISO-8859-1")).put(payload)
+      b.array()
+    }
+    def full(typ: String, version: Int, payload: Array[Byte]): Array[Byte] =
+      box(typ, Array[Byte](version.toByte, 0, 0, 0) ++ payload)
+    val mvhd = full("mvhd", 1, {
+      val b = ByteBuffer.allocate(8 + 8 + 4 + 8 + 80)
+      b.putLong(0L).putLong(0L)       // creation, modification (u64)
+      b.putInt(90000)                 // timescale
+      b.putLong(270000L)              // duration -> 3000 ms
+      b.array()
+    })
+    val tkhd = full("tkhd", 1, {
+      val b = ByteBuffer.allocate(8 + 8 + 4 + 4 + 8 + 8 + 8 + 36 + 8)
+      b.putLong(0L).putLong(0L)       // creation, modification (u64)
+      b.putInt(1).putInt(0)           // track_ID, reserved
+      b.putLong(270000L)              // duration (u64)
+      b.putLong(0L)                   // reserved
+      b.putShort(0).putShort(0).putShort(0).putShort(0) // layer/group/vol/resv
+      for (v <- Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000))
+        b.putInt(v)                   // matrix
+      b.putInt(640 << 16).putInt(360 << 16)
+      b.array()
+    })
+    val ftyp = box("ftyp", "isom".getBytes ++ Array[Byte](0, 0, 2, 0) ++ "isom".getBytes)
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    val info = Multimodal.Mp4Codec.parse(ftyp ++ moov).get
+    assert(info.durationMs == 3000L, info.toString)
+    assert(info.width == 640 && info.height == 360, info.toString)
   }
 
   test("mp4 parser rejects truncated/garbage payloads and non-BMFF magic") {
