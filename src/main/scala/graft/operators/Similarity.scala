@@ -456,7 +456,14 @@ object Similarity {
     * is the floor, not the typical). Zero-norm vectors take the lowest
     * centroid id, identical to [[semDedup]]. The within-cluster drop
     * rule is unchanged — with k ∝ n it is the bounded per-cluster cost
-    * the paper declares. */
+    * the paper declares.
+    *
+    * Representation bound: like [[semDedup]], the centroids travel as
+    * PLAN LITERALS — fine to k ~ 10⁴ (the collect is k·dim doubles);
+    * past that the same two-stage structure swaps the member literals
+    * for a broadcast (cell → members) table probed by `__cell` — an
+    * engineering substitution that changes no semantics, which is why
+    * the literal form is the one pinned by the oracle-adjacent specs. */
   def semDedupAnn(
       corpus: DataFrame,
       idCol: String,
