@@ -51,7 +51,11 @@ object RangeFrame {
     // sees, WITHOUT forcing an extra optimizer pass per call (measured:
     // optimizedPlan.stats added ~0.2 s/rep of planning to w3b)
     val bytes = df.queryExecution.analyzed.stats.sizeInBytes
-    if (bytes <= BigInt(decomposeOverBytes)) windowed(df, partCol, idCol, valCol, width)
+    // width 0 = a frame of exact-value ties; the bucket decomposition's
+    // floor-division is undefined there, and the window form is cheap
+    // for it at any size (each frame is one value run)
+    if (width == 0 || bytes <= BigInt(decomposeOverBytes))
+      windowed(df, partCol, idCol, valCol, width)
     else decomposed(df, partCol, idCol, valCol, width)
   }
 
@@ -72,6 +76,7 @@ object RangeFrame {
   private[graft] def decomposed(
       df: DataFrame, partCol: String, idCol: String, valCol: String,
       width: Long): DataFrame = {
+    require(width > 0, "decomposed needs width > 0 (bucket = floor(v / width))")
     val W = width
     val base = df.select(
       col(partCol).as("st"), col(idCol).as("okey"),
