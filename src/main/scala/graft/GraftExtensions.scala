@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomMightContain, CharEntropy, CosineSimilarity, DsirBuckets, LangId, SortedPairs, MinHashSignature, NearestCentroid, RepetitionStats, TokenFingerprint, UnicodeNormalize}
+import graft.functions.{BloomMightContain, CharEntropy, CosineSimilarity, DsirBuckets, LangId, SortedPairs, MinHashSignature, NearestCentroid, RepetitionStats, ShingleHashes, TokenFingerprint, UnicodeNormalize}
 
 /** Session extension registering graft's native expressions, for use via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(SortedPairs.name), SortedPairs.info,
         SortedPairs.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(ShingleHashes.name), ShingleHashes.info,
+        ShingleHashes.builder))
     ext.injectOptimizerRule(graft.plans.CorruptDateRebaseRule.apply)
   }
 }
@@ -85,6 +88,9 @@ object GraftFunctions {
     val sp = FunctionIdentifier(SortedPairs.name)
     if (!reg.functionExists(sp))
       reg.registerFunction(sp, SortedPairs.info, SortedPairs.builder)
+    val sh = FunctionIdentifier(ShingleHashes.name)
+    if (!reg.functionExists(sh))
+      reg.registerFunction(sh, ShingleHashes.info, ShingleHashes.builder)
     // sessions built without withExtensions still get the transparent
     // corrupt-date rebase via the user-provided optimizer batch; skip
     // when the extensions path already injected it (double installation
@@ -119,6 +125,12 @@ object GraftFunctions {
   def sortedPairsNative(spark: SparkSession, arr: Column): Column = {
     ensureRegistered(spark)
     call_function(SortedPairs.name, arr)
+  }
+
+  /** Column API for the native one-pass shingle-hash array. */
+  def shingleHashesNative(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    call_function(ShingleHashes.name, text)
   }
 
   /** Column API for the native one-pass MinHash signature. */

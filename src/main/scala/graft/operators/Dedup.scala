@@ -87,7 +87,14 @@ object Dedup {
     // of a null signature degenerates to the constant seed) and pair up
     val sig = df
       .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
+      // native one-pass shingle hashing (graft_shingle_hashes): the HOF
+      // composition allocates five intermediate arrays per row —
+      // bit-identity pinned in DedupSpec; the HOF stays as the
+      // cross-check path behind useNativeExpr=false
+      .select(col(idCol).as("id"),
+        (if (useNativeExpr)
+          graft.GraftFunctions.shingleHashesNative(df.sparkSession, col(textCol))
+        else shingleHashes(col(textCol))).as("sh"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id"), signatureOf(col("sh")).as("sig"))
     val banded = sig.select(col("id"),
@@ -132,7 +139,9 @@ object Dedup {
     // simHashPairs filter them)
     val sig = df
       .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
+      // native one-pass shingle hashing (see minHashLshPairs)
+      .select(col(idCol).as("id"),
+        graft.GraftFunctions.shingleHashesNative(df.sparkSession, col(textCol)).as("sh"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id"),
         graft.GraftFunctions.minhashNative(df.sparkSession, col("sh"), numHashes).as("sig"))

@@ -190,6 +190,38 @@ class DedupSpec extends SparkSpec {
     assert(hofPairs == natPairs)
   }
 
+  test("native graft_shingle_hashes is bit-identical to the HOF composition") {
+    import spark.implicits._
+    val real = spark.read.parquet(sf("documents")).select(col("text"))
+    val nasty = Seq(
+      "", " ", "  ", "a", "a b", "a b c", "a  b c", " a b c ",
+      "a b c d e", "同 じ 字 同 じ 字", "🙂 🙃 🙂 🙃", "x\ty z w",
+      ("tok " * 200).trim, "dup dup dup dup"
+    ).toDF("text")
+    for (df <- Seq(real, nasty)) {
+      val both = df.filter(col("text").isNotNull).select(
+        Dedup.shingleHashes(col("text")).as("hof"),
+        graft.GraftFunctions.shingleHashesNative(spark, col("text")).as("native"))
+      assert(both.filter(col("hof") =!= col("native")).count() == 0,
+        both.filter(col("hof") =!= col("native"))
+          .select(col("hof"), col("native")).head(3).mkString("\n"))
+    }
+    // NULL text: native yields NULL (callers filter nulls first)
+    val n = Seq[Option[String]](None).toDF("text")
+      .select(graft.GraftFunctions.shingleHashesNative(spark, col("text")).as("s"))
+      .head()
+    assert(n.isNullAt(0))
+    // interpreted == codegen'd (same static helper by construction, but
+    // pin the wiring)
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val both = nasty.select(
+        Dedup.shingleHashes(col("text")).as("hof"),
+        graft.GraftFunctions.shingleHashesNative(spark, col("text")).as("native"))
+      assert(both.filter(col("hof") =!= col("native")).count() == 0)
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
   test("NULL-text docs never pair and cluster as singletons") {
     val withNulls = docs.unionByName(Seq(
       (10L, null.asInstanceOf[String]), (11L, null.asInstanceOf[String]))
