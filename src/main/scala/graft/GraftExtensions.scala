@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomMightContain, CharEntropy, CosineSimilarity, DsirBuckets, LangId, SortedPairs, MinHashSignature, NearestCentroid, RepetitionStats, ShingleHashes, TokenFingerprint, UnicodeNormalize}
+import graft.functions.{BloomMightContain, CharEntropy, CosineSimilarity, DsirBuckets, LangId, SortedPairs, MinHashSignature, NearestCentroid, NgramHashes, RepetitionStats, ShingleHashes, TokenFingerprint, UnicodeNormalize}
 
 /** Session extension registering graft's native expressions, for use via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -46,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(ShingleHashes.name), ShingleHashes.info,
         ShingleHashes.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(NgramHashes.name), NgramHashes.info,
+        NgramHashes.builder))
     ext.injectOptimizerRule(graft.plans.CorruptDateRebaseRule.apply)
   }
 }
@@ -91,6 +94,9 @@ object GraftFunctions {
     val sh = FunctionIdentifier(ShingleHashes.name)
     if (!reg.functionExists(sh))
       reg.registerFunction(sh, ShingleHashes.info, ShingleHashes.builder)
+    val ng = FunctionIdentifier(NgramHashes.name)
+    if (!reg.functionExists(ng))
+      reg.registerFunction(ng, NgramHashes.info, NgramHashes.builder)
     // sessions built without withExtensions still get the transparent
     // corrupt-date rebase via the user-provided optimizer batch; skip
     // when the extensions path already injected it (double installation
@@ -131,6 +137,12 @@ object GraftFunctions {
   def shingleHashesNative(spark: SparkSession, text: Column): Column = {
     ensureRegistered(spark)
     call_function(ShingleHashes.name, text)
+  }
+
+  /** Column API for the native one-pass n-gram hash-key array. */
+  def ngramHashesNative(spark: SparkSession, text: Column, n: Int): Column = {
+    ensureRegistered(spark)
+    call_function(NgramHashes.name, text, org.apache.spark.sql.functions.lit(n))
   }
 
   /** Column API for the native one-pass MinHash signature. */

@@ -363,22 +363,28 @@ object Dedup {
       .select(col("d1"), col("d2"), col("n_inter"), col("cpm"))
   }
 
-  /** Distinct word n-grams of `textCol` as strings, one row per
-    * (id, gram). Docs shorter than `n` tokens contribute their whole
-    * token list as a single gram (clamped slice — mirrors the SQL
-    * `t[i:i+n-1]` idiom so the l9 oracle matches bit-for-bit). The
-    * token array is materialized below a repartition barrier so the
-    * per-gram lambda touches a bound attribute, not a re-inlined
-    * `split()` (HOF lambdas re-evaluate referenced expressions per
-    * element — O(tokens²) without the barrier). */
+  /** Distinct word n-grams of `textCol` as 64-BIT HASH KEYS, one row
+    * per (id, gram). Every consumer (dup-fraction, cross-source
+    * overlap, decontamination, gram components) treats the gram as an
+    * opaque join/aggregation key and never outputs it, so r8 swapped
+    * the string gram (`concat_ws ∘ slice` per gram — a ~25-byte value
+    * through every gram-keyed exchange) for the native one-pass
+    * [[graft.functions.NgramHashes]] key (8 bytes, no per-gram string
+    * allocation). Clamped-window semantics unchanged: docs shorter
+    * than `n` tokens contribute ONE gram over all their tokens (the
+    * SQL `t[i:i+n-1]` idiom the l9/l17/l34/l25 oracles replicate with
+    * string grams — the oracle gate therefore also certifies that no
+    * 64-bit gram collision occurs on the certified data; the collision
+    * budget is the one the banded-LSH family already carries). The
+    * text stays below a repartition barrier so the kernel runs spread
+    * across cores, not on the scan's few input splits. */
   private[graft] def ngramRows(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("__t"))
+      .select(col(idCol).as("id"), col(textCol).as("__txt"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col("id"), explode(array_distinct(
-        transform(sequence(lit(0), greatest(size(col("__t")) - n, lit(0))), i =>
-          concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))).as("gram"))
+      .select(col("id"), explode(graft.GraftFunctions
+        .ngramHashesNative(df.sparkSession, col("__txt"), n)).as("gram"))
 
   /** Benchmark-contamination detection (training-data hygiene): for
     * each train doc, how many of its distinct word n-grams also occur
