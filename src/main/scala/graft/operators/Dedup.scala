@@ -300,9 +300,17 @@ object Dedup {
       textCol: String,
       minJpm: Int = 500,
       maxDfRatio: Double = 0.9): DataFrame = {
+    // tokens travel as 64-bit HASH keys from the start: the token is an
+    // internal join/aggregation key (never output), so an 8-byte long
+    // through the df aggregation + anti-join + inverted-index self-join
+    // beats the string on every pass; distinct-per-doc runs on the
+    // hashed array (cheaper compares). Collision budget = the gram-key
+    // precedent (ngramRows); the l1c/l28 oracles recompute with STRING
+    // tokens and stay hash-exact on the gated data.
     val toks = df
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(split(col(textCol), " "))).as("tok"))
+        explode(array_distinct(
+          transform(split(col(textCol), " "), t => xxhash64(t)))).as("tok"))
     val nDocs = toks.agg(countDistinct(col("doc_id")).as("n_docs"))
     // toks is distinct per (doc, tok), so count(*) per tok IS document
     // frequency; the hot list stays small enough to broadcast whenever
@@ -341,9 +349,12 @@ object Dedup {
       textCol: String,
       minCpm: Int = 800,
       maxDfRatio: Double = 0.9): DataFrame = {
+    // 64-bit hashed token keys (the jaccardPairs rationale): internal
+    // keys only, oracle-certified collision-free on gated data
     val toks = df
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(split(col(textCol), " "))).as("tok"))
+        explode(array_distinct(
+          transform(split(col(textCol), " "), t => xxhash64(t)))).as("tok"))
     val nDocs = toks.agg(countDistinct(col("doc_id")).as("n_docs"))
     val hot = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
@@ -968,9 +979,16 @@ object Dedup {
       textCol: String,
       minJpm: Int = 500): DataFrame = {
     require(minJpm >= 1 && minJpm <= 1000, s"minJpm must be in [1,1000]: $minJpm")
+    // hashed token keys: the canonical (df asc, tok asc) prefix order
+    // becomes (df asc, hash asc) — ANY consistent global total order
+    // preserves the prefix-filter losslessness theorem, and the exact
+    // verify stage compares the same hashed sets on both sides (the
+    // l23 oracle is the full quadratic STRING-token join, so the gate
+    // certifies end-to-end equality)
     val toks = df
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(split(col(textCol), " "))).as("tok"))
+        explode(array_distinct(
+          transform(split(col(textCol), " "), t => xxhash64(t)))).as("tok"))
     val cand = ppjoinCandidates(toks, minJpm)
     val sets = toks.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("tok"))).as("tokset"),
