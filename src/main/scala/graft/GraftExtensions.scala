@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomMightContain, CharEntropy, CosineSimilarity, DsirBuckets, LangId, SortedPairs, MinHashSignature, NearestCentroid, NgramHashes, RepetitionStats, ShingleHashes, TokenFingerprint, UnicodeNormalize}
+import graft.functions.{BloomMightContain, BpeTokenCount, CharEntropy, CosineSimilarity, DsirBuckets, LangId, SortedPairs, MinHashSignature, NearestCentroid, NgramHashes, RepetitionStats, ShingleHashes, TokenFingerprint, UnicodeNormalize}
 
 /** Session extension registering graft's native expressions, for use via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -49,6 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(NgramHashes.name), NgramHashes.info,
         NgramHashes.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(BpeTokenCount.name), BpeTokenCount.info,
+        BpeTokenCount.builder))
     ext.injectOptimizerRule(graft.plans.CorruptDateRebaseRule.apply)
   }
 }
@@ -97,6 +100,9 @@ object GraftFunctions {
     val ng = FunctionIdentifier(NgramHashes.name)
     if (!reg.functionExists(ng))
       reg.registerFunction(ng, NgramHashes.info, NgramHashes.builder)
+    val bp = FunctionIdentifier(BpeTokenCount.name)
+    if (!reg.functionExists(bp))
+      reg.registerFunction(bp, BpeTokenCount.info, BpeTokenCount.builder)
     // sessions built without withExtensions still get the transparent
     // corrupt-date rebase via the user-provided optimizer batch; skip
     // when the extensions path already injected it (double installation
@@ -143,6 +149,16 @@ object GraftFunctions {
   def ngramHashesNative(spark: SparkSession, text: Column, n: Int): Column = {
     ensureRegistered(spark)
     call_function(NgramHashes.name, text, org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** Column API for the native priority-merge BPE token count. */
+  def bpeTokenCountNative(
+      spark: SparkSession, text: Column,
+      merges: Seq[(String, String)]): Column = {
+    ensureRegistered(spark)
+    call_function(BpeTokenCount.name, text,
+      org.apache.spark.sql.functions.typedlit(merges.map(_._1)),
+      org.apache.spark.sql.functions.typedlit(merges.map(_._2)))
   }
 
   /** Column API for the native one-pass MinHash signature. */

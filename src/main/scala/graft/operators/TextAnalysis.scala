@@ -547,7 +547,25 @@ object TextAnalysis {
     * compression ratio floor-scaled to micro units. */
   def applyBpeMerges(
       df: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)],
+      useNativeExpr: Boolean = true): DataFrame = {
+    // NATIVE path (default): graft_bpe_token_count applies the merges
+    // with the priority algorithm — O(word_len²) per word INDEPENDENT
+    // of |merges|, where the regex chain below pays one full-text regex
+    // pass PER MERGE (fine at 8, hopeless at a 50k vocabulary).
+    // Equivalence for trained tables pinned in BpeApplySpec; the regex
+    // chain stays as the cross-check path.
+    if (useNativeExpr) {
+      val nChars = length(col(textCol))
+      val nSpaces = nChars - length(regexp_replace(col(textCol), " ", ""))
+      val nTokens = graft.GraftFunctions.bpeTokenCountNative(
+        df.sparkSession, col(textCol), merges)
+      return df.filter(col(textCol).isNotNull && col(textCol) =!= "")
+        .select(col(idCol).as("id"), nChars.as("n_chars"),
+          nTokens.as("n_bpe_tokens"),
+          floor((nChars - nSpaces).cast("double") * 1e6 /
+            greatest(nTokens, lit(1))).cast("long").as("chars_per_token_micro"))
+    }
     val sep = "\u0001"
     val base = concat(lit(sep), array_join(split(col(textCol), ""), sep), lit(sep))
     val merged = merges.foldLeft(base) { case (acc, (l, r)) =>

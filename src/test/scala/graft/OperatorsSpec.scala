@@ -1044,6 +1044,61 @@ class BpeApplySpec extends SparkSpec {
     val r = TextAnalysis.applyBpeMerges(df, "id", "text", Seq.empty).collect()(0)
     assert(r.getLong(2) == 3L) // a, b, c — the space is not a token
   }
+
+  test("native priority application equals the sequential regex replay (trained tables)") {
+    val rnd = new scala.util.Random(0xBEAD5)
+    val alphabet = "abcd"
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.orderBy(col("id")).collect().map(_.toString).toSeq
+    for (trial <- 1 to 4) {
+      // TRAIN a table on one random corpus (well-formed by
+      // construction — the equivalence precondition), APPLY to another
+      val trainWords = (1 to 40 + rnd.nextInt(60)).map(_ =>
+        (1 to 1 + rnd.nextInt(7)).map(_ => alphabet(rnd.nextInt(4))).mkString)
+      val merges = TextAnalysis.bpeMerges(
+          trainWords.grouped(5).map(_.mkString(" ")).toSeq.toDF("text"),
+          "text", nMerges = 4 + rnd.nextInt(8))
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val applyDf = (1 to 30).map { i =>
+        (i.toLong, (1 to 1 + rnd.nextInt(10))
+          .map(_ => alphabet(rnd.nextInt(4))).mkString(" "))
+      }.toDF("id", "text")
+      val native = canon(TextAnalysis.applyBpeMerges(
+        applyDf, "id", "text", merges))
+      val regex = canon(TextAnalysis.applyBpeMerges(
+        applyDf, "id", "text", merges, useNativeExpr = false))
+      assert(native == regex, s"trial $trial (${merges.size} merges) diverged")
+    }
+    // and on real documents with the corpus-trained 8-merge table
+    val docs = spark.read.parquet(sf("documents"))
+      .select(col("doc_id"), col("text")).limit(300)
+    val merges = TextAnalysis.bpeMerges(docs, "text", nMerges = 8)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(
+      canon(TextAnalysis.applyBpeMerges(docs, "doc_id", "text", merges)) ==
+        canon(TextAnalysis.applyBpeMerges(docs, "doc_id", "text", merges,
+          useNativeExpr = false)))
+  }
+
+  test("native application cost is flat in |merges| (the regex chain is linear in it)") {
+    // 64 merges through the kernel must not blow up plan size or time:
+    // just assert it RUNS and agrees with itself deterministically —
+    // the regex chain at 64 merges is the comparison the scaladoc
+    // documents, not one worth paying in CI repeatedly
+    val docs = spark.read.parquet(sf("documents"))
+      .select(col("doc_id"), col("text")).limit(200)
+    val merges = TextAnalysis.bpeMerges(docs, "text", nMerges = 64)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.size > 8, s"expected a real table, got ${merges.size}")
+    val a = TextAnalysis.applyBpeMerges(docs, "doc_id", "text", merges)
+      .agg(sum(col("n_bpe_tokens"))).head().getLong(0)
+    val b = TextAnalysis.applyBpeMerges(docs, "doc_id", "text", merges)
+      .agg(sum(col("n_bpe_tokens"))).head().getLong(0)
+    assert(a == b && a > 0, s"$a vs $b")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
