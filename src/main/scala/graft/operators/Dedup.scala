@@ -145,9 +145,10 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id"),
         graft.GraftFunctions.minhashNative(df.sparkSession, col("sh"), numHashes).as("sig"))
-    // no cache() here: propagateMinLabels eagerly localCheckpoints its
-    // input, which IS the materialization — a cache() on top was a
-    // second full storage write of the same rows (A/B-measured waste)
+    // no cache() here: propagateMinLabels lazily checkpoints its first
+    // round's output, which materializes this upstream plan exactly
+    // once — a cache() on top was a second full storage write of the
+    // same rows (A/B-measured waste)
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(slice(col("sig"), b * r + 1, lit(r)), lit(42)))))
@@ -189,9 +190,10 @@ object Dedup {
     * no label (labels are monotonically non-increasing, so "no row
     * decreased" IS the fixpoint) or `maxIterations` is hit — the cap is
     * a runaway guard, not the convergence mechanism, and hitting it
-    * warns on stderr. Each round localCheckpoints eagerly: the iterated
-    * self-referential join would otherwise double the lineage per round
-    * and the convergence check re-reads the previous round's labels.
+    * warns on stderr. Each round localCheckpoints LAZILY — the round's
+    * convergence probe is the materializing action, so a round is one
+    * job — which both truncates the per-round lineage growth and lets
+    * the probe re-read the previous round's labels as block reads.
     *
     * Input must have columns (id, bucket); output is (id, label) with
     * one row per distinct id. */
@@ -254,8 +256,16 @@ object Dedup {
         converged = prevSum != null && nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
       } else
-        converged = prevState != null &&
-          labelsOf(next).as("n").join(labelsOf(prevState).as("p"), "id")
+        // probe against the IMMEDIATELY preceding round's checkpointed
+        // labels (`state`), not the two-rounds-back snapshot — the old
+        // prevState probe detected the fixpoint one round late and, in
+        // round 2, re-executed the un-checkpointed initial frame's whole
+        // upstream plan. Round 1 is skipped: its `state` is that raw
+        // initial frame, and the first possible fixpoint signal is
+        // "round 2 changed nothing vs round 1" on both probe paths (the
+        // numeric sum needs two samples too).
+        converged = round >= 2 &&
+          labelsOf(next).as("n").join(labelsOf(state).as("p"), "id")
             .filter(col("n.label") =!= col("p.label")).isEmpty
       // the previous snapshot is dead once the probe has read it — free
       // its blocks now instead of waiting for driver GC
@@ -304,9 +314,22 @@ object Dedup {
     // internal join/aggregation key (never output), so an 8-byte long
     // through the df aggregation + anti-join + inverted-index self-join
     // beats the string on every pass; distinct-per-doc runs on the
-    // hashed array (cheaper compares). Collision budget = the gram-key
-    // precedent (ngramRows); the l1c/l28 oracles recompute with STRING
-    // tokens and stay hash-exact on the gated data.
+    // hashed array (cheaper compares). Collision budget — stated
+    // precisely because this operator's OUTPUT is a count, so the
+    // family is PROBABILISTICALLY exact, not exact, at corpus scale:
+    // with T distinct tokens the expected colliding token pairs are
+    // ~T²/2^65 (birthday) — at the 100 TB design point of T ~ 10^12
+    // that is ~3·10^4 collided pairs among 10^12 tokens, i.e. a
+    // relative count perturbation of order 10^-8 on any aggregate a
+    // pipeline reads, and the affected pairs inflate n_inter by AT MOST
+    // 1 each. The l1c/l28 oracles recompute with STRING tokens and stay
+    // hash-exact on the gated data (certifying zero collisions there).
+    // Exactness-critical audits can swap the key for a 128-bit
+    // struct(xxhash64(t), xxhash64(t, seed2)) — expected collisions
+    // ~10^-15 at T = 10^12 — at the measured cost of doubling key
+    // bytes through every exchange; 64-bit is the shipped default
+    // because a 10^-8 count perturbation is far below the sampling
+    // noise of any decision these counts feed.
     val toks = df
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(
@@ -385,8 +408,12 @@ object Dedup {
     * than `n` tokens contribute ONE gram over all their tokens (the
     * SQL `t[i:i+n-1]` idiom the l9/l17/l34/l25 oracles replicate with
     * string grams — the oracle gate therefore also certifies that no
-    * 64-bit gram collision occurs on the certified data; the collision
-    * budget is the one the banded-LSH family already carries). The
+    * 64-bit gram collision occurs on the certified data. Consumers
+    * whose outputs are COUNTS are thereby probabilistically exact at
+    * corpus scale — see the quantified budget in [[jaccardPairs]]
+    * (~G²/2^65 collided gram pairs, order-10^-8 count perturbation at
+    * G ~ 10^12; two-seed 128-bit struct keys are the substitution when
+    * that matters). The
     * text stays below a repartition barrier so the kernel runs spread
     * across cores, not on the scan's few input splits. */
   private[graft] def ngramRows(
@@ -766,7 +793,7 @@ object Dedup {
       idCol: String,
       keyCol: String,
       maxIterations: Int = 50,
-      localFinishEdges: Long = 1L << 20): DataFrame = {
+      localFinishEdges: Long = 1L << 18): DataFrame = {
     val spark = df.sparkSession
     val inc = df.select(col(idCol).as("id"), col(keyCol).as("bucket"))
       .localCheckpoint(true)
@@ -827,10 +854,15 @@ object Dedup {
     // the standard production CC endgame (a local fallback below a size
     // threshold), and it is exactly what a 1000-executor run wants too:
     // the tail rounds of an O(log² n) contraction are scheduling-bound
-    // there as well. Driver memory is bounded by construction:
-    // ≤ localFinishEdges edges ≈ 2 ids each (~16 MB at the default for
-    // long ids). Spark-min order is matched per type (UTF-8 bytes for
-    // strings — String.compareTo disagrees on supplementary chars).
+    // there as well. Driver memory is bounded by construction, with the
+    // HONEST row cost: each collected edge is a GenericRow holding two
+    // boxed endpoints (~100 B for long ids, more for strings), so the
+    // 2^18 default budgets ~26 MB of Rows plus the union-find maps —
+    // safe on a default 1g driver heap. (The earlier 2^20 default
+    // under-counted at "~16 MB"; it was really 100–200 MB.) Raising the
+    // threshold trades driver heap for fewer tail rounds. Spark-min
+    // order is matched per type (UTF-8 bytes for strings —
+    // String.compareTo disagrees on supplementary chars).
     def cmpIds(a: Any, b: Any): Int = (a, b) match {
       case (x: String, y: String) =>
         val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -543,10 +543,27 @@ object Similarity {
         m => round(graft.GraftFunctions.cosineNative(
           spark, col("v"), m.cast("array<double>")), 6)))
       .withColumn("cluster",
+        // GLOBAL (sim DESC, cid ASC) argmax via one O(m) fold. The
+        // candidate arrays are flattened cell-rank-major, so a bare
+        // array_position(array_max) would break a 6-dp cosine tie
+        // between centroids in DIFFERENT cells by cell rank — diverging
+        // from the dense path's global lowest-cid rule even at
+        // nProbe = c. The fold ignores null sims (zero-norm rows or
+        // zero-norm candidate centroids); all-null → lowest cid, same
+        // as [[semDedup]].
         coalesce(
-          element_at(col("__cids"),
-            array_position(col("__sims"), array_max(col("__sims")))
-              .cast("int")),
+          aggregate(
+            zip_with(col("__sims"), col("__cids"),
+              (s, cid) => struct(s.as("s"), cid.as("cid"))),
+            struct(lit(null).cast("double").as("s"),
+              lit(null).cast("bigint").as("cid")),
+            (acc, x) => when(
+              x.getField("s").isNotNull &&
+                (acc.getField("s").isNull ||
+                  x.getField("s") > acc.getField("s") ||
+                  (x.getField("s") === acc.getField("s") &&
+                    x.getField("cid") < acc.getField("cid"))),
+              x).otherwise(acc)).getField("cid"),
           lit(minCid)))
       .select(col("id"), col("cluster"), col("v"))
     val dropped = assigned.as("x")

@@ -222,6 +222,62 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 
+  test("graft_ngram_hashes is equivalent to the old string-gram composition") {
+    import spark.implicits._
+    // reconstruct the pre-r8 string-gram path (clamped slices of the
+    // raw token array, distinct): concat_ws(" ", tokens) is INVERTIBLE
+    // on space-free tokens (split recovers the sequence exactly), so
+    // "hash↔string gram is functional both ways" IS gram-structure
+    // equivalence, not just a size check
+    def stringGrams(n: Int) = {
+      val toks = split(col("text"), " ", -1)
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, least(lit(n), size(toks))))))
+    }
+    val real = spark.read.parquet(sf("documents"))
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+    val nasty = Seq(
+      (1000L, ""), (1001L, " "), (1002L, "a"), (1003L, "a b"),
+      (1004L, "a b c"), (1005L, "a b c d e f"), (1006L, "a  b  c"),
+      (1007L, " a b "), (1008L, "dup dup dup dup dup"),
+      (1009L, "同 じ 字 同 じ 字"), (1010L, "🙂 🙃 🙂 🙃 🙂")
+    ).toDF("doc_id", "text")
+    for (df <- Seq(real, nasty); n <- Seq(2, 3, 5)) {
+      val zipped = df.select(col("doc_id"),
+        posexplode(arrays_zip(
+          graft.GraftFunctions.ngramHashesNative(spark, col("text"), n).as("h"),
+          stringGrams(n).as("g"))))
+        .select(col("doc_id"), col("col.h").as("h"), col("col.g").as("g"))
+      // equal per-row length and first-occurrence order (arrays_zip
+      // null-pads the shorter side)
+      assert(zipped.filter(col("h").isNull || col("g").isNull).count() == 0,
+        s"n=$n: native and string gram arrays differ in length/order")
+      // functional both ways across every doc: same string gram ⇒ same
+      // hash, same hash ⇒ same string gram (zero 64-bit collisions)
+      assert(zipped.groupBy(col("g")).agg(countDistinct(col("h")).as("k"))
+        .filter(col("k") =!= 1).count() == 0, s"n=$n: one gram, many hashes")
+      assert(zipped.groupBy(col("h")).agg(countDistinct(col("g")).as("k"))
+        .filter(col("k") =!= 1).count() == 0, s"n=$n: hash collision")
+    }
+    // NULL text → NULL (callers filter nulls first)
+    val nl = Seq[Option[String]](None).toDF("text")
+      .select(graft.GraftFunctions.ngramHashesNative(spark, col("text"), 3).as("h"))
+      .head()
+    assert(nl.isNullAt(0))
+    // interpreted == codegen'd (same static helper, pin the wiring)
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val z = nasty.select(posexplode(arrays_zip(
+        graft.GraftFunctions.ngramHashesNative(spark, col("text"), 3).as("h"),
+        stringGrams(3).as("g"))))
+        .select(col("col.h").as("h"), col("col.g").as("g"))
+      assert(z.filter(col("h").isNull || col("g").isNull).count() == 0)
+      assert(z.groupBy(col("g")).agg(countDistinct(col("h")).as("k"))
+        .filter(col("k") =!= 1).count() == 0)
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
   test("NULL-text docs never pair and cluster as singletons") {
     val withNulls = docs.unionByName(Seq(
       (10L, null.asInstanceOf[String]), (11L, null.asInstanceOf[String]))
