@@ -66,6 +66,9 @@ for name in sorted(oracle):
 
 doc = {
     "_meta": {
+        # Bench.scala copies this into its env block so every BENCH
+        # artifact records which baseline basis produced its ratios
+        "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "engine": f"duckdb {duckdb.__version__}",
         "sf_dir": SF,
         "method": f"warmup={WARMUP},min_of={REPS}",

@@ -31,10 +31,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
-    // min-of-3: repeated full-suite runs vary ±20% with machine load;
-    // a third rep materially tightens the per-query minimum for ~90 s
-    // extra suite time
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // min-of-5: repeated full-suite runs vary ±20% with machine load
+    // (r8's driver print moved 25% on environment alone — its b1 floor
+    // probe ran 77% over the previous round's on identical binaries);
+    // two more interleaved reps tighten each per-query minimum for
+    // ~2 min extra suite time, and the env block below records the
+    // floor + load so machine state is readable from the artifact
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -59,6 +62,8 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -101,6 +106,7 @@ object Bench {
 
     // DuckDB wall-times for the same oracle SQL on the same data (committed
     // out-of-band by scripts/baseline_times.py) -> per-query ratios.
+    var baselineMeta: String = ""
     val baseline: Map[String, Double] = {
       val p = java.nio.file.Paths.get("BASELINE_TIMES.json")
       if (!java.nio.file.Files.exists(p)) Map.empty
@@ -122,6 +128,19 @@ object Bench {
             Map.empty[String, Double]
           } else {
             import scala.jdk.CollectionConverters._
+            // record WHICH baseline basis produced the ratios: the
+            // snapshot's own timestamp + total, plus the file mtime as
+            // the same-day-pairing witness (a pairing is honest only if
+            // this mtime and the bench run are minutes apart)
+            val meta = root.path("_meta")
+            val gen = meta.path("generated_at").asText("")
+            val tot = meta.path("total_sec").asDouble(-1.0)
+            val mtime = java.time.Instant
+              .ofEpochMilli(java.nio.file.Files.getLastModifiedTime(p).toMillis)
+              .toString
+            baselineMeta =
+              s""","baseline":{"generated_at":"$gen","file_mtime":"$mtime"""" +
+                f""","total_sec":$tot%.3f}"""
             times.fieldNames.asScala
               .map(k => k -> times.get(k).asDouble()).toMap
           }
@@ -150,7 +169,23 @@ object Bench {
           .mkString("{", ",", "}")
         s""","ratios_vs_duckdb":$rs"""
       }
-    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"warmup=$warmup%d,min_of=$reps%d,interleaved","queries":$qs$ratioJson,"sf":"$sfDir"}"""
+    // env block: this run's own constant-work floor probes (b1 = no-scan
+    // select 1, b2 = 5-row region scan) + 1-min system load at start and
+    // end, so machine state is readable from the artifact itself —
+    // r8's driver print was ~25% environment, detectable only by
+    // cross-referencing b1 against the previous round
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val resultMap0 = results.toMap
+    val floors = Seq("b1_floor_select1", "b2_floor_scan_region")
+      .flatMap(n => resultMap0.get(n).filter(_ >= 0)
+        .map(v => "\"" + n + "\":" + f"$v%.3f"))
+    val envJson =
+      s""","env":{${(floors ++ Seq(
+        f""""load_avg_start":$loadStart%.2f""",
+        f""""load_avg_end":$loadEnd%.2f""",
+        s""""cpus":$cpus""")).mkString(",")}$baselineMeta}"""
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"warmup=$warmup%d,min_of=$reps%d,interleaved","queries":$qs$ratioJson$envJson,"sf":"$sfDir"}"""
     // best-effort: an unwritable CWD must not lose the stdout lines the
     // driver parses after the whole benchmark already ran
     try java.nio.file.Files.write(
@@ -167,7 +202,7 @@ object Bench {
         f""","ratio_vs_duckdb":${sparkSum / duckSum}%.2f,"n_ratioed":${ratios.size}%d"""
       }
     println(detail)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${names.size},"n_failed":$failed,"method":"warmup=$warmup%d,min_of=$reps%d,interleaved"$aggRatio,"slowest":$top5,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${names.size},"n_failed":$failed,"method":"warmup=$warmup%d,min_of=$reps%d,interleaved"$aggRatio,"slowest":$top5$envJson,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
