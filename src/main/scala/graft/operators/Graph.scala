@@ -46,7 +46,8 @@ object Graph {
       srcCol: String,
       dstCol: String,
       iterations: Int = 3,
-      dampingPct: Int = 85): DataFrame = {
+      dampingPct: Int = 85,
+      materialize: Boolean = true): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
     val base = (100L - dampingPct) * 10000L
@@ -54,11 +55,17 @@ object Graph {
     // (degree, node set, per-round contributions) would otherwise
     // re-execute the caller's upstream plan (often a join + distinct
     // that is itself referenced twice when the caller symmetrizes via
-    // union), and at corpus scale the edge build dwarfs the iterations
-    val e = edges
+    // union), and at corpus scale the edge build dwarfs the iterations.
+    // `materialize = false` is for callers whose edge list is ALREADY a
+    // materialized layout (e.g. a dst-bucketed table, the l26 shape):
+    // re-checkpointing a bucket-file scan costs a full storage write
+    // for nothing, and the scan's HashPartitioning(dst) then rides
+    // straight into every round's contribution aggregation — zero
+    // per-round edge exchanges instead of one.
+    val e0 = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint(true)
+    val e = if (materialize) e0.localCheckpoint(true) else e0
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     // lazy: the nNodes count right below is the materializing action
     // (one job instead of two); e itself stays EAGER — its two union

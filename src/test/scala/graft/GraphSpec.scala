@@ -66,4 +66,35 @@ class GraphSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r.keySet == Set(1L, 2L))
   }
+
+  test("l26 edge layout is reused across runs and rebuilt when sources are newer") {
+    // fixture sf dir with just the two tables l26 touches
+    val dir = java.nio.file.Files.createTempDirectory("graft_l26_stale").toString
+    Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 11L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 100L), (2L, 101L), (3L, 100L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    def run(): Map[Long, Long] =
+      SparkEntry.queries("l26_pagerank")(spark, dir)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val marker = new java.io.File(
+      graft.queries.QShared.sink(dir, "l26_edges"), "_SUCCESS")
+    val r1 = run()
+    assert(marker.exists(), "first run must lay out the bucketed edge table")
+    val m1 = marker.lastModified()
+    val r2 = run()
+    assert(marker.lastModified() == m1,
+      "unchanged sources must NOT trigger a relayout")
+    // advance the source mtime past the marker: next run must rebuild
+    assert(new java.io.File(s"$dir/lineitem.parquet")
+      .setLastModified(m1 + 10000))
+    val r3 = run()
+    assert(marker.lastModified() > m1,
+      "a source newer than the layout must trigger a relayout")
+    assert(r1 == r2 && r2 == r3, "ranks are identical across reuse/rebuild")
+    assert(r1.keySet == Set(100L, 101L, 1000010L, 1000011L, 1000012L),
+      s"node ids are custkeys and offset suppkeys: ${r1.keySet}")
+  }
 }
