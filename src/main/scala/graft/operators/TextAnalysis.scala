@@ -251,7 +251,15 @@ object TextAnalysis {
     val toks = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
       .repartition(col("id"))
+    // LAZY checkpoint: tf feeds BOTH the idf aggregation (broadcast
+    // side) and the scored main side — without it the token explosion,
+    // id exchange, and (id, tok) aggregation execute twice in the one
+    // final job (ReuseExchange dedupes only the exchange, not the agg
+    // above it). No race: the broadcast build is a dependency of the
+    // main stage, so it materializes the checkpoint first and the main
+    // side reads blocks. r9 A/B at sf0.1: 0.76 → 0.69 s.
     val tf = toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val nDocs = df.filter(col(textCol).isNotNull)
       .agg(countDistinct(col(idCol)).as("n_docs"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
