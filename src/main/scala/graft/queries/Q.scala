@@ -143,6 +143,15 @@ object QShared {
   def sink(dir: String, name: String): String =
     s"/tmp/graft_sink/${name}_${Integer.toHexString(dir.hashCode)}"
 
+  /** Small driver-side statistics cache (the catalog's ANALYZE-stats
+    * analog): column bounds and similar tiny stat results keyed by
+    * (session, dir, tag, source mtime) — the mtime in the KEY is the
+    * staleness guard, so a regenerated source simply computes a fresh
+    * entry. Never caches row data. */
+  val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String, String, Long), AnyRef]()
+
   /** DuckDB rendering of `TextAnalysis.qualityMetrics`' composite
     * score over a `text` column — ONE definition interpolated into
     * every oracle that scores quality (l3d, l18, l19): three drifting

