@@ -45,8 +45,17 @@ object RangeFrame {
       idCol: String,
       valCol: String,
       width: Long,
-      decomposeOverBytes: Long = 1L << 30): DataFrame = {
+      decomposeOverBytes: Long = -1L): DataFrame = {
     require(width >= 0, "width must be non-negative")
+    // -1 sentinel = "caller took the default": 1 GiB, overridable via
+    // the graft.rangeframe.decomposeOverBytes system property so
+    // PlanSpec can drive the SHIPPED w3b QDef (which passes no
+    // threshold) through the decomposed gate path without a code fork;
+    // explicit callers are never affected by the property
+    val threshold =
+      if (decomposeOverBytes >= 0) decomposeOverBytes
+      else sys.props.get("graft.rangeframe.decomposeOverBytes")
+        .map(_.toLong).getOrElse(1L << 30)
     // analyzed-plan stats: the same file-size estimate the optimizer
     // sees, WITHOUT forcing an extra optimizer pass per call (measured:
     // optimizedPlan.stats added ~0.2 s/rep of planning to w3b)
@@ -54,7 +63,7 @@ object RangeFrame {
     // width 0 = a frame of exact-value ties; the bucket decomposition's
     // floor-division is undefined there, and the window form is cheap
     // for it at any size (each frame is one value run)
-    if (width == 0 || bytes <= BigInt(decomposeOverBytes))
+    if (width == 0 || bytes <= BigInt(threshold))
       windowed(df, partCol, idCol, valCol, width)
     else decomposed(df, partCol, idCol, valCol, width)
   }

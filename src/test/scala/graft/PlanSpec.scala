@@ -386,4 +386,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort [l_orderkey") && !p.contains("Sort [o_orderkey"),
       s"one-file-per-bucket sortBy must elide the read-side sorts:\n$p")
   }
+
+  test("l39b @100TB posture: shuffle-free assignment, ONE cluster-keyed semi-join") {
+    val p = planNoAutoBroadcast("l39b_semdedup_ann")
+    // the within-cluster drop check is exactly one LeftSemi self-join
+    // keyed on the assigned cluster
+    assert("Join \\[cluster#\\d+L\\], \\[cluster#\\d+L\\], LeftSemi".r
+      .findFirstIn(p).isDefined, s"cluster-keyed LeftSemi expected:\n$p")
+    assert("LeftSemi".r.findAllIn(p).size == 1, p)
+    // IVF assignment itself is a shuffle-free scan: the only exchanges
+    // in the whole plan are the semi-join's two cluster sides, the
+    // id-keyed outer join back (2 sides), and the final histogram
+    // aggregation — nothing below the assignment kernel
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 5, s"expected 5 exchanges (2 cluster + 2 id + 1 agg), got $n:\n$p")
+  }
+
+  test("w3b @100TB posture: the SHIPPED QDef decomposes above the size gate") {
+    // the sysprop lowers only the DEFAULT threshold (explicit callers
+    // unaffected), so this drives the exact shipped query — not a
+    // hand-built operator call — through the gate's scale path
+    System.setProperty("graft.rangeframe.decomposeOverBytes", "0")
+    try {
+      val p = planOf("w3b_range_frame")
+      assert(!p.contains("specifiedwindowframe(RangeFrame"),
+        s"RANGE window must be replaced above the gate:\n$p")
+      assert(p.contains("specifiedwindowframe(RowFrame"),
+        s"running prefix windows expected:\n$p")
+      // in-bucket running totals ride (part, bucket)-keyed exchanges —
+      // parallelism |part| x n_buckets, the whole point of the shape
+      assert("Exchange hashpartitioning\\(st#\\d+, b#\\d+L".r
+        .findFirstIn(p).isDefined, s"bucket-keyed window exchange expected:\n$p")
+      assert(p.contains("Join"), s"probe join-back expected:\n$p")
+    } finally System.clearProperty("graft.rangeframe.decomposeOverBytes")
+  }
 }
