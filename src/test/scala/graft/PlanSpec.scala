@@ -317,26 +317,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ntile("), p)
     // the rank window is keyed on the scan-local range id
     assert(p.contains("Exchange hashpartitioning(rid"), p)
-    // r7: the approx range edges moved IN-PLAN (broadcast back via a
-    // cross join) so the query builds lazily and runs as one job —
-    // exactly TWO SinglePartition exchanges remain, BOTH bounded stats:
-    // the global percentile_approx edge aggregate and the cumulative-
+    // r9: the approx range edges are registered column STATISTICS
+    // (mtime-keyed stats cache, the s7 columnBounds precedent), so the
+    // plan carries them as LITERAL comparisons in the scan projection —
+    // no percentile subtree, no edge broadcast, no cross join
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("percentile_approx"), p)
+    val lines = p.split("\n")
+    // exactly ONE SinglePartition exchange remains: the cumulative-
     // offset window over the ≤32-row per-range counts — never the
     // orders rows themselves (r5's global ntile funnel)
-    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
-    val lines = p.split("\n")
-    // three occurrences in the PRINTED pre-adaptive tree: the edge-stat
-    // funnel appears in both the main stream and the broadcast offsets
-    // subtree (AQE reuses the exchange at runtime), plus the offsets
-    // window funnel
     val singles = lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
-    assert(singles.size == 3,
-      s"expected the bounded stat funnels (edge agg ×2 printed + offsets window), got ${singles.size}:\n$p")
+    assert(singles.size == 1,
+      s"expected ONE bounded stat funnel (offsets window), got ${singles.size}:\n$p")
     singles.foreach { case (_, si) =>
       val below = lines.drop(si + 1).takeWhile(!_.contains("Exchange"))
-      assert(below.exists(l => l.contains("Aggregate") &&
-          (l.contains("rid") || l.contains("percentile_approx"))),
-        s"SinglePartition exchange must sit over a bounded stat aggregate:\n$p")
+      assert(below.exists(l => l.contains("Aggregate") && l.contains("rid")),
+        s"SinglePartition exchange must sit over the bounded range-count aggregate:\n$p")
     }
   }
 
