@@ -146,9 +146,13 @@ object GraftFunctions {
   }
 
   /** Column API for the native one-pass n-gram hash-key array. */
-  def ngramHashesNative(spark: SparkSession, text: Column, n: Int): Column = {
+  def ngramHashesNative(
+      spark: SparkSession, text: Column, n: Int,
+      distinct: Boolean = true): Column = {
     ensureRegistered(spark)
-    call_function(NgramHashes.name, text, org.apache.spark.sql.functions.lit(n))
+    call_function(NgramHashes.name, text,
+      org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(distinct))
   }
 
   /** Column API for the native priority-merge BPE token count. */

@@ -28,10 +28,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * tokens = `split(text, " ")` at limit −1 (empty tokens kept); texts
   * with fewer than `n` tokens contribute ONE gram covering all their
   * tokens; otherwise every full window of `n`. Key = seed-42
-  * left-fold of per-token xxhash64s. Distinct keeps first occurrence
-  * (ngramRows' `array_distinct` did the same before its explode).
+  * left-fold of per-token xxhash64s. `distinct = true` (the default)
+  * keeps first occurrence (ngramRows' `array_distinct` did the same
+  * before its explode); `distinct = false` emits ONE hash per window
+  * position, index-aligned with the window start — the positional form
+  * span-level consumers (exactSubstringSpans) need, where an in-doc
+  * repeat is itself duplication and every occurrence's position
+  * matters.
   */
-case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+case class NgramHashes(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
@@ -48,11 +54,11 @@ case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(v: Any): Any =
-    NgramHashes.compute(v.asInstanceOf[UTF8String], n)
+    NgramHashes.compute(v.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t =>
-      s"${ev.value} = graft.functions.NgramHashes.compute($t, $n);")
+      s"${ev.value} = graft.functions.NgramHashes.compute($t, $n, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): NgramHashes =
     copy(child = newChild)
@@ -62,17 +68,23 @@ object NgramHashes {
   val name = "graft_ngram_hashes"
   val info = new ExpressionInfo(classOf[NgramHashes].getName, name)
   val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 2, s"$name expects (text, n int literal)")
+    require(children.length == 2 || children.length == 3,
+      s"$name expects (text, n int literal[, distinct bool literal])")
     val n = children(1) match {
       case Literal(v: Int, IntegerType) => v
       case other => throw new IllegalArgumentException(
         s"$name n must be an int literal, got $other")
     }
-    NgramHashes(children.head, n)
+    val distinct = if (children.length < 3) true else children(2) match {
+      case Literal(v: Boolean, BooleanType) => v
+      case other => throw new IllegalArgumentException(
+        s"$name distinct must be a boolean literal, got $other")
+    }
+    NgramHashes(children.head, n, distinct)
   }
 
   /** Shared eval/codegen body — one scan over the UTF-8 bytes. */
-  def compute(s: UTF8String, n: Int): GenericArrayData = {
+  def compute(s: UTF8String, n: Int, distinct: Boolean): GenericArrayData = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val nb = s.numBytes()
@@ -103,14 +115,16 @@ object NgramHashes {
     }
     val m = nTokens - n + 1
     val out = new Array[Long](m)
-    val seen = new java.util.HashSet[java.lang.Long](math.max(4, m * 2))
+    val seen =
+      if (distinct) new java.util.HashSet[java.lang.Long](math.max(4, m * 2))
+      else null
     var k = 0
     var g = 0
     while (g < m) {
       var h = 42L
       var j = 0
       while (j < n) { h = XXH64.hashLong(th(g + j), h); j += 1 }
-      if (seen.add(h)) { out(k) = h; k += 1 }
+      if (seen == null || seen.add(h)) { out(k) = h; k += 1 }
       g += 1
     }
     new GenericArrayData(if (k == m) out else java.util.Arrays.copyOf(out, k))

