@@ -35,6 +35,14 @@ object Engine {
       // and raise the advisory — that knob is deployment tuning, not
       // engine code.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // constraintPropagation=off was A/B'd (r9) as a floor-shaving
+      // candidate and REJECTED: a sequential two-pass probe showed
+      // planning 0.93 -> 0.55 s on the 17 planning-heaviest queries,
+      // but the "win" inverted when the pass order flipped — pure JIT
+      // warm-up bias. The order-free interleaved A/B (alternating the
+      // conf per rep, same queries) measured 7.34 vs 7.40 s — under 1%,
+      // within noise — so the default stays, keeping the inferred
+      // isnotnull pruning for free on ad-hoc plans.
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.parquet.enableVectorizedReader", "true")

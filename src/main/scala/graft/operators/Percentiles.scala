@@ -58,6 +58,13 @@ object Percentiles {
 
     // long format in ONE scan: explode a literal array of (measure,
     // micro-value) structs — codegen'd generator, no per-measure rescan
+    // NOT checkpointed, deliberately (r9 A/B): the long form feeds both
+    // the histogram and resolve passes, but materializing the (k, m, v)
+    // triples to storage costs more than re-running the vectorized scan
+    // + codegen'd explode a second time (a10 isolated 0.97 -> 1.48 s
+    // with a lazy localCheckpoint here — the opposite result from l11's
+    // tf AGGREGATE, where the reused subtree contained an exchange +
+    // aggregation, not just a scan).
     def longForm: DataFrame = df
       .select(col(keyCol).as("k"), explode(array(measures.map { case (m, _) =>
         struct(lit(m).as("m"), QShared.gridMicros(col(m)).as("v"))
