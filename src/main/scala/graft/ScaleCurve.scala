@@ -23,6 +23,8 @@ object ScaleCurve {
     // application, the fused bigram LM, and the compaction rewrite
     "l38_dsir_select", "l39_semdedup", "l35b_bpe_tokenize",
     "l36_bigram_lm_score", "s14_compaction",
+    // r9: the ExactSubstr span operator (gram exchange + island window)
+    "l40_exact_substring_spans",
     "b1_floor_select1")
 
   def main(args: Array[String]): Unit = {
