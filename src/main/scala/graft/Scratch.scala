@@ -3,10 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Timing scratchpad for the current optimization target: decompose the
-  * floor-dominated tail into PLANNING (QDef construction + analysis +
-  * optimization + physical planning) vs EXECUTION, and A/B the planning
-  * cost with constraint propagation off.
+/** Timing scratchpad: decompose j12 (TPC-H Q5 shape) join by join to
+  * name where its 0.53 s lives at sf0.1 — measured floor vs compute.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -24,36 +22,47 @@ object Scratch {
 
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-
-    val names = Seq(
-      "j12_q5_shape", "a1b_q3_shape", "a2_distinct_agg", "j29_q2_min_supplier",
-      "j28_q4_priority_check", "a11_column_profile", "a18_constraint_check",
-      "x5_cast_matrix", "x6b_variant", "l1c_jaccard_pairs", "l8_pii_scrub",
-      "a26_equidepth_histogram", "a10_percentile_exact", "j26_q11_important_parts",
-      "j19_q16_shape", "l13_incremental_dedup", "l30_triangle_count")
-
-    // INTERLEAVED A/B: per query, warm BOTH settings, then alternate
-    // off/on per rep — JIT state and machine drift hit both settings
-    // equally, unlike sequential passes whose second leg always rides a
-    // warmer JVM (the first two probe runs disagreed by exactly that).
-    val key = "spark.sql.constraintPropagation.enabled"
-    var offSum = 0.0; var onSum = 0.0
-    for (n <- names) {
-      val q = SparkEntry.queries(n)
-      def run(setting: Boolean): Double = {
-        spark.conf.set(key, setting.toString)
-        val t0 = System.nanoTime(); noop(q(spark, sfDir))
-        (System.nanoTime() - t0) / 1e9
+    def timeT(name: String)(f: => DataFrame): Double = {
+      noop(f)
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); noop(f); (System.nanoTime() - t0) / 1e9
       }
-      run(false); run(true) // warm both plan variants
-      val offs = collection.mutable.ArrayBuffer[Double]()
-      val ons = collection.mutable.ArrayBuffer[Double]()
-      for (i <- 1 to 10) { if (i % 2 == 1) offs += run(false) else ons += run(true) }
-      offSum += offs.min; onSum += ons.min
-      println(f"[scratch] $n%-28s off=${offs.min}%.3f on=${ons.min}%.3f delta=${offs.min - ons.min}%+.3f")
+      println(f"[scratch] $name%-34s min=${ts.min}%.3f")
+      ts.min
     }
-    println(f"[scratch] SUM off=$offSum%.3f on=$onSum%.3f")
-    spark.conf.unset(key)
+
+    def c = Tables(spark, sfDir, "customer")
+    def o = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    def l = Tables(spark, sfDir, "lineitem")
+    def su = Tables(spark, sfDir, "supplier")
+    def n = broadcast(Tables(spark, sfDir, "nation"))
+    def r = broadcast(Tables(spark, sfDir, "region").filter(col("r_name") === "ASIA"))
+
+    timeT("scan c+o (union proxy)") {
+      c.select(col("c_custkey").as("k")).unionByName(o.select(col("o_custkey").as("k"))) }
+    val j1 = timeT("c JOIN o") { c.join(o, col("c_custkey") === col("o_custkey")) }
+    val j2 = timeT("+ JOIN l") {
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey")) }
+    val j3 = timeT("+ JOIN su (2-key)") {
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey")) }
+    val j4 = timeT("+ n + r + agg (full j12)") {
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          queries.QShared.gridSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("double").as("revenue")) }
+    println(f"[scratch] marginals: c-o=$j1%.3f, +l=${j2 - j1}%.3f, +su=${j3 - j2}%.3f, +dims+agg=${j4 - j3}%.3f")
     spark.stop()
   }
 }
