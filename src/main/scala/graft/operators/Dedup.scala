@@ -737,6 +737,57 @@ object Dedup {
         col("n_grams"))
   }
 
+  /** Apply [[exactSubstringSpans]]: rebuild each doc's text with every
+    * corpus-duplicated token span CUT OUT (ExactSubstr dedup's actual
+    * transformation — Lee et al. 2022 cut the repeated bytes and train
+    * on the remainder). Docs whose text survives entirely keep it
+    * verbatim; docs whose every token is duplicated drop out (nothing
+    * left to train on — same convention as a keep-filter).
+    *
+    * Scale shape: the covered-position set rides the span machinery's
+    * gram exchange + one doc-keyed distinct; the rebuild explodes
+    * tokens once (scan-linear), anti-joins the covered set on the same
+    * doc key, and reassembles per doc with an order-pinned
+    * collect_list — three doc-keyed hash operations on ONE key, no
+    * per-doc loops, no quadratic anything.
+    *
+    * Output: (id, clean_text, n_removed). */
+  def removeDuplicateSpans(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    graft.GraftFunctions.ensureRegistered(df.sparkSession)
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("__txt"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"),
+        size(split(col("__txt"), " ", -1)).cast("long").as("len"),
+        col("__txt"),
+        posexplode(graft.GraftFunctions
+          .ngramHashesNative(df.sparkSession, col("__txt"), n,
+            distinct = false)))
+      .select(col("id"), col("len"), col("__txt"),
+        (col("pos") + 1).cast("long").as("pos"), col("col").as("gram"))
+    val cnt = base.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+    // every token index covered by a duplicated gram occurrence
+    val covered = base.join(cnt.filter(col("c") > 1), Seq("gram"))
+      .select(col("id"),
+        explode(sequence(col("pos"),
+          least(col("pos") + lit(n - 1), col("len")))).as("ti"))
+      .distinct()
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ", -1)))
+      .select(col("id"), (col("pos") + 1).cast("long").as("ti"),
+        col("col").as("tok"))
+    toks.join(covered, Seq("id", "ti"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("ti"), col("tok")))),
+          x => x.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .select(col("id"), col("clean_text"), col("n_kept"))
+  }
+
   /** Serialized history bloom for [[incrementalDedup]]'s fast path —
     * one aggregation job over the history's distinct text digests.
     * Callers own its lifecycle: build once per history version (e.g.

@@ -533,6 +533,49 @@ object LlmOps extends QGroup {
         |  COUNT(*) AS n_grams
         |FROM runs GROUP BY doc_id, run""".stripMargin)),
 
+    // L40b: APPLY the spans — the actual ExactSubstr transformation:
+    // rebuild each doc with every duplicated token span cut out. Docs
+    // with nothing duplicated pass through verbatim; fully-duplicated
+    // docs drop (nothing left to train on). Oracle recomputes the cut
+    // with string grams + string_agg, so the hash compare certifies
+    // the reconstruction byte-for-byte.
+    QDef("l40b_span_removal",
+      (s, dir) => graft.operators.Dedup.removeDuplicateSpans(
+          Tables(s, dir, "documents"), "doc_id", "text", n = 4)
+        .withColumnRenamed("id", "doc_id"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), pos AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS len, t,
+        |    unnest(generate_series(1, greatest(len(t)-3, 1))) AS i
+        |  FROM toks
+        |), grams AS (
+        |  SELECT doc_id, len, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(t[i:i+3], ' ') AS g
+        |  FROM pos
+        |), cnt AS (
+        |  SELECT g, COUNT(*) AS c FROM grams GROUP BY 1
+        |), dup AS (
+        |  SELECT doc_id, len, pos FROM grams JOIN cnt USING (g) WHERE c > 1
+        |), covered AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(generate_series(pos, least(pos + 3, len))) AS ti
+        |  FROM dup
+        |), tok AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS ti, t[i] AS tk
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        |        FROM toks)
+        |), kept AS (
+        |  SELECT tok.doc_id, tok.ti, tok.tk FROM tok
+        |  WHERE NOT EXISTS (SELECT 1 FROM covered
+        |                    WHERE covered.doc_id = tok.doc_id
+        |                      AND covered.ti = tok.ti)
+        |)
+        |SELECT doc_id, string_agg(tk, ' ' ORDER BY ti) AS clean_text,
+        |  COUNT(*) AS n_kept
+        |FROM kept GROUP BY doc_id""".stripMargin)),
+
     // L6: sequence packing for pretraining batches — greedy cumulative
     // token count per shard, bin = floor(tokens-before / ctx). Shard-
     // partitioned window (one shuffle, no global sort) so it scales:

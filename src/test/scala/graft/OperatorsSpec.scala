@@ -342,6 +342,17 @@ class DedupSpec extends SparkSpec {
       // cross-doc; span end clamps to len
       (5L, 1L, 2L, 2L, 1L), (6L, 1L, 2L, 2L, 1L))
     assert(got == expected, s"got $got")
+
+    // and APPLYING the spans cuts exactly those tokens: untouched docs
+    // pass through verbatim, fully-covered docs drop
+    val cleaned = operators.Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(cleaned == Map(
+      1L -> ("a b c d e f g h", 8L), // nothing duplicated
+      2L -> ("v w", 2L),             // span [1,6] cut
+      3L -> ("z0 z1 k", 3L)          // span [3,8] cut
+      // 4, 5, 6 fully covered -> dropped; 7 null text -> filtered
+    ), s"got $cleaned")
   }
 
   test("NULL-text docs never pair and cluster as singletons") {
