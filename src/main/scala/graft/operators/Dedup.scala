@@ -744,35 +744,30 @@ object Dedup {
     * verbatim; docs whose every token is duplicated drop out (nothing
     * left to train on — same convention as a keep-filter).
     *
-    * Scale shape: the covered-position set rides the span machinery's
-    * gram exchange + one doc-keyed distinct; the rebuild explodes
-    * tokens once (scan-linear), anti-joins the covered set on the same
-    * doc key, and reassembles per doc with an order-pinned
-    * collect_list — three doc-keyed hash operations on ONE key, no
-    * per-doc loops, no quadratic anything.
+    * Scale shape: the covered-position set comes from
+    * [[exactSubstringSpans]]' MERGED spans — disjoint by construction,
+    * so exploding them to token indices needs NO distinct and carries
+    * ~|spans| source rows instead of the n×-fanned duplicated-gram
+    * position stream. (r9 A/B: time-NEUTRAL at sf0.1 — 1.28 vs 1.29 s
+    * isolated; the cost lives in the shared gram machinery + the token
+    * reassembly, not the covered set. Kept for the structure: one
+    * operator owns the span semantics, and the span-side explode is
+    * the form whose shuffle stays ~|spans| when corpora get
+    * duplication-heavy.) The rebuild explodes
+    * tokens once (scan-linear), anti-joins the covered set on the doc
+    * key, and reassembles per doc with an order-pinned collect_list —
+    * doc-keyed hash operations on ONE key, no per-doc loops, no
+    * quadratic anything.
     *
     * Output: (id, clean_text, n_removed). */
   def removeDuplicateSpans(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     graft.GraftFunctions.ensureRegistered(df.sparkSession)
-    val base = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), col(textCol).as("__txt"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // spans are maximal and disjoint per doc -> their token indices are
+    // exactly the covered set, no dedup required
+    val covered = exactSubstringSpans(df, idCol, textCol, n)
       .select(col("id"),
-        size(split(col("__txt"), " ", -1)).cast("long").as("len"),
-        col("__txt"),
-        posexplode(graft.GraftFunctions
-          .ngramHashesNative(df.sparkSession, col("__txt"), n,
-            distinct = false)))
-      .select(col("id"), col("len"), col("__txt"),
-        (col("pos") + 1).cast("long").as("pos"), col("col").as("gram"))
-    val cnt = base.groupBy(col("gram")).agg(count(lit(1)).as("c"))
-    // every token index covered by a duplicated gram occurrence
-    val covered = base.join(cnt.filter(col("c") > 1), Seq("gram"))
-      .select(col("id"),
-        explode(sequence(col("pos"),
-          least(col("pos") + lit(n - 1), col("len")))).as("ti"))
-      .distinct()
+        explode(sequence(col("span_start"), col("span_end"))).as("ti"))
     val toks = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         posexplode(split(col(textCol), " ", -1)))
