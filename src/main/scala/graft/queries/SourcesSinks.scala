@@ -170,6 +170,35 @@ object SourcesSinks extends QGroup {
         |  CAST(length(text) AS INTEGER) AS text_len, n_chars
         |FROM documents""".stripMargin)),
 
+    // S15: XML round-trip — Spark 4 ships the XML datasource natively
+    // (the spark-xml merge), completing the interchange matrix
+    // (parquet/avro/orc/jsonl/csv/xml). Explicit schema on read (the
+    // s8 rule) and ignoreSurroundingSpaces=false so text content is
+    // byte-faithful; entity escaping (&, <, >) round-trips by the
+    // format's own rules. Known format caveat, documented not hidden:
+    // an EMPTY-STRING field reads back as null (absent-vs-empty is
+    // unrepresentable in an XML element) — this corpus has none, and
+    // the oracle gate would catch a regeneration that adds some.
+    QDef("s15_xml_roundtrip",
+      (s, dir) => {
+        val out = sink(dir, "s15_xml_roundtrip")
+        Tables(s, dir, "documents")
+          .write.mode("overwrite").option("rowTag", "doc")
+          .format("xml").save(out)
+        s.read.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType))))
+          .option("rowTag", "doc")
+          .option("ignoreSurroundingSpaces", "false")
+          .format("xml").load(out)
+          .select(col("doc_id"), col("lang"), col("source"),
+            length(col("text")).as("text_len"), col("n_chars"))
+      },
+      Some("""SELECT doc_id, lang, source,
+        |  CAST(length(text) AS INTEGER) AS text_len, n_chars
+        |FROM documents""".stripMargin)),
+
     // S9: CSV round-trip with explicit schema + header — the remaining
     // classic interchange format (parquet, Avro, JSONL covered above).
     // Quoting matters: free text can carry the delimiter; Spark's

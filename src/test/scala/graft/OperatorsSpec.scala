@@ -355,6 +355,47 @@ class DedupSpec extends SparkSpec {
     ), s"got $cleaned")
   }
 
+  test("exactSubstringSpans == naive collection reference on random corpora") {
+    import spark.implicits._
+    // plain-Scala reference: same declared semantics, zero shared code
+    // with the operator (no kernel, no exchanges, no windows)
+    def reference(docs: Seq[(Long, String)], n: Int): Set[(Long, Long, Long, Long, Long)] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+      def grams(ts: Seq[String]): Seq[(Int, Seq[String])] =
+        if (ts.size < n) Seq(1 -> ts)
+        else (1 to ts.size - n + 1).map(i => i -> ts.slice(i - 1, i - 1 + n))
+      val counts = toks.flatMap { case (_, ts) => grams(ts).map(_._2) }
+        .groupBy(identity).map { case (g, o) => g -> o.size }
+      toks.flatMap { case (id, ts) =>
+        val dupPos = grams(ts).collect { case (p, g) if counts(g) > 1 => p }
+        // merge positions whose gap <= n into runs
+        val runs = dupPos.foldLeft(List.empty[List[Int]]) {
+          case (acc @ (h :: t), p) if p - h.head <= n => (p :: h) :: t
+          case (acc, p) => List(p) :: acc
+        }.map(_.reverse).reverse
+        runs.map { r =>
+          val start = r.head.toLong
+          val end = math.min(r.last + n - 1, ts.size).toLong
+          (id, start, end, end - start + 1, r.size.toLong)
+        }
+      }.toSet
+    }
+    val rnd = new scala.util.Random(9)
+    for (trial <- 1 to 3; n <- Seq(3, 4)) {
+      val vocab = Vector("a", "b", "c", "d", "e") // tiny -> dense dups
+      val docs = (1L to 40L).map(i =>
+        i -> (1 to (1 + rnd.nextInt(12))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val got = operators.Dedup
+        .exactSubstringSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val want = reference(docs, n)
+      assert(got == want,
+        s"trial=$trial n=$n: missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("NULL-text docs never pair and cluster as singletons") {
     val withNulls = docs.unionByName(Seq(
       (10L, null.asInstanceOf[String]), (11L, null.asInstanceOf[String]))

@@ -399,6 +399,30 @@ class PlanSpec extends SparkSpec {
     assert(n == 5, s"expected 5 exchanges (2 cluster + 2 id + 1 agg), got $n:\n$p")
   }
 
+  test("l40: one gram exchange, one doc exchange carrying islands AND the span agg") {
+    val p = planOf("l40_exact_substring_spans")
+    // never a doc<->doc self-join or cartesian anything
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val lines = p.split("\n")
+    def count(s: String) = lines.count(_.contains(s))
+    // exactly ONE gram-keyed exchange (under the occurrence-count
+    // aggregate; the dup join probes it as a broadcast at this SF) and
+    // exactly ONE doc-keyed exchange — both island windows AND the
+    // final (id, run) span aggregation ride it (hashpartitioning(id)
+    // co-locates every (id, run) group, so no fourth exchange plans)
+    assert(count("Exchange hashpartitioning(gram") == 1, p)
+    assert(count("Exchange hashpartitioning(id") == 1, p)
+    // the two repartition barriers that spread the gram kernel off the
+    // scan's few input splits
+    assert(count("Exchange RoundRobinPartitioning") == 2, p)
+    // no exchange between the run window and the span aggregate
+    val wi = lines.indexWhere(_.contains("Window [sum(brk"))
+    val ai = lines.lastIndexWhere(l => l.contains("HashAggregate") && l.contains("span_start"))
+    assert(wi >= 0 && ai >= 0 && ai < wi, p)
+    assert(!lines.slice(ai, wi).exists(_.contains("Exchange")),
+      s"span agg must ride the island window's doc exchange:\n$p")
+  }
+
   test("w3b @100TB posture: the SHIPPED QDef decomposes above the size gate") {
     // the sysprop lowers only the DEFAULT threshold (explicit callers
     // unaffected), so this drives the exact shipped query — not a
