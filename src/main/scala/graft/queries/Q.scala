@@ -147,10 +147,25 @@ object QShared {
     * analog): column bounds and similar tiny stat results keyed by
     * (session, dir, tag, source mtime) — the mtime in the KEY is the
     * staleness guard, so a regenerated source simply computes a fresh
-    * entry. Never caches row data. */
-  val statsCache =
+    * entry (and strands the old one; see the cap below). Never caches
+    * row data. */
+  private val statsCacheMap =
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String, String, Long), AnyRef]()
+
+  /** Compute-if-absent with a blunt growth cap: stranded entries (old
+    * mtimes, dead sessions) accumulate ~bytes each, but a long-running
+    * service regenerating sources forever shouldn't leak even bytes —
+    * past 4096 entries the whole map drops (stats recompute in one
+    * cheap job; correctness never depended on the cache). */
+  object statsCache {
+    def computeIfAbsent(
+        key: (org.apache.spark.sql.SparkSession, String, String, Long),
+        f: Any => AnyRef): AnyRef = {
+      if (statsCacheMap.size() > 4096) statsCacheMap.clear()
+      statsCacheMap.computeIfAbsent(key, k => f(k))
+    }
+  }
 
   /** DuckDB rendering of `TextAnalysis.qualityMetrics`' composite
     * score over a `text` column — ONE definition interpolated into
