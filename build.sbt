@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Explicit pin of the sbt default: suites in the forked JVM run
+// SEQUENTIALLY. PlanSpec's w3b gate-path lock mutates a process-global
+// sysprop (graft.rangeframe.decomposeOverBytes) inside try/finally —
+// sound only while no other suite executes concurrently in that JVM.
+Test / testForkedParallel := false
 run / fork := true
 // Without this, sbt routes the forked app's stdout through its logger,
 // prefixing every line with "[info] " — which breaks any consumer that

@@ -2,12 +2,32 @@
 """Wall-time baseline for the "within 2x of BASELINE" gate.
 
 BASELINE.md records that the reference publishes no timing numbers, so the
-only measurable single-node baseline on the same data is the committed
-DuckDB oracle SQL (SparkEntry.oracleSql) — the exact queries the driver
-uses for correctness.  This script times each oracle query in DuckDB
-(warmup + min-of-3, same methodology as Bench.scala) on a given sf dir and
-writes BASELINE_TIMES.json, which Bench.scala reads to emit per-query and
-aggregate spark/duckdb ratios.
+only measurable single-node baseline on the same data is DuckDB running
+the committed oracle SQL (SparkEntry.oracleSql) — the exact queries the
+driver uses for correctness.  This script times each oracle query in
+DuckDB (warmup + min-of-3, same methodology as Bench.scala) on a given sf
+dir and writes BASELINE_TIMES.json, which Bench.scala reads to emit
+per-query and aggregate spark/duckdb ratios.
+
+SYMMETRIC WRITE LANE (round 10, r9 verdict #1).  Eleven queries
+(s3, s5-s11, s13, s14, s15) exercise Spark's WRITE path: they write a
+dataset out (parquet/partitioned/z-ordered/jsonl/csv/orc/xml/codec
+matrix/compaction) and read it back.  Ratioing those against read-only
+oracle SQL measured Spark write+read against DuckDB read — an asymmetry
+worth ~18x on that lane (r9: 3.69 s vs 0.20 s) that said nothing about
+either engine.  For those queries this script now times DuckDB doing THE
+SAME WORK: COPY (...) TO <file/dir> in the equivalent format + the same
+read-back query against the just-written files.  times_sec carries the
+symmetric number (what Bench ratios); times_readonly_sec keeps the old
+read-only number for continuity.  Two formats DuckDB cannot write are
+proxied by a CHEAPER format and documented per-entry below (a cheaper
+denominator can only worsen our ratio — conservative):
+  - s10 ORC   -> parquet GZIP round-trip (zlib == deflate == gzip family)
+  - s15 XML   -> uncompressed JSON round-trip (nearest text-markup hop)
+Where Spark's operator does strictly MORE work than the DuckDB
+equivalent, the duck side keeps the cheaper form (s7: lexicographic sort
+instead of the Morton interleave; no directory cleanup in the timed
+region) — again conservative.
 
 Run out-of-band (python + duckdb are driver-side tools, not part of the
 Scala library):
@@ -24,6 +44,7 @@ grows.  The gate reads the aggregate ratio.
 """
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -34,9 +55,14 @@ ORACLE = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify/oracle_sql.jso
 OUT = sys.argv[3] if len(sys.argv) > 3 else "BASELINE_TIMES.json"
 WARMUP = int(os.environ.get("BASELINE_WARMUP", "1"))
 REPS = int(os.environ.get("BASELINE_REPS", "3"))
+# workdir for DuckDB's write-lane output (mirror of Spark's /tmp/graft_sink)
+SINK = os.environ.get("BASELINE_SINK", "/tmp/duck_sink")
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+DOC_COLS = ("{'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR',"
+            "'source':'VARCHAR','n_chars':'BIGINT'}")
 
 con = duckdb.connect()
 for t in TABLES:
@@ -46,20 +72,254 @@ for t in TABLES:
 
 oracle = json.load(open(ORACLE))
 
+
+# ---------------------------------------------------------------------------
+# Symmetric write lane: name -> (description, setup_fn|None, timed_fn).
+# timed_fn performs DuckDB's equivalent write work + the read-back query and
+# fetches the result (same fetchall discipline as the read-only lane).
+# setup_fn runs once, untimed — it mirrors work the Spark QDef also
+# amortizes behind an mtime guard (s3's divergent files, s14's fragments).
+# ---------------------------------------------------------------------------
+
+def _d(name):
+    d = os.path.join(SINK, name)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def wl_s3():
+    # Spark steady-state work (mtime-guarded setup): a mergeSchema read
+    # over two schema-divergent parquet files -> union_by_name read.
+    d = _d("s3")
+    con.execute(f"COPY (SELECT n_nationkey, n_name FROM nation) "
+                f"TO '{d}/a.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY (SELECT n_nationkey, n_regionkey FROM nation) "
+                f"TO '{d}/b.parquet' (FORMAT PARQUET)")
+
+    def run():
+        return con.execute(
+            f"SELECT * FROM read_parquet(['{d}/a.parquet', '{d}/b.parquet'], "
+            f"union_by_name=true)").fetchall()
+    return run
+
+
+def wl_s5():
+    d = _d("s5")
+
+    def run():
+        con.execute(
+            f"COPY (SELECT * FROM lineitem WHERE l_returnflag = 'R') "
+            f"TO '{d}/s5.parquet' (FORMAT PARQUET, CODEC 'SNAPPY')")
+        return con.execute(
+            f"SELECT l_linestatus, COUNT(*) AS cnt, "
+            f"CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty "
+            f"FROM read_parquet('{d}/s5.parquet') GROUP BY l_linestatus"
+        ).fetchall()
+    return run
+
+
+def wl_s6():
+    d = _d("s6")
+
+    def run():
+        con.execute(
+            f"COPY (SELECT * FROM orders) TO '{d}/out' "
+            f"(FORMAT PARQUET, PARTITION_BY (o_orderstatus), OVERWRITE_OR_IGNORE)")
+        return con.execute(
+            f"SELECT o_orderpriority, COUNT(*) AS cnt, "
+            f"CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price "
+            f"FROM read_parquet('{d}/out/*/*.parquet', hive_partitioning=true) "
+            f"WHERE o_orderstatus = 'F' GROUP BY o_orderpriority").fetchall()
+    return run
+
+
+def wl_s7():
+    # clustered relayout + 2-dim selective read-back; lexicographic sort
+    # stands in for the Morton interleave (strictly less work -> duck
+    # side stays the cheaper, conservative denominator)
+    d = _d("s7")
+
+    def run():
+        con.execute(
+            f"COPY (SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice "
+            f"FROM lineitem ORDER BY l_orderkey, l_partkey) "
+            f"TO '{d}/s7.parquet' (FORMAT PARQUET)")
+        return con.execute(
+            f"SELECT * FROM read_parquet('{d}/s7.parquet') "
+            f"WHERE l_orderkey < 500 AND l_partkey < 400").fetchall()
+    return run
+
+
+def wl_s8():
+    d = _d("s8")
+
+    def run():
+        con.execute(f"COPY (SELECT * FROM documents) TO '{d}/s8.json.gz' "
+                    f"(FORMAT JSON, COMPRESSION GZIP)")
+        return con.execute(
+            f"SELECT doc_id, lang, source, CAST(length(text) AS INTEGER) "
+            f"AS text_len, n_chars "
+            f"FROM read_json('{d}/s8.json.gz', columns={DOC_COLS})").fetchall()
+    return run
+
+
+def wl_s15():
+    # PROXY: DuckDB has no XML writer/reader; uncompressed JSON is the
+    # nearest text-markup round-trip and cheaper than XML -> conservative.
+    d = _d("s15")
+
+    def run():
+        con.execute(f"COPY (SELECT * FROM documents) TO '{d}/s15.json' "
+                    f"(FORMAT JSON)")
+        return con.execute(
+            f"SELECT doc_id, lang, source, CAST(length(text) AS INTEGER) "
+            f"AS text_len, n_chars "
+            f"FROM read_json('{d}/s15.json', columns={DOC_COLS})").fetchall()
+    return run
+
+
+def wl_s9():
+    d = _d("s9")
+
+    def run():
+        con.execute(f"COPY (SELECT * FROM documents) TO '{d}/s9.csv.gz' "
+                    f"(FORMAT CSV, HEADER, COMPRESSION GZIP)")
+        return con.execute(
+            f"SELECT doc_id, lang, sha256(COALESCE(text, '')) AS text_sha, "
+            f"n_chars FROM read_csv('{d}/s9.csv.gz', header=true, "
+            f"columns={DOC_COLS})").fetchall()
+    return run
+
+
+def wl_s10():
+    # PROXY: DuckDB has no ORC writer/reader; parquet GZIP (same deflate
+    # family as ORC zlib) is the nearest columnar round-trip.
+    d = _d("s10")
+
+    def run():
+        con.execute(f"COPY (SELECT * FROM documents) TO '{d}/s10.parquet' "
+                    f"(FORMAT PARQUET, CODEC 'GZIP')")
+        return con.execute(
+            f"SELECT doc_id, lang, source, sha256(COALESCE(text, '')) "
+            f"AS text_sha, n_chars FROM read_parquet('{d}/s10.parquet')"
+        ).fetchall()
+    return run
+
+
+def wl_s11():
+    d = _d("s11")
+    codecs = [("none", "UNCOMPRESSED"), ("snappy", "SNAPPY"),
+              ("gzip", "GZIP"), ("lz4", "LZ4_RAW"), ("zstd", "ZSTD")]
+
+    def run():
+        for name, duck in codecs:
+            con.execute(
+                f"COPY (SELECT * FROM documents) TO '{d}/s11_{name}.parquet' "
+                f"(FORMAT PARQUET, CODEC '{duck}')")
+        union = " UNION ALL ".join(
+            f"SELECT '{name}' AS codec, doc_id, "
+            f"sha256(COALESCE(text, '')) AS text_sha, n_chars "
+            f"FROM read_parquet('{d}/s11_{name}.parquet')"
+            for name, _ in codecs)
+        return con.execute(union).fetchall()
+    return run
+
+
+def wl_s13():
+    d = _d("s13")
+
+    def run():
+        con.execute(
+            f"COPY (SELECT *, COALESCE(lang, '__null__') AS lang_k "
+            f"FROM documents) TO '{d}/out' "
+            f"(FORMAT PARQUET, PARTITION_BY (lang_k), OVERWRITE_OR_IGNORE)")
+        return con.execute(
+            f"SELECT regexp_extract(filename, 'lang_k=([^/]+)', 1) AS lang_k, "
+            f"COUNT(*) AS n_rows, COUNT(DISTINCT filename) AS n_files "
+            f"FROM read_parquet('{d}/out/*/*.parquet', filename=true) "
+            f"GROUP BY 1").fetchall()
+    return run
+
+
+def wl_s14():
+    # fragments are amortized setup on both sides (Spark's mtime guard);
+    # the timed work is the compaction rewrite + content certification
+    d = _d("s14")
+    con.execute(
+        f"COPY (SELECT *, CAST(doc_id % 32 AS INT) AS frag FROM documents) "
+        f"TO '{d}/frag' (FORMAT PARQUET, PARTITION_BY (frag), "
+        f"OVERWRITE_OR_IGNORE)")
+
+    def run():
+        con.execute(
+            f"COPY (SELECT doc_id, text, lang, source, n_chars "
+            f"FROM read_parquet('{d}/frag/*/*.parquet')) "
+            f"TO '{d}/s14.parquet' (FORMAT PARQUET)")
+        return con.execute(
+            f"SELECT COALESCE(lang, '__null__') AS lang_k, COUNT(*) AS n_docs, "
+            f"CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) "
+            f"AS total_tokens FROM read_parquet('{d}/s14.parquet') GROUP BY 1"
+        ).fetchall()
+    return run
+
+
+WRITE_LANE = {
+    "s3_merge_schema": ("union_by_name read over the two laid-out "
+                        "schema-divergent files (layout = untimed setup, "
+                        "as in the Spark QDef's mtime guard)", wl_s3),
+    "s5_roundtrip_write": ("COPY filtered lineitem to snappy parquet + "
+                           "aggregate read-back", wl_s5),
+    "s6_partitioned_write": ("COPY orders PARTITION_BY(o_orderstatus) + "
+                             "pruned aggregate read-back", wl_s6),
+    "s7_zorder_write": ("COPY 4-col lineitem sorted lexicographically "
+                        "(cheaper than the Morton relayout) + 2-dim "
+                        "selective read-back", wl_s7),
+    "s8_jsonl_roundtrip": ("COPY documents to json.gz + explicit-schema "
+                           "read-back", wl_s8),
+    "s9_csv_roundtrip": ("COPY documents to csv.gz + explicit-schema "
+                         "sha256 read-back", wl_s9),
+    "s10_orc_roundtrip": ("PROXY (no ORC in DuckDB): parquet GZIP "
+                          "round-trip + sha256 read-back", wl_s10),
+    "s11_compression_matrix": ("5 codec COPYs (UNCOMPRESSED/SNAPPY/GZIP/"
+                               "LZ4_RAW/ZSTD) + unioned sha256 read-backs",
+                               wl_s11),
+    "s13_file_provenance": ("COPY documents PARTITION_BY(lang_k) + "
+                            "filename-derived provenance aggregate", wl_s13),
+    "s14_compaction": ("compact 32 pre-laid fragments into one parquet + "
+                       "content-certification aggregate (fragments = "
+                       "untimed setup, as in the Spark QDef)", wl_s14),
+    "s15_xml_roundtrip": ("PROXY (no XML in DuckDB): uncompressed JSON "
+                          "round-trip + explicit-schema read-back", wl_s15),
+}
+
+
+def time_fn(fn):
+    for _ in range(WARMUP):
+        fn()
+    best = None
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 times = {}
+times_readonly = {}
+write_lane_meta = {}
 failed = []
 for name in sorted(oracle):
     sql = oracle[name]
     try:
-        for _ in range(WARMUP):
-            con.execute(sql).fetchall()
-        best = None
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 4)
+        read_only = time_fn(lambda: con.execute(sql).fetchall())
+        if name in WRITE_LANE:
+            desc, mk = WRITE_LANE[name]
+            times[name] = round(time_fn(mk()), 4)
+            times_readonly[name] = round(read_only, 4)
+            write_lane_meta[name] = desc
+        else:
+            times[name] = round(read_only, 4)
     except Exception as e:
         failed.append(name)
         print(f"FAIL {name}: {type(e).__name__}: {e}", file=sys.stderr)
@@ -72,16 +332,27 @@ doc = {
         "engine": f"duckdb {duckdb.__version__}",
         "sf_dir": SF,
         "method": f"warmup={WARMUP},min_of={REPS}",
+        "basis": "symmetric-write-lane",
         "note": ("DuckDB single-process vectorized engine vs Spark "
                  "local[32] JVM with per-query scheduling/codegen fixed "
-                 "costs; at small SF the ratio is an upper bound."),
+                 "costs; at small SF the ratio is an upper bound. "
+                 "times_sec for the 11 write-lane queries times DuckDB "
+                 "doing the equivalent COPY+read-back work (see "
+                 "write_lane); their old read-only-oracle numbers stay "
+                 "in times_readonly_sec for continuity."),
+        "write_lane": write_lane_meta,
         "n_queries": len(times),
         "n_failed": len(failed),
         "total_sec": round(sum(times.values()), 3),
+        "total_readonly_basis_sec": round(
+            sum(times_readonly.get(k, v) for k, v in times.items()), 3),
     },
     "times_sec": times,
+    "times_readonly_sec": times_readonly,
 }
 with open(OUT, "w") as f:
     json.dump(doc, f, indent=1, sort_keys=True)
 print(f"wrote {OUT}: {len(times)} queries, total "
-      f"{doc['_meta']['total_sec']}s, {len(failed)} failed")
+      f"{doc['_meta']['total_sec']}s "
+      f"(read-only basis {doc['_meta']['total_readonly_basis_sec']}s), "
+      f"{len(failed)} failed")

@@ -135,11 +135,17 @@ object Bench {
             val meta = root.path("_meta")
             val gen = meta.path("generated_at").asText("")
             val tot = meta.path("total_sec").asDouble(-1.0)
+            // which denominator the ratios are computed on: the r10+
+            // snapshots time DuckDB's own COPY+read-back for the 11
+            // write-lane queries ("symmetric-write-lane"); older
+            // snapshots ratioed them against read-only oracle SQL
+            val basis = meta.path("basis").asText("read-only-oracles")
             val mtime = java.time.Instant
               .ofEpochMilli(java.nio.file.Files.getLastModifiedTime(p).toMillis)
               .toString
             baselineMeta =
               s""","baseline":{"generated_at":"$gen","file_mtime":"$mtime"""" +
+                s""","basis":"$basis"""" +
                 f""","total_sec":$tot%.3f}"""
             times.fieldNames.asScala
               .map(k => k -> times.get(k).asDouble()).toMap

@@ -658,10 +658,13 @@ object Dedup {
     // (Streams.dedupIngest seeds it once and extends per batch), not
     // something each batch rebuilds from a full history scan — build it
     // via [[historyBloom]] once per history version and pass it in. Any
-    // prebuilt filter over a superset of the history is sound (false
+    // prebuilt filter over a SUPERSET of the history is sound (false
     // positives go to the exact anti-join; false negatives are
-    // impossible for keys that were added); exactness vs the naive
-    // anti-join is pinned in DedupSpec for both paths.
+    // impossible for keys that were added) — a SUBSET (stale) filter
+    // is NOT: see historyBloom's soundness contract. Exactness vs the
+    // naive anti-join is pinned in OperatorsSpec for both the
+    // self-built and prebuilt (incl. superset) paths, and the subset
+    // divergence is demonstrated there too.
     val bloomBytes = prebuiltBloom.getOrElse(historyBloom(
       history, textCol, expectedHistoryItems, fpp))
     val b = batch
@@ -759,7 +762,7 @@ object Dedup {
     * doc-keyed hash operations on ONE key, no per-doc loops, no
     * quadratic anything.
     *
-    * Output: (id, clean_text, n_removed). */
+    * Output: (id, clean_text, n_kept). */
   def removeDuplicateSpans(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     graft.GraftFunctions.ensureRegistered(df.sparkSession)
@@ -785,9 +788,19 @@ object Dedup {
 
   /** Serialized history bloom for [[incrementalDedup]]'s fast path —
     * one aggregation job over the history's distinct text digests.
-    * Callers own its lifecycle: build once per history version (e.g.
-    * keyed on the source's mtime in a stats cache) and reuse across
-    * batches. */
+    * Callers own its lifecycle: build once per history version and
+    * reuse across batches.
+    *
+    * SOUNDNESS CONTRACT: the filter must cover a SUPERSET of the
+    * history rows passed to [[incrementalDedup]]. Superset keys only
+    * add false positives, which the exact anti-join absorbs; a filter
+    * missing history keys (a STALE filter after the history grew — a
+    * subset) produces false "definitely novel" verdicts that skip the
+    * anti-join entirely — WRONG RESULTS, not slow ones. Version the
+    * cache key on something stronger than bare mtime (l13 uses
+    * (mtime, file length)); both the superset-equivalence and the
+    * subset divergence are pinned in OperatorsSpec
+    * ("prebuilt history bloom"). */
   def historyBloom(
       history: DataFrame,
       textCol: String,

@@ -175,11 +175,20 @@ object LlmOps extends QGroup {
         // the history bloom is a persisted sidecar index in production
         // (G12 seeds it once, extends per batch) — register it once per
         // immutable history version instead of re-aggregating the full
-        // history every batch; staleness guarded by the source mtime in
-        // the cache key
-        val srcM = new java.io.File(s"$dir/documents.parquet").lastModified()
+        // history every batch. Unlike the a26/s7 stats entries (stale =
+        // slow), a STALE bloom here is UNSOUND: a filter missing newly
+        // added history digests marks true duplicates "definitely
+        // novel" and skips the exact anti-join (superset blooms are
+        // safe, subset blooms are not — see historyBloom's scaladoc).
+        // So the version key is (mtime, byte length) of the source
+        // file, not mtime alone: ms-granularity mtime plus size makes a
+        // silent same-key rewrite practically impossible, and any
+        // rewrite that did slip through still changes length with
+        // overwhelming likelihood. DedupSpec pins the rebuild-on-
+        // version-change behavior and the subset-bloom divergence.
+        val srcF = new java.io.File(s"$dir/documents.parquet")
         val bloom = QShared.statsCache.computeIfAbsent(
-          (s, dir, "l13_history_bloom", srcM),
+          (s, dir, "l13_history_bloom", (srcF.lastModified(), srcF.length())),
           _ => Dedup.historyBloom(docs.filter(col("doc_id") < 250), "text"))
           .asInstanceOf[Array[Byte]]
         Dedup.incrementalDedup(

@@ -145,25 +145,49 @@ object QShared {
 
   /** Small driver-side statistics cache (the catalog's ANALYZE-stats
     * analog): column bounds and similar tiny stat results keyed by
-    * (session, dir, tag, source mtime) — the mtime in the KEY is the
-    * staleness guard, so a regenerated source simply computes a fresh
-    * entry (and strands the old one; see the cap below). Never caches
-    * row data. */
+    * (session, dir, tag, source version token) — the version token in
+    * the KEY is the staleness guard (mtime for perf-only entries like
+    * a26/s7 bounds; (mtime, length) for the l13 history bloom, where a
+    * stale entry would be unsound, not just slow), so a regenerated
+    * source simply computes a fresh entry (and strands the old one;
+    * see the eviction below). Never caches row data. */
   private val statsCacheMap =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String, String, Long), AnyRef]()
+    new java.util.LinkedHashMap[
+      (org.apache.spark.sql.SparkSession, String, String, Any), AnyRef]()
 
-  /** Compute-if-absent with a blunt growth cap: stranded entries (old
-    * mtimes, dead sessions) accumulate ~bytes each, but a long-running
-    * service regenerating sources forever shouldn't leak even bytes —
-    * past 4096 entries the whole map drops (stats recompute in one
-    * cheap job; correctness never depended on the cache). */
+  /** Compute-if-absent with bounded growth: stranded entries (old
+    * version tokens, dead sessions) accumulate ~bytes each, but a
+    * long-running service regenerating sources forever shouldn't leak
+    * even bytes. Past `cap` entries the OLDEST-INSERTED HALF drops
+    * (insertion order = LinkedHashMap order) — a wholesale clear was
+    * correct but thundering: every live stat recomputed at once in a
+    * long-lived service. The compute runs OUTSIDE the lock (it is a
+    * Spark job); a concurrent same-key race computes twice and keeps
+    * one — stats are idempotent, correctness never depended on the
+    * cache. */
   object statsCache {
+    private[graft] val cap = 4096
+    private[graft] def size: Int = statsCacheMap.synchronized(statsCacheMap.size())
+    private[graft] def contains(
+        key: (org.apache.spark.sql.SparkSession, String, String, Any)): Boolean =
+      statsCacheMap.synchronized(statsCacheMap.containsKey(key))
     def computeIfAbsent(
-        key: (org.apache.spark.sql.SparkSession, String, String, Long),
+        key: (org.apache.spark.sql.SparkSession, String, String, Any),
         f: Any => AnyRef): AnyRef = {
-      if (statsCacheMap.size() > 4096) statsCacheMap.clear()
-      statsCacheMap.computeIfAbsent(key, k => f(k))
+      val hit = statsCacheMap.synchronized(statsCacheMap.get(key))
+      if (hit != null) hit
+      else {
+        val v = f(key)
+        statsCacheMap.synchronized {
+          if (statsCacheMap.size() >= cap) {
+            val it = statsCacheMap.entrySet().iterator()
+            var toDrop = statsCacheMap.size() / 2
+            while (toDrop > 0 && it.hasNext) { it.next(); it.remove(); toDrop -= 1 }
+          }
+          val prior = statsCacheMap.putIfAbsent(key, v)
+          if (prior != null) prior else v
+        }
+      }
     }
   }
 

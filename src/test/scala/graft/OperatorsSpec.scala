@@ -653,6 +653,65 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("digest")))
     assert(got.sorted.toSeq == naive.sorted.toSeq)
   }
+
+  test("prebuilt history bloom: exact-history and superset blooms equal the " +
+      "naive anti-join; a stale SUBSET bloom is unsound (divergence pinned)") {
+    import org.apache.spark.sql.functions._
+    val history = Seq((1L, "seen before"), (2L, "also seen"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen before"), (11L, "brand new"), (13L, "also seen"))
+      .toDF("doc_id", "text")
+    def keptIds(bloom: Array[Byte]): Seq[Long] =
+      Dedup.incrementalDedup(batch, history, "doc_id", "text",
+          prebuiltBloom = Some(bloom))
+        .collect().map(_.getLong(0)).sorted.toSeq
+
+    // (a) bloom built over exactly the history == naive anti-join
+    val exact = Dedup.historyBloom(history, "text", expectedHistoryItems = 100)
+    assert(keptIds(exact) == Seq(11L))
+
+    // (b) bloom over a SUPERSET of the history (the persisted-sidecar
+    // case where the index covers more than this query's slice): extra
+    // keys are only false positives -> same result
+    val superset = Dedup.historyBloom(
+      history.unionByName(Seq((99L, "unrelated extra key")).toDF("doc_id", "text")),
+      "text", expectedHistoryItems = 100)
+    assert(keptIds(superset) == Seq(11L))
+
+    // (c) a STALE bloom missing a history key (subset — the filter
+    // predates "also seen" joining the history) marks its duplicate
+    // "definitely novel" and skips the anti-join: WRONG results. This
+    // pins the documented unsoundness that motivates the (mtime,
+    // length) version key on l13's cache entry.
+    val stale = Dedup.historyBloom(history.filter(col("doc_id") === 1),
+      "text", expectedHistoryItems = 100)
+    assert(keptIds(stale) == Seq(11L, 13L),
+      "a subset bloom must visibly diverge — if this ever passes with " +
+        "Seq(11L), the fast path stopped trusting the filter")
+  }
+
+  test("statsCache halve-oldest eviction keeps the newest entries and " +
+      "never exceeds the cap") {
+    import graft.queries.QShared
+    val n0 = QShared.statsCache.size
+    // fill well past the cap with distinct version tokens
+    for (i <- 0 until (QShared.statsCache.cap + 100))
+      QShared.statsCache.computeIfAbsent(
+        (spark, "/tmp/statscache-test", s"k$i", 0L),
+        _ => java.lang.Integer.valueOf(i))
+    assert(QShared.statsCache.size <= QShared.statsCache.cap,
+      s"cache exceeded cap: ${QShared.statsCache.size}")
+    // the NEWEST entry must have survived the halving (oldest-first drop)
+    val last = (spark, "/tmp/statscache-test",
+      s"k${QShared.statsCache.cap + 99}", 0L): (org.apache.spark.sql.SparkSession, String, String, Any)
+    assert(QShared.statsCache.contains(last), "newest entry evicted")
+    // and a hit returns the cached value without recompute
+    val v = QShared.statsCache.computeIfAbsent(last,
+      _ => fail("hit must not recompute"))
+    assert(v == java.lang.Integer.valueOf(QShared.statsCache.cap + 99))
+    assert(n0 >= 0) // silence unused warning; n0 only documents pre-state
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
