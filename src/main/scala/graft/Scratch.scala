@@ -1,21 +1,168 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.QShared
 
-/** Timing scratchpad — currently: dump l40's physical plan for the
-  * PlanSpec lock. */
+/** Timing scratchpad — currently: interleaved A/B of the TPC-H
+  * fact-join block (a1b/j28/j12) against bucketed-layout variants that
+  * ride the shared orderkey layouts (QShared.bucketedFact) instead of
+  * exchanging/broadcasting per query. Interleaved within ONE JVM per
+  * the bench methodology (sequential two-pass probes measure JIT
+  * warm-up order, not code — the r9 constraintPropagation lesson).
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(SparkEntry.queries("l40_exact_substring_spans")(spark, "/root/testdata/sf0.001")
-      .queryExecution.executedPlan.toString)
+
+    val nB = sys.env.getOrElse("SCRATCH_BUCKETS", "8").toInt
+
+    // r10 probe set 2: a19 basket build riding the shared orderkey
+    // layout (groupBy(l_orderkey) satisfied by the bucket partitioning
+    // -> no explicit repartition, no exchange), and j29 riding a
+    // partkey-bucketed lineitem layout (the partkey-grain aggregations
+    // ride HashPartitioning(l_partkey) -> no exchange).
+    def vA19(s: SparkSession): DataFrame = {
+      graft.GraftFunctions.ensureRegistered(s)
+      val li = QShared.bucketedFact(s, dir, "lineitem", "l_orderkey", nB)
+      val baskets = li
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(array_distinct(collect_list(col("l_suppkey")))).as("items"))
+        .select(col("l_orderkey").as("ok"), col("items"))
+      val nOrders = baskets.agg(count(col("ok")).as("n"))
+      val itemCnt = baskets.select(explode(col("items")).as("item"))
+        .groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+      val top = baskets.select(explode(
+          graft.GraftFunctions.sortedPairsNative(s, col("items"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .orderBy(col("n_ab").desc, col("a").asc, col("b").asc)
+        .limit(200)
+      top
+        .join(broadcast(itemCnt.select(col("item").as("a"), col("n_item").as("n_a"))), "a")
+        .join(broadcast(itemCnt.select(col("item").as("b"), col("n_item").as("n_b"))), "b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("a"), col("b"), col("n_ab"),
+          expr("1000 * n_ab div n").as("support_pm"),
+          expr("1000 * n_ab div n_a").as("conf_ab_pm"),
+          expr("1000 * n_ab div n_b").as("conf_ba_pm"),
+          expr("1000000 * n_ab * n div (n_a * n_b)").as("lift_ppm"))
+    }
+
+    def vJ29(s: SparkSession): DataFrame = {
+      val eu = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      QShared.bucketedFact(s, dir, "lineitem", "l_partkey", nB)
+        .groupBy(col("l_partkey"))
+        .agg(collect_set(col("l_suppkey")).as("__sks"))
+        .select(col("l_partkey"), explode(col("__sks")).as("l_suppkey"))
+        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(min(col("s_acctbal")).as("__mb"),
+          collect_list(struct(col("s_suppkey"), col("s_name"),
+            col("s_acctbal"))).as("__sups"))
+        .select(col("l_partkey"),
+          explode(expr("filter(__sups, x -> x.s_acctbal = __mb)")).as("__s"))
+        .join(Tables(s, dir, "part")
+            .filter(col("p_size") === 5)
+            .select(col("p_partkey"), col("p_name")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"),
+          col("__s.s_suppkey").as("s_suppkey"), col("__s.s_name").as("s_name"),
+          col("__s.s_acctbal").cast("double").as("acctbal"))
+    }
+
+    val pairs: Seq[(String, (SparkSession, String) => DataFrame, SparkSession => DataFrame)] = Seq(
+      ("a19_association_rules", SparkEntry.queries("a19_association_rules"), vA19),
+      ("j29_q2_min_supplier", SparkEntry.queries("j29_q2_min_supplier"), vJ29))
+
+    def time(f: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    if (args.headOption.contains("w3b")) {
+      // r9 verdict #4: re-measure the RangeFrame decomposition at sf0.1
+      // on current code, including lower/higher bucket widths
+      def base = Tables(spark, dir, "orders").select(
+        col("o_orderstatus"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val shapes: Seq[(String, () => DataFrame)] = Seq(
+        ("windowed", () => operators.RangeFrame.windowed(
+          base, "o_orderstatus", "o_orderkey", "cents", 100000L)),
+        ("dec_B=W", () => operators.RangeFrame.decomposed(
+          base, "o_orderstatus", "o_orderkey", "cents", 100000L)),
+        ("dec_B=W/4", () => operators.RangeFrame.decomposed(
+          base, "o_orderstatus", "o_orderkey", "cents", 100000L, 25000L)),
+        ("dec_B=4W", () => operators.RangeFrame.decomposed(
+          base, "o_orderstatus", "o_orderkey", "cents", 100000L, 400000L)))
+      val ref = shapes.head._2().agg(count(lit(1)), sum(col("n_in_range")),
+        sum(col("sum_in_range"))).collect()(0).toString
+      for ((n, f) <- shapes.tail) {
+        val got = f().agg(count(lit(1)), sum(col("n_in_range")),
+          sum(col("sum_in_range"))).collect()(0).toString
+        println(s"$n checksum equal=${got == ref}")
+      }
+      for ((_, f) <- shapes) time(f())
+      val bests = scala.collection.mutable.Map[String, Double]().withDefaultValue(1e9)
+      for (_ <- 1 to 5; (n, f) <- shapes)
+        bests(n) = math.min(bests(n), time(f()))
+      for ((n, _) <- shapes) println(f"w3b $n%-10s ${bests(n)}%.3f s")
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("plan")) {
+      val pdir = sys.env.getOrElse("SCRATCH_PLAN_DIR", dir)
+      for (name <- Seq("a1b_q3_shape", "j28_q4_priority_check", "j12_q5_shape")) {
+        println(s"==== $name shipped plan (auto-broadcast ON) ====")
+        println(SparkEntry.queries(name)(spark, pdir)
+          .queryExecution.executedPlan.toString.take(5000))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        println(s"==== $name shipped plan (auto-broadcast OFF) ====")
+        println(SparkEntry.queries(name)(spark, pdir)
+          .queryExecution.executedPlan.toString.take(5000))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      }
+      spark.stop(); return
+    }
+
+    // correctness first: variant rows must equal shipped rows
+    for ((name, base, v) <- pairs) {
+      val a = base(spark, dir).collect().map(_.toString).sorted.toSeq
+      val b = v(spark).collect().map(_.toString).sorted.toSeq
+      println(s"$name equal=${a == b} (${a.size} rows)")
+    }
+
+    // warmup
+    for ((_, base, v) <- pairs) { time(base(spark, dir)); time(v(spark)) }
+    val reps = 5
+    val bestA = scala.collection.mutable.Map[String, Double]().withDefaultValue(1e9)
+    val bestB = scala.collection.mutable.Map[String, Double]().withDefaultValue(1e9)
+    for (_ <- 1 to reps; (name, base, v) <- pairs) {
+      bestA(name) = math.min(bestA(name), time(base(spark, dir)))
+      bestB(name) = math.min(bestB(name), time(v(spark)))
+    }
+    for ((name, _, _) <- pairs)
+      println(f"$name%-24s shipped=${bestA(name)}%.3f  bucketed(n=$nB%d)=${bestB(name)}%.3f")
     spark.stop()
   }
 }

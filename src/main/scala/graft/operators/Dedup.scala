@@ -704,9 +704,23 @@ object Dedup {
     * kernel's equivalence spec pins). */
   def exactSubstringSpans(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val base = gramStream(df, idCol, textCol, n)
+    // total occurrence count per gram (NOT document frequency: a gram
+    // repeated twice inside one doc is duplication too)
+    val cnt = base.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+    val dup = base.join(cnt.filter(col("c") > 1), Seq("gram"))
+      .select(col("id"), col("len"), col("pos"))
+    spansFromDupPositions(dup, n)
+  }
+
+  /** Positional gram stream shared by the span operators: (id, len,
+    * pos, gram) with 1-based token positions and 8-byte positional
+    * kernel hashes (never gram strings) — the projection-barrier
+    * repartition keeps the gram kernel spread across cores. */
+  private[graft] def gramStream(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     graft.GraftFunctions.ensureRegistered(df.sparkSession)
-    val base = df.filter(col(textCol).isNotNull)
+    df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).as("__txt"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id"),
@@ -716,14 +730,16 @@ object Dedup {
             distinct = false)))
       .select(col("id"), col("len"),
         (col("pos") + 1).cast("long").as("pos"), col("col").as("gram"))
-    // total occurrence count per gram (NOT document frequency: a gram
-    // repeated twice inside one doc is duplication too)
-    val cnt = base.groupBy(col("gram")).agg(count(lit(1)).as("c"))
-    val dup = base.join(cnt.filter(col("c") > 1), Seq("gram"))
-      .select(col("id"), col("len"), col("pos"))
-    // merge overlapping/touching [pos, pos+n-1] intervals per doc:
-    // a new span starts when the gap to the previous duplicated gram
-    // exceeds n (null lag on the first row falls to otherwise(1))
+  }
+
+  /** Island/merge stage shared by the span operators: merge
+    * overlapping/touching [pos, pos+n-1] intervals per doc on ONE
+    * doc-keyed exchange (lag + running sum + span aggregation on the
+    * same sort). A new span starts when the gap to the previous
+    * duplicated gram exceeds n (null lag on the first row falls to
+    * otherwise(1)). */
+  private[graft] def spansFromDupPositions(dup: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
     val runs = dup
       .withColumn("brk",
@@ -738,6 +754,64 @@ object Dedup {
       .select(col("id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"),
         col("n_grams"))
+  }
+
+  /** Per-gram total occurrence counts of a corpus — the MERGEABLE
+    * sidecar index for [[exactSubstringSpansIncremental]]: counts are
+    * additive, so a daily pipeline extends the sidecar with the new
+    * batch's [[gramCounts]] (sum per gram) instead of recounting the
+    * history. Same positional kernel hashes as the span operators
+    * (the l40 collision budget applies — the string-gram-recomputing
+    * oracle certifies zero collisions on gated data).
+    *
+    * Output: (gram, c). */
+  def gramCounts(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    graft.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.filter(col(textCol).isNotNull)
+      .select(explode(graft.GraftFunctions
+        .ngramHashesNative(df.sparkSession, col(textCol), n,
+          distinct = false)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Incremental ExactSubstr — [[exactSubstringSpans]] of a NEW batch
+    * against a 100 TB history WITHOUT rescanning the history per batch
+    * (the l13/G12 daily-drop pattern applied to span dedup): the
+    * history's contribution is a persisted [[gramCounts]] sidecar, and
+    * a batch gram is duplicated iff its batch count plus its sidecar
+    * count exceeds one. Counts are additive over a disjoint
+    * history/batch split, so the result equals the monolithic
+    * [[exactSubstringSpans]] over (history UNION batch) restricted to
+    * batch docs — EXACTLY (pinned in DedupSpec, randomized).
+    *
+    * Scale shape: the gram-keyed exchange carries only BATCH grams
+    * (the batch-side count and the join back); the sidecar side reads
+    * without an exchange when persisted bucketed by gram (the l41 QDef
+    * does — the l26/s12 layout machinery). The island/reassembly pass
+    * is batch-doc-keyed. Nothing scales with the history except the
+    * one-time sidecar build.
+    *
+    * SOUNDNESS (the historyBloom contract, same shape): the sidecar
+    * must cover AT LEAST the history corpus. Overcounts (a superset
+    * sidecar) only widen spans toward the paper's conservative cut;
+    * an UNDERCOUNTING (stale) sidecar silently misses duplicated runs
+    * — wrong results, not slow ones. Version the persisted sidecar on
+    * the history source, not wall-clock.
+    *
+    * Output: same as [[exactSubstringSpans]], batch docs only. */
+  def exactSubstringSpansIncremental(
+      batch: DataFrame, historyGramCounts: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val base = gramStream(batch, idCol, textCol, n)
+    val bc = base.groupBy(col("gram")).agg(count(lit(1)).as("__bc"))
+    val tot = bc.join(
+        historyGramCounts.select(col("gram"), col("c").as("__hc")),
+        Seq("gram"), "left")
+      .filter(col("__bc") + coalesce(col("__hc"), lit(0L)) > 1)
+      .select(col("gram"))
+    val dup = base.join(tot, Seq("gram"))
+      .select(col("id"), col("len"), col("pos"))
+    spansFromDupPositions(dup, n)
   }
 
   /** Apply [[exactSubstringSpans]]: rebuild each doc's text with every

@@ -81,12 +81,18 @@ object RangeFrame {
       sum(col(valCol)).over(w).as("sum_in_range"))
   }
 
-  /** The bucket-decomposed shape: parallelism = |part| × n_buckets. */
+  /** The bucket-decomposed shape: parallelism = |part| × n_buckets.
+    * `bucketWidth` (default = frame width) decouples the bucket size
+    * from the frame: the prefix-sum algebra pre(x) = (cum of full
+    * earlier buckets) + (in-bucket prefix at x) is exact for ANY
+    * bucket width; smaller buckets buy more parallelism at the cost
+    * of a denser bucket-cum table. */
   private[graft] def decomposed(
       df: DataFrame, partCol: String, idCol: String, valCol: String,
-      width: Long): DataFrame = {
+      width: Long, bucketWidth: Long = 0L): DataFrame = {
     require(width > 0, "decomposed needs width > 0 (bucket = floor(v / width))")
     val W = width
+    val B = if (bucketWidth > 0) bucketWidth else width
     val base = df.select(
       col(partCol).as("st"), col(idCol).as("okey"),
       col(valCol).cast("long").as("cents"))
@@ -104,7 +110,7 @@ object RangeFrame {
     // exact long floor-division (negative probes round toward -inf;
     // double division would lose exactness past 2^53)
     val all = data.unionByName(probeHi).unionByName(probeLo)
-      .withColumn("b", expr(s"(v - pmod(v, ${W}L)) div ${W}L"))
+      .withColumn("b", expr(s"(v - pmod(v, ${B}L)) div ${B}L"))
     // in-bucket running totals; data rows sort before probes at equal v
     // (a probe at v means ≤ v, so it must come AFTER data ties)
     val wIn = Window.partitionBy(col("st"), col("b"))

@@ -130,27 +130,34 @@ object Joins extends QGroup {
         |GROUP BY r_name, n_name""".stripMargin),
       headline = true),
 
-    // J12: TPC-H Q5 shape — the canonical join-order benchmark: two
-    // fact-fact shuffles (customer⋈orders, ⋈lineitem), a mid-size
-    // supplier join carrying the local-supplier constraint
-    // (c_nationkey = s_nationkey), and broadcast dims. Filters are
-    // written on the base tables so the date range reaches the orders
-    // parquet scan and the region filter prunes before broadcast;
-    // supplier is deliberately UNhinted — at TPC-H scale it is 10k×SF
-    // rows, too big to broadcast at 100 TB, so AQE must pick the
-    // strategy from runtime stats.
+    // J12: TPC-H Q5 shape — the canonical join-order benchmark: the
+    // fact-fact join (orders⋈lineitem), a mid-size supplier join
+    // carrying the local-supplier constraint (c_nationkey =
+    // s_nationkey), and broadcast dims. Since r10 the fact pair rides
+    // the SHARED orderkey-bucketed layouts (QShared.bucketedFact): the
+    // join order puts the co-located orders⋈lineitem FIRST (a
+    // zero-exchange zero-sort streaming merge — the join order a
+    // 100 TB cluster with bucketed facts wants), then customer, then
+    // supplier. Filters stay on the base tables so the date range
+    // reaches the orders scan and the region filter prunes before
+    // broadcast; customer and supplier are deliberately UNhinted — at
+    // TPC-H scale both outgrow broadcast at 100 TB, so size-based
+    // planning/AQE must pick the strategy from runtime stats (the
+    // c_nationkey = s_nationkey conjunct rides whichever join ships).
+    // r10 A/B (interleaved, sf0.1): 0.69 → 0.32 s, identical rows.
     QDef("j12_q5_shape",
       (s, dir) => {
         val c = Tables(s, dir, "customer")
-        val o = Tables(s, dir, "orders")
+        val o = QShared.bucketedFact(s, dir, "orders", "o_orderkey")
           .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
             col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-        val l = Tables(s, dir, "lineitem")
+        val l = QShared.bucketedFact(s, dir, "lineitem", "l_orderkey")
         val su = Tables(s, dir, "supplier")
         val n = broadcast(Tables(s, dir, "nation"))
         val r = broadcast(Tables(s, dir, "region").filter(col("r_name") === "ASIA"))
-        c.join(o, col("c_custkey") === col("o_custkey"))
-          .join(l, col("l_orderkey") === col("o_orderkey"))
+        o.hint("merge").join(l.hint("merge"),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(c, col("c_custkey") === col("o_custkey"))
           .join(su, col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
           .join(n, col("s_nationkey") === col("n_nationkey"))
@@ -829,21 +836,27 @@ object Joins extends QGroup {
     // J28: TPC-H Q4 shape — order-priority checking: orders in a
     // quarter having at least one line shipped >30 days after the
     // order date (the schema's stand-in for commit<receipt). The
-    // correlated EXISTS carries a NON-equi conjunct on top of the key
-    // equality; Catalyst still plans a hash semi-join on orderkey with
-    // the date comparison as the join residual — no nested loop.
+    // EXISTS is written as an explicit left-semi join carrying the
+    // NON-equi date conjunct as the join residual (exactly what
+    // Catalyst decorrelates the SQL form into — no nested loop), and
+    // since r10 it rides the SHARED orderkey-bucketed fact layouts
+    // (QShared.bucketedFact): both sides arrive hash-partitioned and
+    // sorted on orderkey, so the semi-join is a zero-exchange
+    // zero-sort streaming merge. r10 A/B (interleaved, sf0.1): 0.49 →
+    // 0.18 s, identical rows.
     QDef("j28_q4_priority_check",
       (s, dir) => {
-        Tables(s, dir, "orders").createOrReplaceTempView("j28_orders")
-        Tables(s, dir, "lineitem").createOrReplaceTempView("j28_lineitem")
-        s.sql("""SELECT o_orderpriority, COUNT(*) AS order_count
-          |FROM j28_orders
-          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-          |  AND o_orderdate <  TIMESTAMP '1996-04-01'
-          |  AND EXISTS (SELECT 1 FROM j28_lineitem
-          |              WHERE l_orderkey = o_orderkey
-          |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
-          |GROUP BY o_orderpriority""".stripMargin)
+        val os = QShared.bucketedFact(s, dir, "orders", "o_orderkey")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        val li = QShared.bucketedFact(s, dir, "lineitem", "l_orderkey")
+          .select(col("l_orderkey"), col("l_shipdate"))
+        os.hint("merge").join(li.hint("merge"),
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
       },
       Some("""SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders

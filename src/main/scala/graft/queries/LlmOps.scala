@@ -585,6 +585,81 @@ object LlmOps extends QGroup {
         |  COUNT(*) AS n_kept
         |FROM kept GROUP BY doc_id""".stripMargin)),
 
+    // L41: INCREMENTAL ExactSubstr — l40's spans for a NEW batch (docs
+    // ≥ 250) against the history corpus (docs < 250) WITHOUT rescanning
+    // the history per batch: the history's contribution is a persisted
+    // gram-count sidecar (counts are mergeable — a daily pipeline adds
+    // the batch's own counts per gram to extend it), laid out ONCE
+    // bucketed by gram (32 buckets, the l26/s12 machinery) so the
+    // per-batch join reads it exchange-free — the only gram-keyed
+    // shuffle carries BATCH grams. Result == monolithic l40 restricted
+    // to batch docs (counts are additive over the disjoint split; the
+    // oracle recomputes the union monolithically, and DedupSpec pins
+    // batch-vs-monolithic equivalence on randomized corpora).
+    // SOUNDNESS: a stale (undercounting) sidecar silently MISSES
+    // duplicated runs — the historyBloom contract; the mtime guard
+    // versions the layout on the source parquet, and the oracle gate
+    // (which recomputes from live tables) fails loudly on any miss.
+    QDef("l41_incremental_substring_spans",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val table = s"graft_l41_gc_${Integer.toHexString(dir.hashCode)}"
+        val path = QShared.sink(dir, "l41_gramcounts")
+        val src = new java.io.File(s"$dir/documents.parquet")
+        val marker = new java.io.File(path, "_SUCCESS")
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        if (marker.exists() && src.exists() &&
+            marker.lastModified() >= src.lastModified()) {
+          s.sql(s"CREATE TABLE $table (gram BIGINT, c BIGINT) USING parquet " +
+            s"CLUSTERED BY (gram) INTO 32 BUCKETS LOCATION '$path'")
+        } else {
+          graft.operators.Dedup
+            .gramCounts(docs.filter(col("doc_id") < 250), "text", n = 4)
+            .repartition(32, col("gram"))
+            .write.mode("overwrite").bucketBy(32, "gram")
+            .option("path", path).saveAsTable(table)
+        }
+        val sidecar = s.table(table)
+        sidecar.queryExecution.analyzed // resolve before the entry drops
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        graft.operators.Dedup.exactSubstringSpansIncremental(
+            docs.filter(col("doc_id") >= 250), sidecar,
+            "doc_id", "text", n = 4)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), pos AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS len, t,
+        |    unnest(generate_series(1, greatest(len(t)-3, 1))) AS i
+        |  FROM toks
+        |), grams AS (
+        |  SELECT doc_id, len, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(t[i:i+3], ' ') AS g
+        |  FROM pos
+        |), cnt AS (
+        |  SELECT g, COUNT(*) AS c FROM grams GROUP BY 1
+        |), dup AS (
+        |  SELECT doc_id, len, pos FROM grams JOIN cnt USING (g)
+        |  WHERE c > 1 AND doc_id >= 250
+        |), isl AS (
+        |  SELECT doc_id, len, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM dup
+        |), runs AS (
+        |  SELECT doc_id, len, pos,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM isl
+        |)
+        |SELECT doc_id, MIN(pos) AS span_start,
+        |  MAX(LEAST(pos + 3, len)) AS span_end,
+        |  MAX(LEAST(pos + 3, len)) - MIN(pos) + 1 AS span_tokens,
+        |  COUNT(*) AS n_grams
+        |FROM runs GROUP BY doc_id, run""".stripMargin)),
+
     // L6: sequence packing for pretraining batches — greedy cumulative
     // token count per shard, bin = floor(tokens-before / ctx). Shard-
     // partitioned window (one shuffle, no global sort) so it scales:

@@ -143,6 +143,60 @@ object QShared {
   def sink(dir: String, name: String): String =
     s"/tmp/graft_sink/${name}_${Integer.toHexString(dir.hashCode)}"
 
+  /** Mtime-guarded bucketed fact layout — the s12 machinery, shared:
+    * the table is written ONCE as `bucketBy(n, key).sortBy(key)` with
+    * one file per bucket (external table: catalog entry + data at the
+    * sink path) and every later call re-registers the existing files,
+    * so ALL fact-fact joins/aggregations on `keyCol` ride the layout's
+    * HashPartitioning with no exchange and no sort. This is the
+    * production pre-partitioning story for 100 TB fact joins: the
+    * relayout is paid once per ingested snapshot, amortized across
+    * every query after it. The relayout reruns only when the source
+    * parquet is newer than the layout's _SUCCESS marker; a stale
+    * layout the guard somehow missed still fails loudly at the oracle
+    * gate, which reads the live tables.
+    *
+    * Returns the bucketed relation as a DataFrame; the catalog entry
+    * is dropped after resolution (the resolved plan holds the bucketed
+    * file relation — the s12 precedent), so the session catalog never
+    * accumulates per-dir tables. Sets the legacy bucketed-scan
+    * ordering flag (with its built-in one-file-per-bucket guard) so
+    * the read side trusts the layout's sortBy order. */
+  def bucketedFact(
+      s: SparkSession, dir: String, name: String, keyCol: String,
+      nBuckets: Int = 8): DataFrame = {
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val table =
+      s"graft_s12_${name}_b${nBuckets}_${Integer.toHexString(dir.hashCode)}"
+    // the 8-bucket path keeps the historical s12 name so existing
+    // layouts survive; other counts get their own layout directory
+    val path = sink(dir,
+      if (nBuckets == 8) s"s12_$name" else s"s12_${name}_b$nBuckets")
+    val src = new java.io.File(s"$dir/$name.parquet")
+    val marker = new java.io.File(path, "_SUCCESS")
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    if (marker.exists() && src.exists() &&
+        marker.lastModified() >= src.lastModified()) {
+      val ddl = graft.Tables(s, dir, name).schema.toDDL
+      s.sql(s"CREATE TABLE $table ($ddl) USING parquet " +
+        s"CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $nBuckets BUCKETS " +
+        s"LOCATION '$path'")
+    } else
+      graft.Tables(s, dir, name)
+        // one writer task per bucket -> ONE file per bucket, so the
+        // read-side merge join skips the per-bucket sort too (many
+        // files per bucket keep bucketing but need a local sort)
+        .repartition(nBuckets, col(keyCol))
+        .write.mode("overwrite")
+        .bucketBy(nBuckets, keyCol).sortBy(keyCol)
+        .option("path", path)
+        .saveAsTable(table)
+    val out = s.table(table)
+    out.queryExecution.analyzed // resolve BEFORE the catalog entry drops
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    out
+  }
+
   /** Small driver-side statistics cache (the catalog's ANALYZE-stats
     * analog): column bounds and similar tiny stat results keyed by
     * (session, dir, tag, source version token) — the version token in

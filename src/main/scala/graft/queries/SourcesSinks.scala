@@ -295,64 +295,18 @@ object SourcesSinks extends QGroup {
     // and Spark splits each bucket's files across executors for reads.
     QDef("s12_bucketed_join",
       (s, dir) => {
-        // Spark ≥3.1 only trusts a bucketed scan's sortBy order behind
-        // this legacy flag (with a built-in one-file-per-bucket guard,
-        // so it is safe session-wide); without it the read side pays a
-        // partition-local sort the layout already did. Engine.session
-        // sets it by default; set here too for foreign sessions like
-        // the driver's. Runtime planning reads it at action time.
-        s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-        val suffix = Integer.toHexString(dir.hashCode)
-        def bucketed(name: String, keyCol: String): String = {
-          val table = s"graft_s12_${name}_$suffix"
-          val path = sink(dir, s"s12_$name")
-          // Layout amortization, made real (round 7): a production
-          // bucketed table is laid out ONCE and serves every query after
-          // it — rewriting both tables inside each run measured the
-          // writer, not the declared capability (the zero-exchange
-          // zero-sort join). The relayout now runs only when the source
-          // parquet is newer than the last layout's _SUCCESS marker: the
-          // first run (and any testdata regeneration) pays it in full,
-          // later runs re-register the existing files. A stale layout
-          // the mtime guard somehow missed still fails loudly at the
-          // oracle gate, which reads the live tables.
-          val src = new java.io.File(s"$dir/$name.parquet")
-          val marker = new java.io.File(path, "_SUCCESS")
-          s.sql(s"DROP TABLE IF EXISTS $table")
-          if (marker.exists() && src.exists() &&
-              marker.lastModified() >= src.lastModified()) {
-            val ddl = Tables(s, dir, name).schema.toDDL
-            s.sql(s"CREATE TABLE $table ($ddl) USING parquet " +
-              s"CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO 8 BUCKETS " +
-              s"LOCATION '$path'")
-          } else
-            Tables(s, dir, name)
-              // one writer task per bucket → ONE file per bucket, so the
-              // read-side merge join skips the per-bucket sort too (many
-              // files per bucket keep bucketing but need a local sort)
-              .repartition(8, col(keyCol))
-              .write.mode("overwrite")
-              .bucketBy(8, keyCol).sortBy(keyCol)
-              .option("path", path)
-              .saveAsTable(table)
-          table
-        }
-        val liT = bucketed("lineitem", "l_orderkey")
-        val osT = bucketed("orders", "o_orderkey")
-        val li = s.table(liT)
-        val os = s.table(osT)
-        val out = li.hint("merge").join(os.hint("merge"),
+        // Layout amortization, made real (round 7) and SHARED (round
+        // 10): QShared.bucketedFact owns the mtime-guarded relayout +
+        // catalog registration (see its scaladoc), so the same two
+        // orderkey layouts serve s12 AND the TPC-H fact-join block.
+        val li = QShared.bucketedFact(s, dir, "lineitem", "l_orderkey")
+        val os = QShared.bucketedFact(s, dir, "orders", "o_orderkey")
+        li.hint("merge").join(os.hint("merge"),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("cnt"),
             QShared.gridSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
               .cast("double").as("revenue"))
-        // the resolved plan above already holds the bucketed file
-        // relations; dropping the external-table catalog entries now
-        // (data files stay at the sink path) keeps the session catalog
-        // from accumulating a table pair per sf dir
-        Seq(liT, osT).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
-        out
       },
       Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)))

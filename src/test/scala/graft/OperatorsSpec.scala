@@ -396,6 +396,52 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental exactSubstringSpans == monolithic over history+batch, " +
+      "restricted to batch docs (randomized); an undercounting sidecar " +
+      "visibly misses spans") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3; n <- Seq(3, 4)) {
+      val vocab = Vector("a", "b", "c", "d", "e") // tiny -> dense dups
+      val docs = (1L to 40L).map(i =>
+        i -> (1 to (1 + rnd.nextInt(12))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val (history, batch) = docs.partition(_._1 <= 25L)
+      val sidecar = operators.Dedup
+        .gramCounts(history.toDF("doc_id", "text"), "text", n)
+      val inc = operators.Dedup.exactSubstringSpansIncremental(
+          batch.toDF("doc_id", "text"), sidecar, "doc_id", "text", n)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val mono = operators.Dedup
+        .exactSubstringSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+        .filter(_._1 > 25L)
+      assert(inc == mono,
+        s"trial=$trial n=$n: missing=${mono -- inc} extra=${inc -- mono}")
+    }
+    // the soundness contract, demonstrated: a sidecar missing part of
+    // the history (stale/undercounting) silently loses cross-corpus
+    // spans — the same subset-divergence shape the history bloom pins
+    val history = Seq((1L, "p q r s t u")).toDF("doc_id", "text")
+    val batch = Seq((30L, "x0 x1 p q r s t u")).toDF("doc_id", "text")
+    val full = operators.Dedup.exactSubstringSpansIncremental(
+        batch, operators.Dedup.gramCounts(history, "text", 4),
+        "doc_id", "text", 4)
+      .collect()
+    assert(full.nonEmpty, "cross-corpus duplicate run must be found")
+    val empty = history.filter(col("doc_id") < 0) // empty sidecar source
+    val stale = operators.Dedup.exactSubstringSpansIncremental(
+        batch, operators.Dedup.gramCounts(empty, "text", 4),
+        "doc_id", "text", 4)
+      .collect()
+    assert(stale.isEmpty,
+      "an undercounting sidecar must visibly miss the span — if this " +
+        "ever finds it, the fast path stopped trusting the sidecar")
+  }
+
   test("NULL-text docs never pair and cluster as singletons") {
     val withNulls = docs.unionByName(Seq(
       (10L, null.asInstanceOf[String]), (11L, null.asInstanceOf[String]))

@@ -71,13 +71,20 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), p)
   }
 
-  test("j12: Q5 shape broadcasts dims, shuffles facts, pushes the date filter") {
+  test("j12: Q5 shape broadcasts dims, facts merge on the bucket layout, " +
+      "date filter reaches the bucketed scan") {
     val p = planOf("j12_q5_shape")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, "nation+region should broadcast\n" + p)
-    assert(p.contains("Exchange hashpartitioning"), "fact-fact joins should shuffle\n" + p)
+    // the r10 shape: orders⋈lineitem is a co-located SMJ over the
+    // shared bucketed layouts — no exchange and no sort feeds it
+    assert("Bucketed: true".r.findAllIn(p).size == 2, "both fact scans bucketed\n" + p)
+    assert(p.contains("SortMergeJoin [o_orderkey"), p)
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      "the fact pair must ride the bucket partitioning, not re-exchange\n" + p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(o_orderdate"),
-      "orders date range must reach the parquet scan\n" + p)
+      "orders date range must reach the (bucketed) parquet scan\n" + p)
   }
 
   /** Plan with size-based auto-broadcast disabled. At sf0.001 every
@@ -94,18 +101,34 @@ class PlanSpec extends SparkSpec {
     finally spark.conf.set(key, prev)
   }
 
-  test("j12 @100TB posture: hinted dims broadcast, facts shuffle once each, 7 exchanges") {
+  test("j12 @100TB posture: hinted dims broadcast, the fact pair merges " +
+      "exchange-free on the bucket layout, 5 exchanges") {
     val p = planNoAutoBroadcast("j12_q5_shape")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 2,
       s"exactly nation+region broadcast:\n$p")
     assert("SortMergeJoin".r.findAllIn(p).size == 3,
-      s"customer⋈orders, ⋈lineitem, ⋈supplier shuffle-join:\n$p")
-    // the 100 TB table is exchanged exactly once, on its join key
-    assert("Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).size == 1, p)
-    // 2 (c⋈o) + 2 (o_orderkey + l_orderkey) + 2 (supplier pair) + 1 agg
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 7,
+      s"orders⋈lineitem (co-located), ⋈customer, ⋈supplier:\n$p")
+    // the 100 TB table is NEVER exchanged on its own join key — the
+    // bucket layout IS that partitioning (r9 had 1 here, r10 has 0)
+    assert("Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).size == 0, p)
+    assert("Bucketed: true".r.findAllIn(p).size == 2, p)
+    // 2 (⋈customer: o_custkey + c_custkey) + 2 (supplier pair) + 1 agg
+    // — was 7 before the facts rode the layout
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 5,
       s"an extra exchange appeared in the Q5 chain:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("a1b @auto: Q3 runs with ZERO hash exchanges — facts merge on the " +
+      "layout, customer broadcasts, the aggregation rides the join partitioning") {
+    val p = planOf("a1b_q3_shape")
+    assert("Bucketed: true".r.findAllIn(p).size == 2, p)
+    assert(p.contains("SortMergeJoin [o_orderkey"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"Q3 at bench scale should be exchange-free end to end:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the shipdate/date filters still reach the bucketed scans
+    assert(p.contains("GreaterThan(l_shipdate") && p.contains("LessThan(o_orderdate"), p)
   }
 
   test("j24 @100TB posture: six broadcasts, ONE fact-fact join, 3 exchanges total") {
@@ -284,13 +307,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("j28: correlated EXISTS with non-equi conjunct stays a hash semi-join") {
+  test("j28: the EXISTS semi-join with non-equi residual merges " +
+      "exchange-free on the bucket layout") {
     val p = planOf("j28_q4_priority_check")
     // the date comparison must ride the orderkey semi-join as a
     // residual condition — a nested-loop fallback here would be
     // orders × lineitem at corpus scale
-    assert(p.contains("SemiJoin") || p.contains("LeftSemi"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("l_shipdate") && p.contains("INTERVAL"),
+      s"the non-equi conjunct must ride the semi-join as residual:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // r10: both sides ride the shared bucket layouts — the only hash
+    // exchange left is the tiny o_orderpriority aggregation
+    assert("Bucketed: true".r.findAllIn(p).size == 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
+      p.contains("Exchange hashpartitioning(o_orderpriority"),
+      s"the semi-join itself must not exchange:\n$p")
   }
 
   test("a2: two distinct aggregates never plan the multi-distinct Expand") {
