@@ -90,9 +90,61 @@ object Scratch {
           col("__s.s_acctbal").cast("double").as("acctbal"))
     }
 
+    def vJ16(s: SparkSession): DataFrame = {
+      QShared.bucketedFact(s, dir, "lineitem", "l_orderkey", nB)
+        .createOrReplaceTempView("j16b_lineitem")
+      QShared.bucketedFact(s, dir, "orders", "o_orderkey", nB)
+        .createOrReplaceTempView("j16b_orders")
+      Tables(s, dir, "supplier").createOrReplaceTempView("j16b_supplier")
+      s.sql("""SELECT s_name, COUNT(*) AS numwait
+        |FROM j16b_supplier JOIN j16b_lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN j16b_orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM j16b_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM j16b_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name""".stripMargin)
+    }
+
+    def vA18(s: SparkSession): DataFrame = {
+      val li = QShared.bucketedFact(s, dir, "lineitem", "l_orderkey", nB)
+      val rowLevel = li.agg(
+        count(when(col("l_returnflag").isNull, 1)).as("v1"),
+        count(when(not(col("l_quantity").between(1, 50)), 1)).as("v2"),
+        count(when(not(col("l_discount").between(0, 0.10)), 1)).as("v3"),
+        count(when(not(col("l_returnflag").isin("A", "N", "R")), 1)).as("v4"),
+        count(when(col("l_shipdate") < lit("1992-01-01").cast("timestamp") ||
+          col("l_shipdate") >= lit("1999-01-01").cast("timestamp"), 1)).as("v5"))
+        .selectExpr("""stack(5,
+          'complete_returnflag', v1,
+          'quantity_in_1_50', v2,
+          'discount_in_0_10pct', v3,
+          'returnflag_domain', v4,
+          'shipdate_in_epoch', v5) AS (rule, violations)""")
+      val uniq = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L))
+          .as("violations"))
+        .select(lit("unique_order_line").as("rule"), col("violations"))
+      val fk = li.join(
+          QShared.bucketedFact(s, dir, "orders", "o_orderkey", nB)
+            .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("fk_order_exists").as("rule"), col("violations"))
+      rowLevel.unionByName(uniq).unionByName(fk)
+    }
+
     val pairs: Seq[(String, (SparkSession, String) => DataFrame, SparkSession => DataFrame)] = Seq(
       ("a19_association_rules", SparkEntry.queries("a19_association_rules"), vA19),
-      ("j29_q2_min_supplier", SparkEntry.queries("j29_q2_min_supplier"), vJ29))
+      ("j29_q2_min_supplier", SparkEntry.queries("j29_q2_min_supplier"), vJ29),
+      ("j16_q21_shape", SparkEntry.queries("j16_q21_shape"), vJ16),
+      ("a18_constraint_check", SparkEntry.queries("a18_constraint_check"), vA18))
 
     def time(f: => DataFrame): Double = {
       val t0 = System.nanoTime()

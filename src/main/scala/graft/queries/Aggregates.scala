@@ -714,27 +714,24 @@ object Aggregates extends QGroup {
     // (suppliers) — broadcast.
     QDef("a19_association_rules",
       (s, dir) => {
-        // One keyed exchange materializes each basket as a sorted
-        // distinct item array; the O(basket²) pair generation then runs
-        // scan-local inside a native kernel (sorted ascending + pairing
-        // i<j ≡ the self-join's item < item condition) instead of
-        // shuffling the basket relation twice through a self-join.
-        // Probe at sf0.1: 1.63 s (self-join) → 1.12 s. The exchange is
-        // an EXPLICIT repartition of raw (ok, item) rows with the
-        // distinct done in-array AFTER list collection: collect_set's
-        // partial set buffers barely dedupe (an order's rows are
-        // scattered across scan splits) but cost object-hash
-        // aggregation on both sides of the shuffle, while collect_list
-        // over a ridden exchange is one partition-local object agg —
-        // r9 A/B at sf0.1: basket stage 0.56 → 0.40 s, same arrays.
-        // collect_list skips NULL inputs exactly like collect_set, so
-        // an order whose items are ALL null still keeps its (empty)
-        // basket row and count(ok) semantics are unchanged.
-        val baskets = Tables(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("item"))
-          .repartition(col("ok"))
-          .groupBy(col("ok"))
-          .agg(sort_array(array_distinct(collect_list(col("item")))).as("items"))
+        // The basket build rides the SHARED orderkey-bucketed lineitem
+        // layout (QShared.bucketedFact, r10): groupBy(l_orderkey) is
+        // satisfied by the layout's HashPartitioning, so the basket
+        // aggregation needs NO exchange at all — the r9 explicit
+        // repartition (itself an A/B win over collect_set partials:
+        // basket stage 0.56 → 0.40 s) is subsumed by the layout the
+        // whole fact block amortizes. r10 A/B at sf0.1 (interleaved,
+        // identical 200 rows): 0.76–0.97 → 0.54–0.60 s. The O(basket²)
+        // pair generation stays scan-local inside the native kernel
+        // (sorted ascending + i<j pairing ≡ the self-join's item <
+        // item; probe r8: 1.63 s self-join → 1.12 s). collect_list
+        // skips NULL inputs exactly like collect_set, so an order
+        // whose items are ALL null still keeps its (empty) basket row
+        // and count(ok) semantics are unchanged.
+        val baskets = QShared.bucketedFact(s, dir, "lineitem", "l_orderkey")
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(array_distinct(collect_list(col("l_suppkey")))).as("items"))
+          .select(col("l_orderkey").as("ok"), col("items"))
         val nOrders = baskets.agg(count(col("ok")).as("n"))
         val itemCnt = baskets.select(explode(col("items")).as("item"))
           .groupBy(col("item")).agg(count(lit(1)).as("n_item"))

@@ -898,12 +898,18 @@ object Joins extends QGroup {
             col("n_regionkey") === col("r_regionkey"))
           .filter(col("r_name") === "EUROPE")
           .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
-        // second per-part aggregation rides the SAME partkey
-        // partitioning (no exchange): the bounded EU-supplier list and
-        // its min land in one row per part, and the tie-keeping min
-        // filter is an array HOF — no min join, no second read of the
-        // pair subtree
-        Tables(s, dir, "lineitem")
+        // r10: the pair derivation rides a PARTKEY-bucketed lineitem
+        // layout (QShared.bucketedFact — a second materialized
+        // projection of the fact, the warehouse-standard answer when a
+        // fact is repeatedly aggregated on a second key): the
+        // first partkey aggregation needs NO exchange, and the second
+        // per-part aggregation rides the SAME partitioning — the whole
+        // query is exchange-free on the fact side. r10 A/B at sf0.1
+        // (interleaved, identical 397 rows): 0.56–0.72 → 0.36 s. The
+        // bounded EU-supplier list and its min land in one row per
+        // part, and the tie-keeping min filter is an array HOF — no
+        // min join, no second read of the pair subtree.
+        QShared.bucketedFact(s, dir, "lineitem", "l_partkey")
           .groupBy(col("l_partkey"))
           .agg(collect_set(col("l_suppkey")).as("__sks"))
           .select(col("l_partkey"), explode(col("__sks")).as("l_suppkey"))

@@ -166,12 +166,15 @@ object QShared {
       s: SparkSession, dir: String, name: String, keyCol: String,
       nBuckets: Int = 8): DataFrame = {
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    val table =
-      s"graft_s12_${name}_b${nBuckets}_${Integer.toHexString(dir.hashCode)}"
-    // the 8-bucket path keeps the historical s12 name so existing
-    // layouts survive; other counts get their own layout directory
-    val path = sink(dir,
-      if (nBuckets == 8) s"s12_$name" else s"s12_${name}_b$nBuckets")
+    // the path MUST be keyed by the bucket column, not just the table:
+    // two layouts of the same table on different keys are different
+    // data arrangements, and re-registering one as the other would be
+    // silently WRONG (same-key rows would no longer be co-located —
+    // caught live by the r10 j29 probe, whose partkey request picked
+    // up the orderkey files before this keyed the path)
+    val table = s"graft_bkt_${name}_${keyCol}_b${nBuckets}_" +
+      Integer.toHexString(dir.hashCode)
+    val path = sink(dir, s"bucketed_${name}_${keyCol}_$nBuckets")
     val src = new java.io.File(s"$dir/$name.parquet")
     val marker = new java.io.File(path, "_SUCCESS")
     s.sql(s"DROP TABLE IF EXISTS $table")

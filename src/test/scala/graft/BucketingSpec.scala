@@ -66,7 +66,8 @@ class BucketingSpec extends SparkSpec {
         Paths.get(s"$dir/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
     def run(): Long = SparkEntry.queries("s12_bucketed_join")(spark, dir).count()
     val marker = new java.io.File(
-      graft.queries.QShared.sink(dir, "s12_lineitem"), "_SUCCESS")
+      graft.queries.QShared.sink(dir, "bucketed_lineitem_l_orderkey_8"),
+      "_SUCCESS")
 
     assert(run() > 0 && marker.exists())
     val m1 = marker.lastModified()
@@ -76,6 +77,40 @@ class BucketingSpec extends SparkSpec {
     assert(src.setLastModified(m1 + 60000), "test needs a touchable source")
     assert(run() > 0)
     assert(marker.lastModified() > m1, "newer source must force a relayout")
+  }
+
+  test("bucketedFact layouts on DIFFERENT keys are independent — a " +
+      "second-key request must relayout, never re-register the first " +
+      "key's files") {
+    // the r10 j29 probe caught exactly this: before the path was keyed
+    // by the bucket column, a partkey request re-registered the
+    // orderkey-bucketed files as CLUSTERED BY partkey — silently wrong
+    // co-location (same-key rows scattered across buckets). Pin both
+    // the path independence and the aggregate correctness per key.
+    import graft.queries.QShared
+    val byOrder = QShared.bucketedFact(spark, testdataRoot, "lineitem", "l_orderkey")
+    val byPart = QShared.bucketedFact(spark, testdataRoot, "lineitem", "l_partkey")
+    val mOrder = new java.io.File(
+      QShared.sink(testdataRoot, "bucketed_lineitem_l_orderkey_8"), "_SUCCESS")
+    val mPart = new java.io.File(
+      QShared.sink(testdataRoot, "bucketed_lineitem_l_partkey_8"), "_SUCCESS")
+    assert(mOrder.exists() && mPart.exists(), "each key owns its own layout dir")
+    // correctness: each layout's bucket-keyed aggregate equals the
+    // plain-parquet aggregate (a wrongly re-registered layout would
+    // split groups across buckets and duplicate keys)
+    val plain = spark.read.parquet(s"$testdataRoot/lineitem.parquet")
+    for ((df, key) <- Seq((byOrder, "l_orderkey"), (byPart, "l_partkey"))) {
+      val got = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+        .orderBy(col(key)).collect().toSeq
+      val want = plain.groupBy(col(key)).agg(count(lit(1)).as("n"))
+        .orderBy(col(key)).collect().toSeq
+      assert(got == want, s"bucketed-by-$key aggregate diverged")
+      // and the aggregation rides the layout: no exchange
+      val p = df.groupBy(col(key)).agg(count(lit(1)))
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"aggregation on $key must ride the $key layout:\n$p")
+    }
   }
 
   test("aggregation on the bucket key is exchange-free") {

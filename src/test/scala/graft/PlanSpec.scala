@@ -159,17 +159,19 @@ class PlanSpec extends SparkSpec {
       "l_suppkey", "s_name")), s"unexpected exchange keys: $keys")
   }
 
-  test("j29: Q2-shape is one lineitem scan and one partkey exchange") {
+  test("j29: Q2-shape is one bucketed lineitem scan and ZERO exchanges") {
     // the correlated-SQL form decorrelated to TWO copies of the
     // scan + distinct-pair tree (9 scans, no exchange reuse) — the
-    // hand shape scans lineitem once and the min/tie-keeping
-    // aggregation rides the pair exchange's partkey partitioning
+    // hand shape scans lineitem once; since r10 that scan is the
+    // PARTKEY-bucketed layout, so the first partkey aggregation rides
+    // the layout's HashPartitioning and the min/tie-keeping second
+    // aggregation rides the same partitioning: no exchange anywhere
     val p = planOf("j29_q2_min_supplier")
-    assert("lineitem".r.findAllIn(p).size >= 1 &&
-      "FileScan parquet \\[l_partkey".r.findAllIn(p).size == 1,
-      s"lineitem must be scanned exactly once:\n$p")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
-      s"one partkey exchange only — the second aggregation must not re-exchange:\n$p")
+    assert("FileScan parquet spark_catalog.default.graft_bkt_lineitem_l_partkey"
+      .r.findAllIn(p).size == 1,
+      s"lineitem must be scanned exactly once, from the partkey layout:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 0,
+      s"both partkey aggregations must ride the bucket layout:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 
