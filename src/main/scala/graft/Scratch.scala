@@ -140,11 +140,65 @@ object Scratch {
       rowLevel.unionByName(uniq).unionByName(fk)
     }
 
+    // probe set 3: j26 on the partkey projection; a2 + w5 on a NEW
+    // custkey-bucketed orders projection (the window-family layout)
+    def vJ26(s: SparkSession): DataFrame = {
+      QShared.bucketedFact(s, dir, "lineitem", "l_partkey", nB)
+        .createOrReplaceTempView("j26b_lineitem")
+      Tables(s, dir, "supplier").createOrReplaceTempView("j26b_supplier")
+      Tables(s, dir, "nation").createOrReplaceTempView("j26b_nation")
+      s.sql("""SELECT l_partkey AS p_key,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e4)
+        |               AS DECIMAL(38,0))) AS DOUBLE) AS value_micro
+        |FROM j26b_lineitem
+        |JOIN j26b_supplier ON l_suppkey = s_suppkey
+        |JOIN j26b_nation   ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |GROUP BY l_partkey
+        |HAVING SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e4)
+        |               AS DECIMAL(38,0))) * 1000 >
+        |  (SELECT SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e4)
+        |                  AS DECIMAL(38,0)))
+        |   FROM j26b_lineitem
+        |   JOIN j26b_supplier ON l_suppkey = s_suppkey
+        |   JOIN j26b_nation   ON s_nationkey = n_nationkey
+        |   WHERE n_name = 'NATION_3')""".stripMargin)
+    }
+
+    def vA2(s: SparkSession): DataFrame = {
+      val o = QShared.bucketedFact(s, dir, "orders", "o_custkey", nB)
+      val custs = o.groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          (QShared.gridSum(col("o_totalprice")).cast("double") /
+            count(lit(1))).as("avg_price"))
+      val prices = o.groupBy(col("o_orderstatus"))
+        .agg(sum_distinct(col("o_totalprice").cast(QShared.dec)).cast("double")
+          .as("sum_distinct_price"))
+      custs.join(prices, Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("n_cust"),
+          col("sum_distinct_price"), col("avg_price"))
+    }
+
+    def vW5(s: SparkSession): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val days = QShared.bucketedFact(s, dir, "orders", "o_custkey", nB)
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("dt"))
+        .distinct()
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("dt").asc_nulls_first)
+      days
+        .withColumn("grp", date_sub(col("dt"), row_number().over(w)))
+        .groupBy(col("o_custkey"), col("grp"))
+        .agg(min(col("dt")).cast("string").as("island_start"),
+          max(col("dt")).cast("string").as("island_end"),
+          count(lit(1)).as("n_days"))
+        .drop("grp")
+    }
+
     val pairs: Seq[(String, (SparkSession, String) => DataFrame, SparkSession => DataFrame)] = Seq(
-      ("a19_association_rules", SparkEntry.queries("a19_association_rules"), vA19),
-      ("j29_q2_min_supplier", SparkEntry.queries("j29_q2_min_supplier"), vJ29),
-      ("j16_q21_shape", SparkEntry.queries("j16_q21_shape"), vJ16),
-      ("a18_constraint_check", SparkEntry.queries("a18_constraint_check"), vA18))
+      ("j26_q11_important_parts", SparkEntry.queries("j26_q11_important_parts"), vJ26),
+      ("a2_distinct_agg", SparkEntry.queries("a2_distinct_agg"), vA2),
+      ("w5_gaps_islands", SparkEntry.queries("w5_gaps_islands"), vW5))
 
     def time(f: => DataFrame): Double = {
       val t0 = System.nanoTime()

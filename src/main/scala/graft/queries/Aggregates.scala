@@ -651,7 +651,15 @@ object Aggregates extends QGroup {
     // both engines where SUM would render NULL (EmptyInputSpec).
     QDef("a18_constraint_check",
       (s, dir) => {
-        val li = Tables(s, dir, "lineitem")
+        // r10: the audit reads the SHARED orderkey-bucketed layout —
+        // the row-level conditional scan is indifferent to it, but the
+        // (l_orderkey, l_linenumber) uniqueness aggregation is
+        // satisfied by HashPartitioning(l_orderkey) (clustering on a
+        // key subset) and the RI anti-join merges against the bucketed
+        // orders layout, so the r9-named "three keyed stages" floor
+        // loses its two exchanges. A/B at sf0.1 (interleaved,
+        // identical rows): 0.59 → 0.27 s.
+        val li = QShared.bucketedFact(s, dir, "lineitem", "l_orderkey")
         val rowLevel = li.agg(
           count(when(col("l_returnflag").isNull, 1)).as("v1"),
           count(when(not(col("l_quantity").between(1, 50)), 1)).as("v2"),
@@ -671,7 +679,8 @@ object Aggregates extends QGroup {
             .as("violations"))
           .select(lit("unique_order_line").as("rule"), col("violations"))
         val fk = li.join(
-            Tables(s, dir, "orders").select(col("o_orderkey")),
+            QShared.bucketedFact(s, dir, "orders", "o_orderkey")
+              .select(col("o_orderkey")),
             col("l_orderkey") === col("o_orderkey"), "left_anti")
           .agg(count(lit(1)).as("violations"))
           .select(lit("fk_order_exists").as("rule"), col("violations"))

@@ -147,6 +147,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"two-outer-column NOT EXISTS must decorrelate even without broadcasts:\n$p")
+    // r10: the orderkey-keyed sides read the shared bucket layouts —
+    // none of the l1/l2/l3/orders references re-exchanges on orderkey
+    assert(p.contains("Bucketed: true"), s"layout scans expected:\n$p")
+    assert("Exchange hashpartitioning\\([lo]_orderkey".r.findAllIn(p).size == 0,
+      s"orderkey work must ride the layouts:\n$p")
     // semi, supplier, orders, anti: every exchange is on a join/agg key
     // and the anti join REUSES the l_orderkey partitioning of the inner
     // join (no exchange between them); 8 is today's decorrelated shape,
@@ -325,6 +330,19 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
       p.contains("Exchange hashpartitioning(o_orderpriority"),
       s"the semi-join itself must not exchange:\n$p")
+  }
+
+  test("a18: the uniqueness aggregation and RI anti-join ride the bucket " +
+      "layout — no keyed exchange anywhere in the audit") {
+    val p = planOf("a18_constraint_check")
+    // HashPartitioning(l_orderkey) from the layout satisfies the
+    // compound (l_orderkey, l_linenumber) clustering; the anti-join
+    // merges (or broadcasts) against the bucketed orders — either way
+    // no hash exchange may appear (global aggregates use
+    // SinglePartition exchanges, which are not hash exchanges)
+    assert(p.contains("Bucketed: true"), s"layout scan expected:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 0,
+      s"the audit must not re-exchange the fact:\n$p")
   }
 
   test("a2: two distinct aggregates never plan the multi-distinct Expand") {
