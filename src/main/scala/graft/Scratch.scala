@@ -195,10 +195,239 @@ object Scratch {
         .drop("grp")
     }
 
+    // probe set 4: the custkey-window family on the custkey layout
+    def custOrders(s: SparkSession) =
+      QShared.bucketedFact(s, dir, "orders", "o_custkey", nB)
+
+    def vW2(s: SparkSession): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      custOrders(s).select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(wFull).as("last_price"))
+    }
+
+    def vW2b(s: SparkSession): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      custOrders(s)
+        .withColumn("sparse_price",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice")))
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          last(col("sparse_price"), ignoreNulls = true).over(wRun).as("filled_price"),
+          first(col("sparse_price"), ignoreNulls = true).over(wRun).as("first_seen"))
+    }
+
+    def vW3(s: SparkSession): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      custOrders(s).select(
+        col("o_custkey"), col("o_orderkey"),
+        QShared.gridSumOver(col("o_totalprice"), w).cast("double").as("running_spent"),
+        count(lit(1)).over(w).as("running_n"))
+    }
+
+    def vW4(s: SparkSession): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_first)
+      custOrders(s)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+    }
+
+    // probe set 5: the user_id events family on a user_id-bucketed
+    // events projection (ts stored as BIGINT nanos via Tables)
+    def uidEvents(s: SparkSession) =
+      QShared.bucketedFact(s, dir, "events", "user_id", nB)
+
+    def vG2(s: SparkSession): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val gapNs = 1800000000000L
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus").asc_nulls_first, col("event_id").asc_nulls_first)
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      uidEvents(s)
+        .withColumn("tus", expr("ts div 1000"))
+        .withColumn("prev_ts", lag(col("tus"), 1).over(wOrd))
+        .withColumn("brk",
+          when(col("prev_ts").isNull || col("tus") - col("prev_ts") >= gapNs / 1000, 1)
+            .otherwise(0))
+        .withColumn("sess", sum(col("brk")).over(wRun))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("n"),
+          min(col("tus")).as("start_us"),
+          max(col("tus")).as("end_us"),
+          QShared.gridSum(col("value")).cast("double").as("sum_value"))
+    }
+
+    def vG8(s: SparkSession): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus").asc_nulls_first, col("event_id").asc_nulls_first)
+      uidEvents(s)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), col("value"),
+          expr("ts div 1000").as("tus"))
+        .withColumn("valid_to_us", lead(col("tus"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("tus").as("valid_from_us"), col("valid_to_us"),
+          when(col("valid_to_us").isNull, 1).otherwise(0).as("is_current"))
+    }
+
+    def vG9(s: SparkSession): DataFrame = {
+      val ev = uidEvents(s)
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+      def stage(of: DataFrame, evType: String): DataFrame = {
+        val bound = of.withColumnRenamed("stage_ts", "prev_ts")
+        ev.filter(col("event_type") === evType)
+          .join(bound, "user_id")
+          .filter(col("tus") > col("prev_ts"))
+          .groupBy(col("user_id")).agg(min(col("tus")).as("stage_ts"))
+      }
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("tus")).as("stage_ts"))
+      val s2 = stage(s1, "view")
+      val s3 = stage(s2, "purchase")
+      s1.agg(count(lit(1)).as("n_users")).select(lit("1_signup").as("stage"), col("n_users"))
+        .unionByName(s2.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_view_after_signup").as("stage"), col("n_users")))
+        .unionByName(s3.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase_after_view").as("stage"), col("n_users")))
+    }
+
+    def vG10(s: SparkSession): DataFrame = {
+      val dayUs = 86400000000L
+      val active = uidEvents(s)
+        .select(col("user_id"), expr(s"(ts div 1000) div $dayUs").as("day"))
+        .distinct()
+      val cohort = active.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      active.join(cohort, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }
+
+    def vG13(s: SparkSession): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = when(col("user_id") % 5 === 0, 1800000000L)
+        .otherwise(600000000L)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus").asc_nulls_first, col("event_id").asc_nulls_first)
+      val run = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus").asc_nulls_first, col("event_id").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      uidEvents(s)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("tus"))
+        .withColumn("gap_us", gapUs)
+        .withColumn("new_s",
+          when(lag(col("tus"), 1).over(w).isNull, 1L)
+            .when(col("tus") >=
+              lag(col("tus"), 1).over(w) + lag(col("gap_us"), 1).over(w), 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("tus")).as("session_start_us"),
+          max(col("tus")).as("session_end_us"),
+          count(lit(1)).as("n_events"))
+    }
+
+    def vU2(s: SparkSession): DataFrame = {
+      val med = udaf(graft.functions.MedianAggregator)
+      uidEvents(s)
+        .groupBy(col("user_id"))
+        .agg(med(col("value")).as("median_value"), count(lit(1)).as("n"))
+    }
+
+    // probe set 6: custkey customer⋈orders joins (j3/j3b/j18), the
+    // orderkey join-back (j13), and the remaining user_id events scans
+    // (g7, t3, t3b). Shipped side = current QDef (plain scan).
+    def vJ3(s: SparkSession): DataFrame =
+      Tables(s, dir, "customer")
+        .join(custOrders(s), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          QShared.gridSum(col("o_totalprice")).cast("double").as("total_spent"))
+
+    def vJ3b(s: SparkSession): DataFrame = {
+      val rich = Tables(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k"), col("c_acctbal"))
+      val big = custOrders(s).filter(col("o_totalprice") > 50000)
+        .groupBy(col("o_custkey").as("k2"))
+        .agg(count(lit(1)).as("n_big"))
+      rich.join(big, col("k") === col("k2"), "full_outer")
+        .select(coalesce(col("k"), col("k2")).as("custkey"),
+          col("c_acctbal"), col("n_big"))
+    }
+
+    def vJ18(s: SparkSession): DataFrame = {
+      val perCust = Tables(s, dir, "customer")
+        .join(custOrders(s).filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }
+
+    def vJ13(s: SparkSession): DataFrame = {
+      val bigOrders = QShared.bucketedFact(s, dir, "lineitem", "l_orderkey", nB)
+        .groupBy(col("l_orderkey"))
+        .agg(QShared.gridSum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      QShared.bucketedFact(s, dir, "orders", "o_orderkey", nB)
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("date").cast("string").as("o_day"),
+          col("sum_qty").cast("double").as("sum_qty"))
+    }
+
+    def vG7(s: SparkSession): DataFrame = {
+      val dayUs = 86400000000L
+      val obs = uidEvents(s)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("tus"), col("value"))
+        .groupBy(col("user_id"), col("tus")).agg(max(col("value")).as("value"))
+      val grid = obs.groupBy(col("user_id"))
+        .agg(expr(s"min(tus) div $dayUs").as("dlo"),
+          expr(s"max(tus) div $dayUs").as("dhi"))
+        .select(col("user_id"), explode(sequence(col("dlo"), col("dhi"))).as("day"))
+        .withColumn("tus", col("day") * dayUs)
+      operators.AsOfJoin.asOf(grid, obs, key = "user_id", ts = "tus",
+          rightPayload = Seq("value"), tieCols = Seq("day"))
+        .select(col("user_id"), col("day"), col("r_value").as("value"))
+    }
+
+    def vT3(s: SparkSession): DataFrame =
+      uidEvents(s).select(col("user_id"), col("event_type")).distinct()
+
+    def vT3b(s: SparkSession): DataFrame =
+      uidEvents(s)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("event_id")).as("keep_event_id"), count(lit(1)).as("n_dups"))
+
     val pairs: Seq[(String, (SparkSession, String) => DataFrame, SparkSession => DataFrame)] = Seq(
-      ("j26_q11_important_parts", SparkEntry.queries("j26_q11_important_parts"), vJ26),
-      ("a2_distinct_agg", SparkEntry.queries("a2_distinct_agg"), vA2),
-      ("w5_gaps_islands", SparkEntry.queries("w5_gaps_islands"), vW5))
+      ("j3_left_outer_join", SparkEntry.queries("j3_left_outer_join"), vJ3),
+      ("j3b_full_outer_join", SparkEntry.queries("j3b_full_outer_join"), vJ3b),
+      ("j18_q13_custdist", SparkEntry.queries("j18_q13_custdist"), vJ18),
+      ("j13_q18_shape", SparkEntry.queries("j13_q18_shape"), vJ13),
+      ("g7_resample_locf", SparkEntry.queries("g7_resample_locf"), vG7),
+      ("t3_distinct", SparkEntry.queries("t3_distinct"), vT3),
+      ("t3b_dedup_keep_first", SparkEntry.queries("t3b_dedup_keep_first"), vT3b))
 
     def time(f: => DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -70,7 +70,14 @@ object EventsTime extends QGroup {
         val wOrd = Window.partitionBy(col("user_id"))
           .orderBy(col("tus").asc_nulls_first, col("event_id").asc_nulls_first)
         val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables(s, dir, "events")
+        // r10: rides the user_id-bucketed events projection (ts stored
+        // as BIGINT nanos via Tables' nanosAsLong read) — the session
+        // window and the (user_id, sess) aggregation both ride
+        // HashPartitioning(user_id): zero exchanges. A/B at sf0.1
+        // (interleaved, identical rows): 0.25 -> 0.13 s. Same layout
+        // serves g8/g13/u2; g9/g10 measured neutral on it (recorded in
+        // BASELINE.md r10) and keep the plain scan.
+        QShared.bucketedFact(s, dir, "events", "user_id")
           .withColumn("tus", expr("ts div 1000"))
           .withColumn("prev_ts", lag(col("tus"), 1).over(wOrd))
           .withColumn("brk",
@@ -152,7 +159,7 @@ object EventsTime extends QGroup {
       (s, dir) => {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("tus").asc_nulls_first, col("event_id").asc_nulls_first)
-        Tables(s, dir, "events")
+        QShared.bucketedFact(s, dir, "events", "user_id") // see g2
           .filter(col("event_type") === "signup")
           .select(col("user_id"), col("event_id"), col("value"),
             expr("ts div 1000").as("tus"))
@@ -335,7 +342,7 @@ object EventsTime extends QGroup {
         val run = Window.partitionBy(col("user_id"))
           .orderBy(col("tus").asc_nulls_first, col("event_id").asc_nulls_first)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables(s, dir, "events")
+        QShared.bucketedFact(s, dir, "events", "user_id") // see g2
           .select(col("event_id"), col("user_id"),
             expr("ts div 1000").as("tus"))
           .withColumn("gap_us", gapUs)

@@ -219,10 +219,12 @@ class PlanSpec extends SparkSpec {
       "scalar projection must sit inside a codegen span")
   }
 
-  test("w5: gaps-and-islands runs on ONE exchange (distinct + window + agg share it)") {
+  test("w5: gaps-and-islands runs on ZERO exchanges — distinct, window, " +
+      "and island agg all ride the custkey layout") {
     val p = planOf("w5_gaps_islands")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
-      s"single custkey exchange expected:\n$p")
+    assert(p.contains("Bucketed: true"), s"custkey layout scan expected:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 0,
+      s"the r9 single-exchange shape is now exchange-FREE:\n$p")
     assert(p.contains("Window"), p)
   }
 
