@@ -126,7 +126,11 @@ object EventsTime extends QGroup {
     QDef("g7_resample_locf",
       (s, dir) => {
         val dayUs = 86400000000L
-        val obs = Tables(s, dir, "events")
+        // r10: the observation collapse and the grid derivation both
+        // ride the user_id events layout (see g2); the as-of union
+        // itself still exchanges once (union output partitioning is
+        // unknown to Catalyst). A/B at sf0.1: 0.24 → 0.20 s.
+        val obs = QShared.bucketedFact(s, dir, "events", "user_id")
           .filter(col("event_type") === "purchase")
           .select(col("user_id"), expr("ts div 1000").as("tus"), col("value"))
           .groupBy(col("user_id"), col("tus")).agg(max(col("value")).as("value"))

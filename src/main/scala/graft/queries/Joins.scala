@@ -293,11 +293,18 @@ object Joins extends QGroup {
     // broadcast statically but the filtered order set is tiny).
     QDef("j13_q18_shape",
       (s, dir) => {
-        val bigOrders = Tables(s, dir, "lineitem")
+        // r10: both fact references ride the shared orderkey layouts —
+        // the lineitem aggregation and the orders join-back merge on
+        // HashPartitioning(orderkey) with no fact exchange. A/B at
+        // sf0.1 (interleaved, identical rows): 0.31 → 0.25 s. The
+        // custkey customer-join family (j3/j3b/j18) measured NEUTRAL
+        // on the custkey layout (those joins already broadcast the
+        // small side — no exchange to remove) and keeps plain scans.
+        val bigOrders = QShared.bucketedFact(s, dir, "lineitem", "l_orderkey")
           .groupBy(col("l_orderkey"))
           .agg(QShared.gridSum(col("l_quantity")).as("sum_qty"))
           .filter(col("sum_qty") > 250)
-        Tables(s, dir, "orders")
+        QShared.bucketedFact(s, dir, "orders", "o_orderkey")
           .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
           .join(Tables(s, dir, "customer"),
             col("o_custkey") === col("c_custkey"))

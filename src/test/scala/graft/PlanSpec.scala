@@ -228,11 +228,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
-  test("j13: Q18 shape aggregates the fact before any join") {
+  test("j13: Q18 shape aggregates the fact exchange-free on the orderkey layout") {
     val p = planOf("j13_q18_shape")
-    // the lineitem agg's exchange precedes the joins; the pruned agg and
-    // customer sides broadcast at this scale
-    assert(p.contains("Exchange hashpartitioning(l_orderkey"), p)
+    // r10: the lineitem agg rides the bucketed layout — the fact is
+    // never re-exchanged on its own key; the pruned agg and customer
+    // sides broadcast at this scale
+    assert(p.contains("Bucketed: true"), p)
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"the r9 fact exchange should be subsumed by the layout:\n$p")
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
