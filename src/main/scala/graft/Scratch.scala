@@ -420,14 +420,56 @@ object Scratch {
         .groupBy(col("user_id"), col("event_type"))
         .agg(min(col("event_id")).as("keep_event_id"), count(lit(1)).as("n_dups"))
 
+    // probe set 7: SORTED layouts — the in-bucket sort extended past
+    // the key so windows ride with no exchange AND no sort. a14 on a
+    // returnflag layout sorted by (flag, extendedprice); w2 on the
+    // custkey layout re-sorted by (custkey, orderdate, orderkey)
+    // (shipped w2 already rides the key-sorted layout, so this A/B
+    // isolates the SORT elimination alone).
+    def vA14(s: SparkSession): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val wf = Window.partitionBy(col("l_returnflag"))
+      val wPrice = wf.orderBy(col("l_extendedprice").asc)
+      val mid = (c: org.apache.spark.sql.Column) =>
+        c === expr("(n + 1) div 2") || c === expr("(n + 2) div 2")
+      val ranked = QShared.bucketedFact(s, dir, "lineitem", "l_returnflag",
+          nB, Seq("l_extendedprice"))
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          row_number().over(wPrice).as("rn"),
+          count(lit(1)).over(wf).as("n"))
+      val withMed = ranked.withColumn("med",
+        avg(when(mid(col("rn")), col("l_extendedprice"))).over(wf))
+      val wDev = wf.orderBy(col("dev").asc)
+      withMed
+        .select(col("l_returnflag"), col("med"), col("n"),
+          abs(col("l_extendedprice") - col("med")).as("dev"))
+        .withColumn("rn2", row_number().over(wDev))
+        .filter(mid(col("rn2")))
+        .groupBy(col("l_returnflag"))
+        .agg(round(max(col("med")), 6).as("med"),
+          round(avg(col("dev")), 6).as("mad"),
+          max(col("n")).as("n"))
+        .select(col("l_returnflag"), col("med"), col("mad"), col("n"))
+    }
+
+    def vW2sorted(s: SparkSession): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      QShared.bucketedFact(s, dir, "orders", "o_custkey", nB,
+          Seq("o_orderdate", "o_orderkey")).select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(wFull).as("last_price"))
+    }
+
     val pairs: Seq[(String, (SparkSession, String) => DataFrame, SparkSession => DataFrame)] = Seq(
-      ("j3_left_outer_join", SparkEntry.queries("j3_left_outer_join"), vJ3),
-      ("j3b_full_outer_join", SparkEntry.queries("j3b_full_outer_join"), vJ3b),
-      ("j18_q13_custdist", SparkEntry.queries("j18_q13_custdist"), vJ18),
-      ("j13_q18_shape", SparkEntry.queries("j13_q18_shape"), vJ13),
-      ("g7_resample_locf", SparkEntry.queries("g7_resample_locf"), vG7),
-      ("t3_distinct", SparkEntry.queries("t3_distinct"), vT3),
-      ("t3b_dedup_keep_first", SparkEntry.queries("t3b_dedup_keep_first"), vT3b))
+      ("a14_mad", SparkEntry.queries("a14_mad"), vA14),
+      ("w2_analytic_window", SparkEntry.queries("w2_analytic_window"), vW2sorted))
 
     def time(f: => DataFrame): Double = {
       val t0 = System.nanoTime()

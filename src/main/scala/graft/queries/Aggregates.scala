@@ -38,7 +38,7 @@ object Aggregates extends QGroup {
         // sum_distinct branch keys on (status, price) and still
         // exchanges — that half is the remaining cost). A/B at sf0.1:
         // 0.42 → 0.33 s, identical rows.
-        val o = QShared.bucketedFact(s, dir, "orders", "o_custkey")
+        val o = QShared.ordersByCustkey(s, dir)
         // non-distinct aggregates ride the countDistinct branch free:
         // ONE distinct column set still avoids Expand
         val custs = o.groupBy(col("o_orderstatus"))
@@ -543,24 +543,25 @@ object Aggregates extends QGroup {
     QDef("a14_mad",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        // ONE flag-keyed exchange for the whole thing (r6 stretch item:
-        // was two exchanges + two scans + a broadcast join): the median
-        // is a windowed conditional average over the SAME partitioning
-        // that ranked the prices, so the deviation pass needs only a new
-        // partition-local sort, never a new exchange or a join back.
-        // Scale note (r7): the keyed sort still funnels all rows through
-        // |keys| tasks (here 3) — past the point where that serializes,
-        // the recipe is TWO operators/Percentiles selection passes
+        // r10: ZERO flag-keyed exchanges AND zero price sorts — the scan
+        // is a returnflag-bucketed layout SORTED BY (flag, extendedprice)
+        // (QShared.bucketedFact sortCols), so the ranking window rides
+        // the layout's partitioning + ordering outright; only the
+        // deviation pass still sorts (dev is computed). A/B at sf0.1
+        // (interleaved, identical rows): 0.81 → 0.42 s — the r9-named
+        // "3-task keyed sort funnel" floor beaten by the sorted
+        // projection every warehouse maintains for its hot sort orders.
+        // Scale note (r7, still true): the per-flag eval funnels through
+        // |keys| tasks — past the point where that serializes, the
+        // recipe is TWO operators/Percentiles selection passes
         // (p50 of price, then p50 of |price − med| with med broadcast):
         // bounded exchanges, full parallelism, same R-7 midpoint values.
-        // At sf0.1 the one-exchange form stays: a10's one selection pass
-        // measured time-neutral vs its buffering aggregate there, and
-        // a14 would need two such passes for one exchange saved.
         val wf = Window.partitionBy(col("l_returnflag"))
         val wPrice = wf.orderBy(col("l_extendedprice").asc)
         val mid = (c: org.apache.spark.sql.Column) =>
           c === expr("(n + 1) div 2") || c === expr("(n + 2) div 2")
-        val ranked = Tables(s, dir, "lineitem")
+        val ranked = QShared.bucketedFact(s, dir, "lineitem", "l_returnflag",
+            sortCols = Seq("l_extendedprice"))
           .select(col("l_returnflag"), col("l_extendedprice"),
             row_number().over(wPrice).as("rn"),
             count(lit(1)).over(wf).as("n"))

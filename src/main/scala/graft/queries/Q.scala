@@ -164,17 +164,24 @@ object QShared {
     * the read side trusts the layout's sortBy order. */
   def bucketedFact(
       s: SparkSession, dir: String, name: String, keyCol: String,
-      nBuckets: Int = 8): DataFrame = {
+      nBuckets: Int = 8, sortCols: Seq[String] = Nil): DataFrame = {
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     // the path MUST be keyed by the bucket column, not just the table:
     // two layouts of the same table on different keys are different
     // data arrangements, and re-registering one as the other would be
     // silently WRONG (same-key rows would no longer be co-located —
     // caught live by the r10 j29 probe, whose partkey request picked
-    // up the orderkey files before this keyed the path)
-    val table = s"graft_bkt_${name}_${keyCol}_b${nBuckets}_" +
+    // up the orderkey files before this keyed the path).
+    // sortCols extends the in-bucket sort past the key (the SORTED-BY
+    // projection story: a window over (keyCol ORDER BY sortCols) rides
+    // the layout with no exchange AND no sort) — a different sort
+    // signature is a different physical arrangement, so it is part of
+    // the layout identity too.
+    val allSort = keyCol +: sortCols
+    val sortSig = if (sortCols.isEmpty) "" else "_s" + sortCols.mkString("_")
+    val table = s"graft_bkt_${name}_${keyCol}_b${nBuckets}${sortSig}_" +
       Integer.toHexString(dir.hashCode)
-    val path = sink(dir, s"bucketed_${name}_${keyCol}_$nBuckets")
+    val path = sink(dir, s"bucketed_${name}_${keyCol}_$nBuckets$sortSig")
     val src = new java.io.File(s"$dir/$name.parquet")
     val marker = new java.io.File(path, "_SUCCESS")
     s.sql(s"DROP TABLE IF EXISTS $table")
@@ -182,8 +189,8 @@ object QShared {
         marker.lastModified() >= src.lastModified()) {
       val ddl = graft.Tables(s, dir, name).schema.toDDL
       s.sql(s"CREATE TABLE $table ($ddl) USING parquet " +
-        s"CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $nBuckets BUCKETS " +
-        s"LOCATION '$path'")
+        s"CLUSTERED BY ($keyCol) SORTED BY (${allSort.mkString(", ")}) " +
+        s"INTO $nBuckets BUCKETS LOCATION '$path'")
     } else
       graft.Tables(s, dir, name)
         // one writer task per bucket -> ONE file per bucket, so the
@@ -191,7 +198,7 @@ object QShared {
         // files per bucket keep bucketing but need a local sort)
         .repartition(nBuckets, col(keyCol))
         .write.mode("overwrite")
-        .bucketBy(nBuckets, keyCol).sortBy(keyCol)
+        .bucketBy(nBuckets, keyCol).sortBy(allSort.head, allSort.tail: _*)
         .option("path", path)
         .saveAsTable(table)
     val out = s.table(table)
@@ -199,6 +206,17 @@ object QShared {
     s.sql(s"DROP TABLE IF EXISTS $table")
     out
   }
+
+  /** The ONE shared custkey orders projection (layout identity includes
+    * the sort signature — every rider must use the same call or it gets
+    * a second physical copy): sorted by (custkey, orderdate, orderkey)
+    * so the w2/w2b/w3 analytic windows ride with no exchange AND no
+    * sort; order-insensitive riders (a2, w4, w5) read the same layout
+    * and re-sort locally where their ORDER BY differs (A/B: the extra
+    * sort columns cost them nothing). */
+  def ordersByCustkey(s: SparkSession, dir: String): DataFrame =
+    bucketedFact(s, dir, "orders", "o_custkey",
+      sortCols = Seq("o_orderdate", "o_orderkey"))
 
   /** Small driver-side statistics cache (the catalog's ANALYZE-stats
     * analog): column bounds and similar tiny stat results keyed by

@@ -228,6 +228,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("w2: analytic windows ride the SORTED custkey layout — no exchange, no sort") {
+    val p = planOf("w2_analytic_window")
+    assert(p.contains("Bucketed: true"), s"custkey layout scan expected:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Sort ["),
+      s"the layout's (custkey, orderdate, orderkey) order must satisfy the window:\n$p")
+  }
+
+  test("a14: MAD rides the sorted returnflag layout — no exchange, only the dev sort") {
+    val p = planOf("a14_mad")
+    assert(p.contains("Bucketed: true"), s"returnflag layout scan expected:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(l_returnflag"), p)
+    val sorts = "Sort \\[".r.findAllIn(p).size
+    assert(sorts == 1,
+      s"only the computed-dev sort may remain (got $sorts):\n$p")
+  }
+
   test("j13: Q18 shape aggregates the fact exchange-free on the orderkey layout") {
     val p = planOf("j13_q18_shape")
     // r10: the lineitem agg rides the bucketed layout — the fact is
