@@ -467,9 +467,59 @@ object Scratch {
         last(col("o_totalprice")).over(wFull).as("last_price"))
     }
 
+    // probe set 8: w1 on the existing orderkey layout (exchange only —
+    // its ORDER BY is price, not the layout sort); w1b on a NEW
+    // status-sorted orders layout (exchange + sort); j22 with the rev
+    // CTE lazily checkpointed (it is referenced twice: the supplier
+    // join and the scalar MAX — the l11 reused-subtree precedent).
+    def vW1(s: SparkSession): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_extendedprice").desc_nulls_last, col("l_linenumber").asc_nulls_first)
+      QShared.bucketedFact(s, dir, "lineitem", "l_orderkey", nB)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"))
+    }
+
+    def vW1b(s: SparkSession): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+      QShared.bucketedFact(s, dir, "orders", "o_orderstatus", nB,
+          Seq("o_totalprice", "o_orderkey")).select(
+        col("o_orderstatus"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+    }
+
+    def vJ22(s: SparkSession): DataFrame = {
+      val rev = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(38,6)")).as("total_rev"))
+        .localCheckpoint(false)
+      val mx = rev.agg(max(col("total_rev")).as("mx"))
+      Tables(s, dir, "supplier")
+        .join(rev, col("s_suppkey") === col("supplier_no"))
+        .join(broadcast(mx), col("total_rev") === col("mx"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_revenue"))
+    }
+
+    // probe set 9: l40b two-phase apply — A = the r9 inline form
+    // (find recomputed inside apply), B = the shipped QDef riding the
+    // persisted id-bucketed span sidecar (Lee et al.'s disk hand-off).
     val pairs: Seq[(String, (SparkSession, String) => DataFrame, SparkSession => DataFrame)] = Seq(
-      ("a14_mad", SparkEntry.queries("a14_mad"), vA14),
-      ("w2_analytic_window", SparkEntry.queries("w2_analytic_window"), vW2sorted))
+      ("l40b_span_removal",
+        (s, d) => graft.operators.Dedup.removeDuplicateSpans(
+            Tables(s, d, "documents"), "doc_id", "text", n = 4)
+          .withColumnRenamed("id", "doc_id"),
+        s => SparkEntry.queries("l40b_span_removal")(s, dir)))
 
     def time(f: => DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -836,13 +836,23 @@ object Dedup {
     * doc-keyed hash operations on ONE key, no per-doc loops, no
     * quadratic anything.
     *
+    * Caller-supplied `spans` is the paper's TWO-PHASE production shape
+    * (the find phase persists the span table to disk; apply reads it —
+    * the l40b QDef persists an mtime-guarded id-bucketed sidecar).
+    * SOUNDNESS CONTRACT (the prebuilt-history-bloom rule): the frame
+    * must be exactly [[exactSubstringSpans]](df, idCol, textCol, n)
+    * for THIS df and n. A stale or subset span table silently leaves
+    * duplicated runs in the output — WRONG results, not slow ones;
+    * equivalence and the subset divergence are pinned in OperatorsSpec.
+    *
     * Output: (id, clean_text, n_kept). */
   def removeDuplicateSpans(
-      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      spans: Option[DataFrame] = None): DataFrame = {
     graft.GraftFunctions.ensureRegistered(df.sparkSession)
     // spans are maximal and disjoint per doc -> their token indices are
     // exactly the covered set, no dedup required
-    val covered = exactSubstringSpans(df, idCol, textCol, n)
+    val covered = spans.getOrElse(exactSubstringSpans(df, idCol, textCol, n))
       .select(col("id"),
         explode(sequence(col("span_start"), col("span_end"))).as("ti"))
     val toks = df.filter(col(textCol).isNotNull)

@@ -355,6 +355,33 @@ class DedupSpec extends SparkSpec {
     ), s"got $cleaned")
   }
 
+  test("removeDuplicateSpans: caller-supplied span table equals the live " +
+      "path; a stale SUBSET sidecar silently diverges (the soundness contract)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "p q r s t u v w"),
+      (3L, "z0 z1 p q r s t u k"),
+      (4L, "m n o p m n o p"),
+      (5L, "aa bb"), (6L, "aa bb"),
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val spans = operators.Dedup.exactSubstringSpans(docs, "doc_id", "text", n = 4)
+    val live = asMap(operators.Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 4))
+    val pre = asMap(operators.Dedup.removeDuplicateSpans(
+      docs, "doc_id", "text", n = 4, spans = Some(spans)))
+    assert(pre == live, s"precomputed spans must reproduce the live path: $pre vs $live")
+    // the divergence the contract warns about: doc 2's span missing
+    // (a sidecar from before doc 3 arrived) leaves its duplicated run IN
+    val stale = spans.filter(col("id") =!= 2L)
+    val wrong = asMap(operators.Dedup.removeDuplicateSpans(
+      docs, "doc_id", "text", n = 4, spans = Some(stale)))
+    assert(live(2L)._1 == "v w" && wrong(2L)._1 == "p q r s t u v w",
+      s"a subset sidecar must (wrongly) pass doc 2 through: $wrong")
+  }
+
   test("exactSubstringSpans == naive collection reference on random corpora") {
     import spark.implicits._
     // plain-Scala reference: same declared semantics, zero shared code

@@ -245,6 +245,21 @@ class PlanSpec extends SparkSpec {
       s"only the computed-dev sort may remain (got $sorts):\n$p")
   }
 
+  test("w1: ranking window rides the orderkey layout — exchange-free") {
+    val p = planOf("w1_window_rank")
+    assert(p.contains("Bucketed: true"), s"orderkey layout scan expected:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the 600k-row window exchange should be subsumed by the layout:\n$p")
+  }
+
+  test("w1b: distribution window rides the status-SORTED layout — no exchange, no sort") {
+    val p = planOf("w1b_distribution_window")
+    assert(p.contains("Bucketed: true"), s"status layout scan expected:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Sort ["),
+      s"the layout's (status, totalprice, orderkey) order must satisfy the window:\n$p")
+  }
+
   test("j13: Q18 shape aggregates the fact exchange-free on the orderkey layout") {
     val p = planOf("j13_q18_shape")
     // r10: the lineitem agg rides the bucketed layout — the fact is
@@ -471,6 +486,14 @@ class PlanSpec extends SparkSpec {
     // aggregation — nothing below the assignment kernel
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(n == 5, s"expected 5 exchanges (2 cluster + 2 id + 1 agg), got $n:\n$p")
+  }
+
+  test("l40b: apply reads the persisted span sidecar — no gram machinery in the plan") {
+    val p = planOf("l40b_span_removal")
+    assert(p.contains("l40b_spans"),
+      s"the span sidecar scan expected in the apply plan:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(gram"),
+      s"the find phase's gram exchange must not re-run inside apply:\n$p")
   }
 
   test("l40: one gram exchange, one doc exchange carrying islands AND the span agg") {
