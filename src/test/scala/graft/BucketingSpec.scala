@@ -113,6 +113,46 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("bucketedFact layouts with DIFFERENT sort signatures are independent — " +
+      "a sorted request must relayout, never re-register the key-sorted files") {
+    // same rule as the bucket column (and the same failure mode the r10
+    // j29 probe caught for keys): a differently-sorted copy is a
+    // different physical arrangement. Re-registering the key-sorted
+    // files as (key, totalprice)-sorted would make the read side TRUST
+    // an ordering the files don't have — windows would silently compute
+    // over mis-sorted partitions.
+    import org.apache.spark.sql.expressions.Window
+    import graft.queries.QShared
+    val keySorted = QShared.bucketedFact(spark, testdataRoot, "orders", "o_orderstatus")
+    val priceSorted = QShared.bucketedFact(spark, testdataRoot, "orders",
+      "o_orderstatus", sortCols = Seq("o_totalprice", "o_orderkey"))
+    val mKey = new java.io.File(
+      QShared.sink(testdataRoot, "bucketed_orders_o_orderstatus_8"), "_SUCCESS")
+    val mPrice = new java.io.File(
+      QShared.sink(testdataRoot,
+        "bucketed_orders_o_orderstatus_8_so_totalprice_o_orderkey"), "_SUCCESS")
+    assert(mKey.exists() && mPrice.exists(),
+      "each sort signature owns its own layout dir")
+    // behavioral check: the price-sorted layout satisfies the window's
+    // ORDER BY (no Sort in the plan); the key-sorted one must NOT claim
+    // to (a Sort is planned) — same data, different physical contract
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.select(col("o_orderstatus"), row_number().over(w).as("rn"))
+        .queryExecution.executedPlan.toString
+    assert(!planOf(priceSorted).contains("Sort ["),
+      "the price-sorted layout must satisfy the window ordering")
+    assert(planOf(keySorted).contains("Sort ["),
+      "the key-sorted layout must NOT claim the price ordering")
+    // and both produce identical rows to the plain parquet
+    val plain = spark.read.parquet(s"$testdataRoot/orders.parquet")
+      .select(col("o_orderkey")).orderBy(col("o_orderkey")).collect().toSeq
+    for (df <- Seq(keySorted, priceSorted))
+      assert(df.select(col("o_orderkey")).orderBy(col("o_orderkey"))
+        .collect().toSeq == plain, "layout lost or duplicated rows")
+  }
+
   test("aggregation on the bucket key is exchange-free") {
     ParquetIO.writeBucketed(spark.read.parquet(sf("orders")),
       "orders_b2", buckets = 8, keys = Seq("o_custkey"))
