@@ -113,6 +113,28 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("l40b's span-sidecar guard: reuses fresh spans, rebuilds on newer source") {
+    // the two-phase apply (find -> disk -> apply) is only sound while
+    // the sidecar matches the corpus snapshot; same drive-it-three-times
+    // shape as the s12 guard test above
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.queries.QShared
+    val dir = tmpDir("graft-l40b-guard")
+    Files.copy(Paths.get(s"$testdataRoot/documents.parquet"),
+      Paths.get(s"$dir/documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    def run(): Long = SparkEntry.queries("l40b_span_removal")(spark, dir).count()
+    val marker = new java.io.File(QShared.sink(dir, "l40b_spans"), "_SUCCESS")
+
+    assert(run() > 0 && marker.exists())
+    val m1 = marker.lastModified()
+    assert(run() > 0)
+    assert(marker.lastModified() == m1, "fresh sidecar must be reused, not rewritten")
+    val src = new java.io.File(s"$dir/documents.parquet")
+    assert(src.setLastModified(m1 + 60000), "test needs a touchable source")
+    assert(run() > 0)
+    assert(marker.lastModified() > m1, "newer corpus must force a sidecar rebuild")
+  }
+
   test("bucketedFact layouts with DIFFERENT sort signatures are independent — " +
       "a sorted request must relayout, never re-register the key-sorted files") {
     // same rule as the bucket column (and the same failure mode the r10
