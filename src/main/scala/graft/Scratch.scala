@@ -511,15 +511,36 @@ object Scratch {
           col("total_rev").cast("double").as("total_revenue"))
     }
 
-    // probe set 9: l40b two-phase apply — A = the r9 inline form
-    // (find recomputed inside apply), B = the shipped QDef riding the
-    // persisted id-bucketed span sidecar (Lee et al.'s disk hand-off).
+    // probe set 10: l11 on a doc_id-bucketed documents layout with the
+    // explicit repartition dropped — the layout IS the partitioning, so
+    // the token-stream exchange (the r9 floor's "one id-keyed
+    // exchange") disappears; everything downstream rides as before.
+    def vL11(s: SparkSession): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val docs = QShared.bucketedFact(s, dir, "documents", "doc_id", nB)
+      val toks = docs.filter(col("text").isNotNull)
+        .select(col("doc_id").as("id"), explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val nDocs = docs.filter(col("text").isNotNull)
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("tok"),
+          floor(log(col("n_docs").cast("double") / col("df")) * 1e6).as("idfm"))
+      val wLen = Window.partitionBy(col("id"))
+      val wRank = Window.partitionBy(col("id"))
+        .orderBy(col("tfidf_micro").desc_nulls_last, col("tok").asc_nulls_first)
+      tf.join(broadcast(dfreq), Seq("tok"))
+        .withColumn("tfidf_micro",
+          floor(col("c").cast("double") / sum(col("c")).over(wLen) * col("idfm")))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 3)
+        .select(col("id").as("doc_id"), col("tok"), col("rank"), col("tfidf_micro"))
+    }
+
     val pairs: Seq[(String, (SparkSession, String) => DataFrame, SparkSession => DataFrame)] = Seq(
-      ("l40b_span_removal",
-        (s, d) => graft.operators.Dedup.removeDuplicateSpans(
-            Tables(s, d, "documents"), "doc_id", "text", n = 4)
-          .withColumnRenamed("id", "doc_id"),
-        s => SparkEntry.queries("l40b_span_removal")(s, dir)))
+      ("l11_tfidf_topk", SparkEntry.queries("l11_tfidf_topk"), vL11))
 
     def time(f: => DataFrame): Double = {
       val t0 = System.nanoTime()

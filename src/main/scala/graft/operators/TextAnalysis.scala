@@ -241,16 +241,23 @@ object TextAnalysis {
     *
     * Output: (id, tok, rank, tfidf_micro), rank 1..k per doc;
     * tfidf_micro = floor(tf × idf × 1e6) as BIGINT. */
-  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int,
+      repartitionById: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // one exchange on the doc id up front: HashPartitioning(id) satisfies
     // the (id, tok) aggregation's clustering AND both per-doc windows, so
     // neither adds a shuffle (a groupBy(id, tok) straight off the scan
     // would hash-partition by the pair, and the windows would re-exchange
-    // by id)
-    val toks = df.filter(col(textCol).isNotNull)
+    // by id). repartitionById = false is the layout path (l26's
+    // materialize = false precedent): the caller hands in a frame
+    // ALREADY hash-partitioned by the id (an id-bucketed layout) and
+    // even that one exchange disappears — the caller owns the contract
+    // that the partitioning is real (a mis-partitioned input would
+    // split (id, tok) groups and corrupt counts; the l11 oracle gate
+    // recomputes from the live table, so a broken layout fails loudly).
+    val toksFlat = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
-      .repartition(col("id"))
+    val toks = if (repartitionById) toksFlat.repartition(col("id")) else toksFlat
     // LAZY checkpoint: tf feeds BOTH the idf aggregation (broadcast
     // side) and the scored main side — without it the token explosion,
     // id exchange, and (id, tok) aggregation execute twice in the one

@@ -194,8 +194,15 @@ object TextOps extends QGroup {
     // cannot.
     QDef("l11_tfidf_topk",
       (s, dir) =>
+        // r10: reads a doc_id-bucketed documents layout and drops the
+        // explicit repartition (repartitionById = false) — the r9
+        // floor's "one id-keyed exchange" disappears AND the explode
+        // runs spread across the layout's buckets instead of the single
+        // parquet file's few scan splits. Isolated A/B at sf0.1
+        // (interleaved, identical rows): 0.81 → 0.55 s.
         TextAnalysis.tfidfTopK(
-          Tables(s, dir, "documents"), "doc_id", "text", k = 3)
+          QShared.bucketedFact(s, dir, "documents", "doc_id"),
+          "doc_id", "text", k = 3, repartitionById = false)
           .withColumnRenamed("id", "doc_id"),
       Some("""WITH tf AS (
         |  SELECT doc_id, tok, COUNT(*) AS c
