@@ -539,8 +539,63 @@ object Scratch {
         .select(col("id").as("doc_id"), col("tok"), col("rank"), col("tfidf_micro"))
     }
 
+    // probe set 11: g14 regrouped by o_orderdate DIRECTLY on an
+    // orderdate-bucketed layout (di/day derived AFTER the agg) — tests
+    // whether the FLOORS.md "expression-derived key, no layout helps"
+    // reasoning holds by measurement (expectation: neutral — the
+    // partial agg collapses to day grain map-side, so the exchange a
+    // layout would remove is already tiny).
+    def vG14(s: SparkSession): DataFrame = {
+      val o = QShared.bucketedFact(s, dir, "orders", "o_orderdate", nB)
+      val series = o.groupBy(col("o_orderdate"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("cents"))
+        .select(
+          datediff(col("o_orderdate").cast("date"),
+            lit("1992-01-01").cast("date")).as("di"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+          col("cents"))
+      val off = s.range(0, 15).toDF("o")
+      val w = expr("shiftleft(1L, cast(14 - o AS int))")
+      series.select(col("di").as("tdi"), col("day"), col("cents").as("tcents"))
+        .crossJoin(broadcast(off))
+        .join(broadcast(series.select(col("di").as("sdi"), col("cents").as("scents"))),
+          col("tdi") - col("o") === col("sdi"))
+        .groupBy(col("day"), col("tcents"))
+        .agg(sum(col("scents") * w).as("num"), sum(w).as("den"))
+        .select(col("day"), col("tcents").as("cents"),
+          expr("(num * 1000) div den").as("ewma_milli"))
+    }
+
+    // ...and the j22 alternative: series is day-grain tiny (2405 rows)
+    // but referenced twice (both self-join sides) — checkpoint it once
+    // off the PLAIN scan; no third orders layout needed.
+    def vG14ckpt(s: SparkSession): DataFrame = {
+      val series = Tables(s, dir, "orders")
+        .groupBy(
+          datediff(col("o_orderdate").cast("date"),
+            lit("1992-01-01").cast("date")).as("di"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("cents"))
+        .localCheckpoint(false)
+      val off = s.range(0, 15).toDF("o")
+      val w = expr("shiftleft(1L, cast(14 - o AS int))")
+      series.select(col("di").as("tdi"), col("day"), col("cents").as("tcents"))
+        .crossJoin(broadcast(off))
+        .join(broadcast(series.select(col("di").as("sdi"), col("cents").as("scents"))),
+          col("tdi") - col("o") === col("sdi"))
+        .groupBy(col("day"), col("tcents"))
+        .agg(sum(col("scents") * w).as("num"), sum(w).as("den"))
+        .select(col("day"), col("tcents").as("cents"),
+          expr("(num * 1000) div den").as("ewma_milli"))
+    }
+
     val pairs: Seq[(String, (SparkSession, String) => DataFrame, SparkSession => DataFrame)] = Seq(
-      ("l11_tfidf_topk", SparkEntry.queries("l11_tfidf_topk"), vL11))
+      ("g14_ewma_smoothing", SparkEntry.queries("g14_ewma_smoothing"), vG14),
+      ("g14_ckpt", SparkEntry.queries("g14_ewma_smoothing"), vG14ckpt))
 
     def time(f: => DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -299,13 +299,25 @@ object EventsTime extends QGroup {
     // days stays under 2^63 up to ~10^13 cents/day.
     QDef("g14_ewma_smoothing",
       (s, dir) => {
-        val series = Tables(s, dir, "orders")
-          .groupBy(
-            datediff(col("o_orderdate").cast("date"),
-              lit("1992-01-01").cast("date")).as("di"),
-            date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        // r10: group by o_orderdate DIRECTLY on a date-bucketed orders
+        // layout (di/day are 1:1 functions of the date, derived AFTER
+        // the agg — identical rows), so the day-grain collapse rides
+        // HashPartitioning(o_orderdate) and the twice-referenced series
+        // subtree reads the 8-bucket layout instead of the single
+        // parquet file's few scan splits, twice. A/B at sf0.1
+        // (interleaved): 0.48 → 0.38 s; the j22-style checkpoint
+        // alternative measured worse (0.41 — materializing the tiny
+        // series costs more than the second grouped layout scan).
+        // Time-clustered facts are the most natural warehouse layout.
+        val series = QShared.bucketedFact(s, dir, "orders", "o_orderdate")
+          .groupBy(col("o_orderdate"))
           .agg(sum(round(col("o_totalprice") * 100).cast("long")
             .cast(DecimalType(38, 0))).cast("long").as("cents"))
+          .select(
+            datediff(col("o_orderdate").cast("date"),
+              lit("1992-01-01").cast("date")).as("di"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+            col("cents"))
         val off = s.range(0, 15).toDF("o")
         val w = expr("shiftleft(1L, cast(14 - o AS int))")
         series.select(col("di").as("tdi"), col("day"), col("cents").as("tcents"))
