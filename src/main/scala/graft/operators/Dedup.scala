@@ -802,7 +802,12 @@ object Dedup {
   def exactSubstringSpansIncremental(
       batch: DataFrame, historyGramCounts: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
-    val base = gramStream(batch, idCol, textCol, n)
+    // the gram stream feeds BOTH the batch count and the dup join back;
+    // without a cut the scan + native n-gram hashing + repartition run
+    // twice per call (the j22/tfidfTopK reused-subtree precedent). Lazy
+    // localCheckpoint: the count side materializes it, the join side
+    // reads blocks.
+    val base = gramStream(batch, idCol, textCol, n).localCheckpoint(false)
     val bc = base.groupBy(col("gram")).agg(count(lit(1)).as("__bc"))
     val tot = bc.join(
         historyGramCounts.select(col("gram"), col("c").as("__hc")),

@@ -564,21 +564,17 @@ object LlmOps extends QGroup {
         val table = s"graft_l40b_spans_${Integer.toHexString(dir.hashCode)}"
         val path = QShared.sink(dir, "l40b_spans")
         val src = new java.io.File(s"$dir/documents.parquet")
-        val marker = new java.io.File(path, "_SUCCESS")
         def live = graft.operators.Dedup.exactSubstringSpans(
           Tables(s, dir, "documents"), "doc_id", "text", n = 4)
-        s.sql(s"DROP TABLE IF EXISTS $table")
-        if (marker.exists() && src.exists() &&
-            marker.lastModified() >= src.lastModified()) {
-          s.sql(s"CREATE TABLE $table (${live.schema.toDDL}) USING parquet " +
-            s"CLUSTERED BY (id) INTO 8 BUCKETS LOCATION '$path'")
-        } else
+        // wrong-not-slow when stale -> rides QShared.layout's
+        // (mtime, length) version key + per-table/per-path locking
+        val spans = QShared.layout(s, table, path, Seq(src),
+          ddl = live.schema.toDDL,
+          clusterSpec = "CLUSTERED BY (id) INTO 8 BUCKETS") {
           live.repartition(8, col("id"))
             .write.mode("overwrite").bucketBy(8, "id")
             .option("path", path).saveAsTable(table)
-        val spans = s.table(table)
-        spans.queryExecution.analyzed // resolve BEFORE the entry drops
-        s.sql(s"DROP TABLE IF EXISTS $table")
+        }
         graft.operators.Dedup.removeDuplicateSpans(
             Tables(s, dir, "documents"), "doc_id", "text", n = 4,
             spans = Some(spans))
@@ -638,22 +634,18 @@ object LlmOps extends QGroup {
         val table = s"graft_l41_gc_${Integer.toHexString(dir.hashCode)}"
         val path = QShared.sink(dir, "l41_gramcounts")
         val src = new java.io.File(s"$dir/documents.parquet")
-        val marker = new java.io.File(path, "_SUCCESS")
-        s.sql(s"DROP TABLE IF EXISTS $table")
-        if (marker.exists() && src.exists() &&
-            marker.lastModified() >= src.lastModified()) {
-          s.sql(s"CREATE TABLE $table (gram BIGINT, c BIGINT) USING parquet " +
-            s"CLUSTERED BY (gram) INTO 32 BUCKETS LOCATION '$path'")
-        } else {
+        // wrong-not-slow when stale (an undercounting sidecar silently
+        // misses duplicated runs) -> rides QShared.layout's
+        // (mtime, length) version key + per-table/per-path locking
+        val sidecar = QShared.layout(s, table, path, Seq(src),
+          ddl = "gram BIGINT, c BIGINT",
+          clusterSpec = "CLUSTERED BY (gram) INTO 32 BUCKETS") {
           graft.operators.Dedup
             .gramCounts(docs.filter(col("doc_id") < 250), "text", n = 4)
             .repartition(32, col("gram"))
             .write.mode("overwrite").bucketBy(32, "gram")
             .option("path", path).saveAsTable(table)
         }
-        val sidecar = s.table(table)
-        sidecar.queryExecution.analyzed // resolve before the entry drops
-        s.sql(s"DROP TABLE IF EXISTS $table")
         graft.operators.Dedup.exactSubstringSpansIncremental(
             docs.filter(col("doc_id") >= 250), sidecar,
             "doc_id", "text", n = 4)
@@ -1129,8 +1121,8 @@ object LlmOps extends QGroup {
         // 0.9 s lineitem⋈orders + distinct + union derivation was
         // recomputed per execution for a static graph. It now persists
         // ONCE as a dst-BUCKETED table (32 buckets, one file each) and
-        // relayouts only when either source parquet is newer than the
-        // layout's _SUCCESS marker. Bucketing by dst is what the
+        // relayouts only when either source parquet's (mtime, length)
+        // version token changes. Bucketing by dst is what the
         // ITERATIONS want: each PageRank round's only edge-sized
         // exchange is the contribution groupBy(dst), and the bucketed
         // scan's HashPartitioning(dst) satisfies it — so with
@@ -1142,14 +1134,9 @@ object LlmOps extends QGroup {
         val path = QShared.sink(dir, "l26_edges")
         val liSrc = new java.io.File(s"$dir/lineitem.parquet")
         val ordSrc = new java.io.File(s"$dir/orders.parquet")
-        val marker = new java.io.File(path, "_SUCCESS")
-        s.sql(s"DROP TABLE IF EXISTS $table")
-        if (marker.exists() && liSrc.exists() && ordSrc.exists() &&
-            marker.lastModified() >= math.max(
-              liSrc.lastModified(), ordSrc.lastModified())) {
-          s.sql(s"CREATE TABLE $table (src BIGINT, dst BIGINT) USING parquet " +
-            s"CLUSTERED BY (dst) INTO 32 BUCKETS LOCATION '$path'")
-        } else {
+        val edges = QShared.layout(s, table, path, Seq(liSrc, ordSrc),
+          ddl = "src BIGINT, dst BIGINT",
+          clusterSpec = "CLUSTERED BY (dst) INTO 32 BUCKETS") {
           val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
           val ord = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
           val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -1162,13 +1149,8 @@ object LlmOps extends QGroup {
             .write.mode("overwrite").bucketBy(32, "dst")
             .option("path", path).saveAsTable(table)
         }
-        val out = Graph.pageRank(s.table(table), "src", "dst",
+        Graph.pageRank(edges, "src", "dst",
           iterations = 3, materialize = false)
-        // resolved plan already holds the bucketed file relation; drop
-        // the catalog entry (files stay) so the session catalog doesn't
-        // accumulate a table per sf dir — the s12 discipline
-        s.sql(s"DROP TABLE IF EXISTS $table")
-        out
       },
       Some("""WITH pairs AS (
         |  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b

@@ -143,6 +143,89 @@ object QShared {
   def sink(dir: String, name: String): String =
     s"/tmp/graft_sink/${name}_${Integer.toHexString(dir.hashCode)}"
 
+  /** Per-table-name locks for the layout machinery: [[layout]] mutates
+    * shared state non-atomically (catalog DROP/CREATE on a
+    * deterministic table name, a session conf flag, the sink files),
+    * so two concurrent callers requesting the same layout could
+    * interleave — one drops the table between the other's CREATE and
+    * analyzed-resolution. The monitor serializes per table name within
+    * the JVM; cross-PROCESS builders sharing a sink dir are serialized
+    * by a file lock on `<path>.lock` (see [[layout]]). Distinct tables
+    * stay concurrent (the a11/s11 concurrent-jobs path). */
+  private val layoutLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** (mtime, byte length) version token of the layout's source
+    * file(s) — the l13 history-bloom key. Bare marker-mtime >=
+    * source-mtime can miss a same-timestamp rewrite, and the l40b/l41
+    * sidecars are WRONG-not-slow when stale, so every persisted layout
+    * gets the stronger key, written as `_GRAFT_SRC_VERSION` next to
+    * _SUCCESS. */
+  private def srcVersion(srcs: Seq[java.io.File]): String =
+    srcs.map(f => s"${f.lastModified()}:${f.length()}").mkString(";")
+
+  private[graft] def layoutFresh(
+      path: String, srcs: Seq[java.io.File]): Boolean = {
+    val tok = new java.io.File(path, "_GRAFT_SRC_VERSION")
+    new java.io.File(path, "_SUCCESS").exists() && srcs.forall(_.exists()) &&
+      tok.exists() && {
+        val bytes = java.nio.file.Files.readAllBytes(tok.toPath)
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8) ==
+          srcVersion(srcs)
+      }
+  }
+
+  /** The ONE mtime+length-guarded persisted-layout primitive shared by
+    * [[bucketedFact]] and the l40b/l41 sidecars: build-or-reregister a
+    * bucketed external table at `path`, versioned on `src`, and return
+    * the resolved relation with the catalog entry dropped (the s12
+    * precedent — the resolved plan holds the bucketed file relation, so
+    * the session catalog never accumulates per-dir tables).
+    *
+    * Concurrency: serialized per table name within the JVM (two
+    * concurrent same-layout callers would otherwise race the
+    * DROP/CREATE/resolve/DROP sequence) and per layout path across
+    * processes via a `java.nio` file lock — two drivers sharing one
+    * testdata dir build once and re-register once instead of racing the
+    * overwrite. `build` must write the table itself (saveAsTable with
+    * the path option); the version token is written after it returns.
+    * Freshness is re-checked under the lock, so the loser of a
+    * cross-process race re-registers the winner's files. */
+  def layout(
+      s: SparkSession, table: String, path: String, srcs: Seq[java.io.File],
+      ddl: => String, clusterSpec: String)(build: => Unit): DataFrame = {
+    val monitor = layoutLocks.computeIfAbsent(table, _ => new Object)
+    monitor.synchronized {
+      val lockFile = new java.io.File(path + ".lock")
+      Option(lockFile.getParentFile).foreach(_.mkdirs())
+      val chan = java.nio.channels.FileChannel.open(
+        lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val flock = chan.lock()
+      try {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        if (layoutFresh(path, srcs)) {
+          s.sql(s"CREATE TABLE $table ($ddl) USING parquet " +
+            s"$clusterSpec LOCATION '$path'")
+        } else {
+          build
+          java.nio.file.Files.write(
+            new java.io.File(path, "_GRAFT_SRC_VERSION").toPath,
+            srcVersion(srcs).getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+        }
+        val out = s.table(table)
+        out.queryExecution.analyzed // resolve BEFORE the catalog entry drops
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        out
+      } finally {
+        flock.release()
+        chan.close()
+      }
+    }
+  }
+
   /** Mtime-guarded bucketed fact layout — the s12 machinery, shared:
     * the table is written ONCE as `bucketBy(n, key).sortBy(key)` with
     * one file per bucket (external table: catalog entry + data at the
@@ -151,10 +234,12 @@ object QShared {
     * HashPartitioning with no exchange and no sort. This is the
     * production pre-partitioning story for 100 TB fact joins: the
     * relayout is paid once per ingested snapshot, amortized across
-    * every query after it. The relayout reruns only when the source
-    * parquet is newer than the layout's _SUCCESS marker; a stale
-    * layout the guard somehow missed still fails loudly at the oracle
-    * gate, which reads the live tables.
+    * every query after it. The relayout reruns whenever the source
+    * parquet's (mtime, byte length) version token differs from the
+    * layout's (see [[layout]]); a stale layout the guard somehow
+    * missed still fails loudly at the oracle gate, which reads the
+    * live tables. Concurrent same-layout callers are serialized (see
+    * [[layout]]'s concurrency note).
     *
     * Returns the bucketed relation as a DataFrame; the catalog entry
     * is dropped after resolution (the resolved plan holds the bucketed
@@ -183,15 +268,10 @@ object QShared {
       Integer.toHexString(dir.hashCode)
     val path = sink(dir, s"bucketed_${name}_${keyCol}_$nBuckets$sortSig")
     val src = new java.io.File(s"$dir/$name.parquet")
-    val marker = new java.io.File(path, "_SUCCESS")
-    s.sql(s"DROP TABLE IF EXISTS $table")
-    if (marker.exists() && src.exists() &&
-        marker.lastModified() >= src.lastModified()) {
-      val ddl = graft.Tables(s, dir, name).schema.toDDL
-      s.sql(s"CREATE TABLE $table ($ddl) USING parquet " +
-        s"CLUSTERED BY ($keyCol) SORTED BY (${allSort.mkString(", ")}) " +
-        s"INTO $nBuckets BUCKETS LOCATION '$path'")
-    } else
+    layout(s, table, path, Seq(src),
+      ddl = graft.Tables(s, dir, name).schema.toDDL,
+      clusterSpec = s"CLUSTERED BY ($keyCol) " +
+        s"SORTED BY (${allSort.mkString(", ")}) INTO $nBuckets BUCKETS") {
       graft.Tables(s, dir, name)
         // one writer task per bucket -> ONE file per bucket, so the
         // read-side merge join skips the per-bucket sort too (many
@@ -201,10 +281,7 @@ object QShared {
         .bucketBy(nBuckets, keyCol).sortBy(allSort.head, allSort.tail: _*)
         .option("path", path)
         .saveAsTable(table)
-    val out = s.table(table)
-    out.queryExecution.analyzed // resolve BEFORE the catalog entry drops
-    s.sql(s"DROP TABLE IF EXISTS $table")
-    out
+    }
   }
 
   /** The ONE shared custkey orders projection (layout identity includes
@@ -218,6 +295,35 @@ object QShared {
     bucketedFact(s, dir, "orders", "o_custkey",
       sortCols = Seq("o_orderdate", "o_orderkey"))
 
+  /** Time-bucketed events projection: events plus a DERIVED `bucket`
+    * column (`ts div bucketNs`, ts already normalized to long nanos by
+    * Tables), persisted bucketed BY that column — the ingest-time
+    * time-clustering every event warehouse maintains. Grouping on
+    * `bucket` (g1's tumbling windows) rides HashPartitioning(bucket)
+    * with zero exchanges, and any REFINEMENT of the bucket (g1b's
+    * 5-minute `k` when bucketNs is 10 minutes) rides too by grouping on
+    * (bucket, k) — same-k rows share a bucket, and subset clustering
+    * lets the partitioning satisfy the wider key. The g14 lesson
+    * generalized: an expression-derived group key CAN ride a layout —
+    * store the derivation. */
+  def eventsByTimeBucket(
+      s: SparkSession, dir: String, bucketNs: Long,
+      nBuckets: Int = 8): DataFrame = {
+    val table = s"graft_bkt_events_tb${bucketNs}_b${nBuckets}_" +
+      Integer.toHexString(dir.hashCode)
+    val path = sink(dir, s"bucketed_events_tb${bucketNs}_$nBuckets")
+    val src = new java.io.File(s"$dir/events.parquet")
+    def base = graft.Tables(s, dir, "events")
+      .withColumn("bucket", expr(s"ts div $bucketNs"))
+    layout(s, table, path, Seq(src),
+      ddl = base.schema.toDDL,
+      clusterSpec = s"CLUSTERED BY (bucket) INTO $nBuckets BUCKETS") {
+      base.repartition(nBuckets, col("bucket"))
+        .write.mode("overwrite").bucketBy(nBuckets, "bucket")
+        .option("path", path).saveAsTable(table)
+    }
+  }
+
   /** Small driver-side statistics cache (the catalog's ANALYZE-stats
     * analog): column bounds and similar tiny stat results keyed by
     * (session, dir, tag, source version token) — the version token in
@@ -228,18 +334,21 @@ object QShared {
     * see the eviction below). Never caches row data. */
   private val statsCacheMap =
     new java.util.LinkedHashMap[
-      (org.apache.spark.sql.SparkSession, String, String, Any), AnyRef]()
+      (org.apache.spark.sql.SparkSession, String, String, Any), AnyRef](
+      16, 0.75f, /* accessOrder = */ true)
 
   /** Compute-if-absent with bounded growth: stranded entries (old
     * version tokens, dead sessions) accumulate ~bytes each, but a
     * long-running service regenerating sources forever shouldn't leak
-    * even bytes. Past `cap` entries the OLDEST-INSERTED HALF drops
-    * (insertion order = LinkedHashMap order) — a wholesale clear was
-    * correct but thundering: every live stat recomputed at once in a
-    * long-lived service. The compute runs OUTSIDE the lock (it is a
-    * Spark job); a concurrent same-key race computes twice and keeps
-    * one — stats are idempotent, correctness never depended on the
-    * cache. */
+    * even bytes. Past `cap` entries the LEAST-RECENTLY-USED HALF drops
+    * (the map is access-ordered: get() refreshes recency inside the
+    * lock, so a hot long-lived entry — e.g. the l13 history bloom, hit
+    * every batch — survives churn of one-off stat entries) — a
+    * wholesale clear was correct but thundering: every live stat
+    * recomputed at once in a long-lived service. The compute runs
+    * OUTSIDE the lock (it is a Spark job); a concurrent same-key race
+    * computes twice and keeps one — stats are idempotent, correctness
+    * never depended on the cache. */
   object statsCache {
     private[graft] val cap = 4096
     private[graft] def size: Int = statsCacheMap.synchronized(statsCacheMap.size())

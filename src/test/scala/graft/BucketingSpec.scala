@@ -175,6 +175,65 @@ class BucketingSpec extends SparkSpec {
         .collect().toSeq == plain, "layout lost or duplicated rows")
   }
 
+  test("layout guard: a same-timestamp rewrite (mtime equal, length " +
+      "changed) forces a relayout — the (mtime, length) version key") {
+    // bare marker-mtime >= source-mtime misses a rewrite that lands in
+    // the same mtime tick; the sidecars this machinery persists (l40b
+    // spans, l41 gram counts) are WRONG-not-slow when stale, so the
+    // guard keys on (mtime, byte length) — the l13 history-bloom rule.
+    // Simulate: rebuild the source with different content/length, then
+    // force its mtime BACK to the original value.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.queries.QShared
+    val dir = tmpDir("graft-version-key")
+    val srcPath = Paths.get(s"$dir/orders.parquet")
+    Files.copy(Paths.get(s"$testdataRoot/orders.parquet"), srcPath,
+      StandardCopyOption.REPLACE_EXISTING)
+    val src = srcPath.toFile
+    val m0 = src.lastModified()
+
+    def build(): Long =
+      QShared.bucketedFact(spark, dir, "orders", "o_orderkey").count()
+    val n1 = build()
+    assert(n1 > 0)
+    // rewrite the source to HALF the rows (different length), restore mtime
+    val half = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") % 2 === 0)
+    val tmp = tmpDir("graft-version-key-half")
+    half.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, srcPath, StandardCopyOption.REPLACE_EXISTING)
+    assert(src.setLastModified(m0), "test needs a touchable source")
+    assert(src.lastModified() == m0, "mtime must be restored for the test")
+    val n2 = build()
+    assert(n2 < n1,
+      s"same-mtime rewrite must invalidate the layout (got $n2 vs $n1 rows)")
+  }
+
+  test("two concurrent same-layout builders converge (per-table lock)") {
+    // bucketedFact mutates shared state non-atomically (catalog
+    // DROP/CREATE on a deterministic name); without the per-table-name
+    // lock one caller can drop the table between the other's CREATE and
+    // analyzed-resolution. Drive two threads through a COLD build of
+    // the same layout and assert both resolve and agree.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.queries.QShared
+    val dir = tmpDir("graft-concurrent-layout")
+    Files.copy(Paths.get(s"$testdataRoot/orders.parquet"),
+      Paths.get(s"$dir/orders.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val expected = spark.read.parquet(s"$dir/orders.parquet").count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val counts = Await.result(
+      Future.sequence((1 to 2).map(_ => Future {
+        QShared.bucketedFact(spark, dir, "orders", "o_orderkey").count()
+      })), 120.seconds)
+    assert(counts == Seq(expected, expected),
+      s"concurrent builders must both resolve the layout: $counts")
+  }
+
   test("aggregation on the bucket key is exchange-free") {
     ParquetIO.writeBucketed(spark.read.parquet(sf("orders")),
       "orders_b2", buckets = 8, keys = Seq("o_custkey"))

@@ -764,26 +764,37 @@ class DedupSpec extends SparkSpec {
         "Seq(11L), the fast path stopped trusting the filter")
   }
 
-  test("statsCache halve-oldest eviction keeps the newest entries and " +
+  test("statsCache LRU halving keeps hot and recent entries and " +
       "never exceeds the cap") {
     import graft.queries.QShared
-    val n0 = QShared.statsCache.size
-    // fill well past the cap with distinct version tokens
-    for (i <- 0 until (QShared.statsCache.cap + 100))
+    type K = (org.apache.spark.sql.SparkSession, String, String, Any)
+    // a HOT long-lived entry inserted first (the l13 history-bloom
+    // shape: hit every batch) — under insertion-order eviction the
+    // churn below would drop it despite constant use (ADVICE r10)
+    val hot = (spark, "/tmp/statscache-test", "hot", 0L): K
+    QShared.statsCache.computeIfAbsent(hot, _ => java.lang.Integer.valueOf(-1))
+    // churn well past the cap with one-off entries, touching the hot
+    // entry between batches so its recency stays fresh
+    for (i <- 0 until (QShared.statsCache.cap + 100)) {
       QShared.statsCache.computeIfAbsent(
         (spark, "/tmp/statscache-test", s"k$i", 0L),
         _ => java.lang.Integer.valueOf(i))
+      if (i % 256 == 0)
+        QShared.statsCache.computeIfAbsent(hot, _ => fail("hit must not recompute"))
+    }
     assert(QShared.statsCache.size <= QShared.statsCache.cap,
       s"cache exceeded cap: ${QShared.statsCache.size}")
-    // the NEWEST entry must have survived the halving (oldest-first drop)
+    // the hot entry survived the halving (access-ordered LRU drop) ...
+    assert(QShared.statsCache.contains(hot),
+      "hot entry evicted despite constant use — eviction is not LRU")
+    // ... and so did the most recent one-off
     val last = (spark, "/tmp/statscache-test",
-      s"k${QShared.statsCache.cap + 99}", 0L): (org.apache.spark.sql.SparkSession, String, String, Any)
+      s"k${QShared.statsCache.cap + 99}", 0L): K
     assert(QShared.statsCache.contains(last), "newest entry evicted")
     // and a hit returns the cached value without recompute
     val v = QShared.statsCache.computeIfAbsent(last,
       _ => fail("hit must not recompute"))
     assert(v == java.lang.Integer.valueOf(QShared.statsCache.cap + 99))
-    assert(n0 >= 0) // silence unused warning; n0 only documents pre-state
   }
 }
 
