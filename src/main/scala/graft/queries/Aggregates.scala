@@ -494,16 +494,33 @@ object Aggregates extends QGroup {
         val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
           "l_returnflag", "l_linestatus")
         val li = Tables(s, dir, "lineitem")
-        cols.map { c =>
-          li.agg(
-              count(lit(1)).as("n_rows"),
-              count(col(c)).as("n_notnull"),
-              countDistinct(col(c)).as("n_distinct"),
-              min(col(c)).cast("string").as("min_str"),
-              max(col(c)).cast("string").as("max_str"))
-            .select(lit(c).as("col_name"), col("n_rows"), col("n_notnull"),
-              col("n_distinct"), col("min_str"), col("max_str"))
-        }.reduce(_.unionByName(_))
+        // r11: the five single-column branches are INDEPENDENT jobs —
+        // submit them concurrently (the s11 codec-write precedent);
+        // each eagerly materializes its one stat row, the union reads
+        // five 1-row LogicalRDDs. Measured honestly: on local[32] each
+        // branch's 32-task scan already saturates the box, so the
+        // overlap buys only job-setup gaps (0.42 -> 0.40 s interleaved
+        // A/B at sf0.1 — the concurrency NEGATIVE recorded in FLOORS
+        // .md). On a cluster the branches genuinely overlap: each uses
+        // a fraction of the executors, so this is the shape to ship.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.DurationInt
+        val frames = Await.result(
+          Future.sequence(cols.map { c =>
+            Future {
+              li.agg(
+                  count(lit(1)).as("n_rows"),
+                  count(col(c)).as("n_notnull"),
+                  countDistinct(col(c)).as("n_distinct"),
+                  min(col(c)).cast("string").as("min_str"),
+                  max(col(c)).cast("string").as("max_str"))
+                .select(lit(c).as("col_name"), col("n_rows"), col("n_notnull"),
+                  col("n_distinct"), col("min_str"), col("max_str"))
+                .localCheckpoint(true)
+            }
+          }), 10.minutes)
+        frames.reduce(_.unionByName(_))
       },
       Some("""WITH s AS (SELECT count(*) AS n_rows,
         |  count(l_orderkey) AS nn1, count(DISTINCT l_orderkey) AS nd1,

@@ -208,9 +208,15 @@ object Relational extends QGroup {
       headline = true),
 
     // A6: global (no-group) aggregate.
+    // r11: the countDistinct(l_orderkey) rewrite plans a partial dedup
+    // keyed on l_orderkey — a 600k-row exchange on the plain scan. The
+    // shared orderkey layout's HashPartitioning satisfies that
+    // clustering, so the only exchange left is the final
+    // SinglePartition fan-in of per-bucket partials (plan-locked).
+    // A/B at sf0.1 (interleaved, identical rows): 0.36 -> 0.13 s.
     QDef("a6_global_agg",
       (s, dir) =>
-        Tables(s, dir, "lineitem").agg(
+        QShared.bucketedFact(s, dir, "lineitem", "l_orderkey").agg(
           count(lit(1)).as("n_rows"),
           countDistinct(col("l_orderkey")).as("n_orders"),
           QShared.gridSum(col("l_quantity")).cast("double").as("sum_qty"),

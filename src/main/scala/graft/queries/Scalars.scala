@@ -144,13 +144,22 @@ object Scalars extends QGroup {
 
     // X6b: VARIANT (Spark 4 semi-structured type) — parse once, extract
     // typed fields; oracle via DuckDB JSON operators.
+    // r11 shape: `$.k` is extracted ONCE (as string) and the int view is
+    // a cast of that string — each try_variant_get re-walks the variant
+    // binary (no codegen CSE across the three calls; stepwise
+    // decomposition at sf0.1: scan 0.05 s, +parse_json ~0.21, each
+    // extraction +0.04). The dominant cost is parse_json itself — the
+    // string->variant-binary encode — which is the query's whole point;
+    // its CPU floor vs DuckDB's fused JSON operators is ledgered in
+    // FLOORS.md. A/B (interleaved, identical rows): 0.28 -> 0.24 s.
     QDef("x6b_variant",
       (s, dir) =>
         Tables(s, dir, "events")
           .withColumn("v", parse_json(col("props")))
+          .withColumn("k_str", try_variant_get(col("v"), "$.k", "string"))
           .select(col("event_id"),
-            try_variant_get(col("v"), "$.k", "int").as("k_int"),
-            try_variant_get(col("v"), "$.k", "string").as("k_str"),
+            col("k_str").cast("int").as("k_int"),
+            col("k_str"),
             try_variant_get(col("v"), "$.missing", "int").as("k_missing")),
       Some("""SELECT event_id,
         |  CAST(props->>'$.k' AS INTEGER) AS k_int,

@@ -520,6 +520,24 @@ class PlanSpec extends SparkSpec {
       s"span agg must ride the island window's doc exchange:\n$p")
   }
 
+  test("g1: tumbling windows ride the time-bucketed events layout — zero " +
+      "keyed exchanges, countDistinct phase included") {
+    val p = planOf("g1_tumbling_window")
+    assert(p.contains("Bucketed: true"), s"time-bucket layout scan expected:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"(bucket, event_type) agg AND the user_id dedup phase must ride " +
+        s"HashPartitioning(bucket) by subset clustering:\n$p")
+  }
+
+  test("a6: global aggregate's countDistinct partial rides the orderkey " +
+      "layout — only the SinglePartition fan-in remains") {
+    val p = planOf("a6_global_agg")
+    assert(p.contains("Bucketed: true"), s"orderkey layout scan expected:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the orderkey partial-dedup exchange should be subsumed:\n$p")
+    assert(p.contains("Exchange SinglePartition"), p)
+  }
+
   test("w3b @100TB posture: the SHIPPED QDef decomposes above the size gate") {
     // the sysprop lowers only the DEFAULT threshold (explicit callers
     // unaffected), so this drives the exact shipped query — not a
