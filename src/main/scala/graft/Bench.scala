@@ -208,7 +208,21 @@ object Bench {
         f""","ratio_vs_duckdb":${sparkSum / duckSum}%.2f,"n_ratioed":${ratios.size}%d"""
       }
     println(detail)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${names.size},"n_failed":$failed,"method":"warmup=$warmup%d,min_of=$reps%d,interleaved"$aggRatio,"slowest":$top5$envJson,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${names.size},"n_failed":$failed,"method":"warmup=$warmup%d,min_of=$reps%d,interleaved"$aggRatio,"slowest":$top5$envJson,"detail":"bench_detail.json","sf":"$sfDir"}"""
+    println(summary)
+    // append every bench run (full suite or BENCH_ONLY probe) to the
+    // PROBES.jsonl trail with a timestamp: cross-round perf claims then
+    // carry their machine-state context (b1/b2 floors, load averages)
+    // mechanically instead of via BASELINE.md prose (r10 verdict #7).
+    // Best-effort like bench_detail.json.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("PROBES.jsonl"),
+      (s"""{"ts":"${java.time.Instant.now()}"""" +
+        only.map(o => s""","only":"${o.mkString(",")}"""").getOrElse("") +
+        s""",${summary.drop(1)}""" + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: Exception => System.err.println(s"[bench] PROBES.jsonl not written: $e") }
     spark.stop()
   }
 }
