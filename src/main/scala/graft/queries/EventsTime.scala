@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.operators.AsOfJoin
 
@@ -309,17 +308,25 @@ object EventsTime extends QGroup {
         // r10: group by o_orderdate DIRECTLY on a date-bucketed orders
         // layout (di/day are 1:1 functions of the date, derived AFTER
         // the agg — identical rows), so the day-grain collapse rides
-        // HashPartitioning(o_orderdate) and the twice-referenced series
-        // subtree reads the 8-bucket layout instead of the single
-        // parquet file's few scan splits, twice. A/B at sf0.1
-        // (interleaved): 0.48 → 0.38 s; the j22-style checkpoint
-        // alternative measured worse (0.41 — materializing the tiny
-        // series costs more than the second grouped layout scan).
-        // Time-clustered facts are the most natural warehouse layout.
+        // HashPartitioning(o_orderdate). A/B at sf0.1 (interleaved):
+        // 0.48 → 0.38 s. r11, re-measured at sf10 where g14 was one of
+        // two monotone ratio growers: (a) the per-row
+        // cast(DECIMAL(38,0)) in the cents sum was HALF the cost —
+        // splitSum does the same exact integer sum on primitive longs
+        // (2.08 → 1.15 s at sf10; cents < 2^26 so one cut at 26 bounds
+        // ~1.4e11 rows/day); (b) the twice-referenced series subtree
+        // re-ran the 15M-row collapse twice — the r10 "checkpoint
+        // measured worse" note was a fixed-cost artifact of sf0.1
+        // (tiny +0.03 s there, −0.55 s at sf10), so the day series now
+        // lazily checkpoints (the j22 precedent) and the 15-way
+        // fan-out reads the ~2.4k-row series from the block manager.
+        // Combined: 2.08 → 0.60 s at sf10, identical rows at both SFs.
         val series = QShared.bucketedFact(s, dir, "orders", "o_orderdate")
           .groupBy(col("o_orderdate"))
-          .agg(sum(round(col("o_totalprice") * 100).cast("long")
-            .cast(DecimalType(38, 0))).cast("long").as("cents"))
+          .agg(QShared.splitSum(
+            round(col("o_totalprice") * 100).cast("long"), Seq(26))
+            .cast("long").as("cents"))
+          .localCheckpoint(false)
           .select(
             datediff(col("o_orderdate").cast("date"),
               lit("1992-01-01").cast("date")).as("di"),

@@ -19,6 +19,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * their sorts; the oracle SQL mirrors whatever the Spark side declares.
   * Column names are aliased identically on both sides (the comparator
   * sorts columns by name before hashing).
+  *
+  * Large-sum landmine (r11, caught by the sf1 oracle check): once a
+  * decimal aggregate exceeds ~2^53 at its scaled magnitude (~17
+  * significant digits — a 6-scale money sum past ~9×10⁹ units), DuckDB's
+  * direct `CAST(decimal AS DOUBLE)` rounds 1 ulp off (int128→double,
+  * THEN scale — two roundings) while Spark's BigDecimal.doubleValue
+  * rounds correctly. Oracle SQL for such sums must route
+  * `CAST(CAST(dec AS VARCHAR) AS DOUBLE)` — strtod correctly rounds the
+  * same decimal string, making both engines' doubles bit-identical at
+  * any magnitude (see a1's q1Sql).
   */
 final case class QDef(
     name: String,
@@ -226,6 +236,27 @@ object QShared {
     }
   }
 
+  /** Data-sized bucket count for a dir's persisted layouts. The r11
+    * three-decade pairing (sf0.1/sf1/sf10) caught the fixed 8-bucket
+    * default becoming the BOTTLENECK one decade up: a zero-exchange
+    * plan over an 8-bucket layout runs its whole keyed pipeline in 8
+    * tasks, so at sf10 (1.3 GB lineitem, 60M rows) the layout-riding
+    * g1 measured SLOWER than a plain 32-split scan (1.59 vs 1.35 s —
+    * the exchange it saved cost less than the 4× parallelism it gave
+    * up). Buckets must scale with the data: ~8 MB of compressed fact
+    * per bucket, quantized to {8,16,32} and derived from the dir's
+    * DOMINANT fact (lineitem) so every layout in a dir shares one
+    * count and co-bucketed joins stay exchange-free (equal counts on
+    * both sides). sf0.1 and below stay at 8 — identical layouts,
+    * identical bench basis. On a cluster the same knob is
+    * snapshot-bytes / target-bucket-bytes with the cap at the fleet's
+    * core count, not 32. */
+  def dirBuckets(dir: String): Int = {
+    val bytes = new java.io.File(s"$dir/lineitem.parquet").length()
+    val raw = bytes / (8L << 20)
+    if (raw >= 32) 32 else if (raw >= 16) 16 else 8
+  }
+
   /** Mtime-guarded bucketed fact layout — the s12 machinery, shared:
     * the table is written ONCE as `bucketBy(n, key).sortBy(key)` with
     * one file per bucket (external table: catalog entry + data at the
@@ -249,7 +280,8 @@ object QShared {
     * the read side trusts the layout's sortBy order. */
   def bucketedFact(
       s: SparkSession, dir: String, name: String, keyCol: String,
-      nBuckets: Int = 8, sortCols: Seq[String] = Nil): DataFrame = {
+      nBuckets0: Int = 0, sortCols: Seq[String] = Nil): DataFrame = {
+    val nBuckets = if (nBuckets0 > 0) nBuckets0 else dirBuckets(dir)
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     // the path MUST be keyed by the bucket column, not just the table:
     // two layouts of the same table on different keys are different
@@ -308,7 +340,8 @@ object QShared {
     * store the derivation. */
   def eventsByTimeBucket(
       s: SparkSession, dir: String, bucketNs: Long,
-      nBuckets: Int = 8): DataFrame = {
+      nBuckets0: Int = 0): DataFrame = {
+    val nBuckets = if (nBuckets0 > 0) nBuckets0 else dirBuckets(dir)
     val table = s"graft_bkt_events_tb${bucketNs}_b${nBuckets}_" +
       Integer.toHexString(dir.hashCode)
     val path = sink(dir, s"bucketed_events_tb${bucketNs}_$nBuckets")

@@ -45,12 +45,21 @@ object Relational extends QGroup {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
+  // Oracle doubles are cast DECIMAL→VARCHAR→DOUBLE, not DECIMAL→DOUBLE:
+  // the r11 sf1 oracle check caught DuckDB's direct decimal→double cast
+  // rounding 1 ulp off (int128→double, THEN scale — two roundings) once
+  // the sum crosses double's 2^53 at ~17 significant digits
+  // (27864155010.941590 → ….941593), while Spark's BigDecimal.doubleValue
+  // and DuckDB's strtod both round the decimal string correctly — so
+  // routing through VARCHAR makes both engines correctly-round the SAME
+  // exact decimal at ANY magnitude. Identical value at gate SFs, where
+  // sums fit well under 2^53 either way.
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_charge,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
