@@ -357,6 +357,28 @@ object QShared {
     }
   }
 
+  /** Variant-encoded events projection — the x6b FLOORS row's cluster
+    * lever ("parse-once-persist: at warehouse scale the variant column
+    * is ENCODED AT INGEST") made real: `parse_json(props)` runs ONCE
+    * per snapshot and persists as a Parquet VARIANT logical-type column
+    * (Spark 4 writes/reads VARIANT natively), mtime+length-guarded by
+    * the shared [[layout]] primitive like every other persisted layout.
+    * Queries against it pay extraction only — the x6b stepwise
+    * decomposition showed parse_json is ~4/5 of the live query's cost.
+    * x6b itself keeps the live parse (it certifies the encode path);
+    * x6d rides this projection. */
+  def variantEvents(s: SparkSession, dir: String): DataFrame = {
+    val table = s"graft_var_events_" + Integer.toHexString(dir.hashCode)
+    val path = sink(dir, "variant_events")
+    val src = new java.io.File(s"$dir/events.parquet")
+    def base = graft.Tables(s, dir, "events")
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+    layout(s, table, path, Seq(src),
+      ddl = base.schema.toDDL, clusterSpec = "") {
+      base.write.mode("overwrite").option("path", path).saveAsTable(table)
+    }
+  }
+
   /** Small driver-side statistics cache (the catalog's ANALYZE-stats
     * analog): column bounds and similar tiny stat results keyed by
     * (session, dir, tag, source version token) — the version token in

@@ -234,6 +234,60 @@ class BucketingSpec extends SparkSpec {
       s"concurrent builders must both resolve the layout: $counts")
   }
 
+  test("dirBuckets sizes layouts from the dominant fact's bytes") {
+    // the r11 sf10 pairing caught the fixed 8-bucket default capping a
+    // zero-exchange plan at 8 tasks (slower than a plain 32-split scan
+    // at 60M rows); bucket count now derives from lineitem.parquet's
+    // size — ~8 MB per bucket quantized to {8,16,32}, ONE count per dir
+    // so co-bucketed joins keep equal counts. dirBuckets only reads
+    // file LENGTH, so sparse files pin the thresholds cheaply.
+    import graft.queries.QShared
+    def dirWithLineitemBytes(len: Long): String = {
+      val dir = tmpDir(s"graft-dirbuckets-$len")
+      val f = new java.io.RandomAccessFile(s"$dir/lineitem.parquet", "rw")
+      try f.setLength(len) finally f.close()
+      dir
+    }
+    assert(QShared.dirBuckets(tmpDir("graft-dirbuckets-empty")) == 8,
+      "no lineitem -> the small-SF default")
+    assert(QShared.dirBuckets(dirWithLineitemBytes(10L << 20)) == 8)
+    assert(QShared.dirBuckets(dirWithLineitemBytes(130L << 20)) == 16)
+    assert(QShared.dirBuckets(dirWithLineitemBytes(300L << 20)) == 32)
+  }
+
+  test("variant store: extraction equals live parse; stale source rebuilds") {
+    // x6d's persisted variant-encoded events projection (QShared
+    // .variantEvents — parse_json once per snapshot, Parquet VARIANT
+    // column): extraction over the store must equal the live-parse
+    // x6b pipeline bit for bit, and the (mtime, length) guard must
+    // rebuild the store when the source changes.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.queries.QShared
+    val dir = tmpDir("graft-variant-store")
+    Files.copy(Paths.get(s"$testdataRoot/events.parquet"),
+      Paths.get(s"$dir/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    def viaStore() = QShared.variantEvents(spark, dir)
+      .select(col("event_id"),
+        try_variant_get(col("v"), "$.k", "string").as("k_str"))
+    val live = Tables(spark, dir, "events")
+      .select(col("event_id"),
+        try_variant_get(parse_json(col("props")), "$.k", "string").as("k_str"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaStore().collect().map(_.toString).sorted.toSeq == live,
+      "store extraction must equal live parse")
+    val n1 = viaStore().count()
+    // shrink the source to half the rows; the store must follow
+    val half = Tables(spark, dir, "events").filter(col("event_id") % 2 === 0)
+    val tmp = tmpDir("graft-variant-store-half")
+    half.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, Paths.get(s"$dir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    assert(viaStore().count() < n1,
+      "changed source version must rebuild the variant store")
+  }
+
   test("aggregation on the bucket key is exchange-free") {
     ParquetIO.writeBucketed(spark.read.parquet(sf("orders")),
       "orders_b2", buckets = 8, keys = Seq("o_custkey"))
