@@ -1,119 +1,61 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-import graft.queries.QShared
 
-/** Timing scratchpad — round 11, sf10 probe set. The three-decade
-  * pairing (sf0.1 → sf1 → sf10) left exactly two monotone ratio
-  * growers, g1 and g14; every other residual flattened or shrank.
-  * Interleaved A/B within ONE JVM per the bench methodology. The
-  * r11 residual-set probes (g1/a6/a11/x6b rides) live in git history.
-  *
-  * Probes (run with SPARK_GRAFT_SF_DIR=/tmp/graft_sf10):
-  *   - g1 decomposition: count-only vs +gridSum vs +countDistinct, on
-  *     the layout vs a plain scan — which term grows 5.2x per decade?
-  *   - g14 variants: splitSum for the per-row decimal cast, a lazy
-  *     checkpoint of the tiny day series vs the twice-scanned 15M-row
-  *     layout collapse (the sf0.1 measurement said twice-scan wins;
-  *     does that hold one decade up?), and both combined.
+/** Timing scratchpad — round 11c. The completed sf10 matrix left the
+  * per-row text kernels (l36 7.0×, l38 6.6×, l20 5.3×) as the largest
+  * flat residual class, with l36/l38 growing ~1.4× over linear from
+  * sf1→sf10 on the Spark side. Hypothesis: the exploded token streams
+  * (100M+ rows at sf10) aggregate through shuffle.partitions=32 and
+  * spill; on a cluster partitions scale with cores, so locally the A/B
+  * is partitions 32 vs 128 in OWN sessions (the knob is static per
+  * session — two sequential sessions, same JVM, alternating order to
+  * cancel JIT warm-up bias). The g1/g14 sf10 probe set this replaces
+  * lives in git history.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf10")
     val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.parquet.filterPushdown", "true")
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
-    val tenMinNs = 600000000000L
+    def session(parts: Int): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", parts)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
 
-    def time(f: => DataFrame): Double = {
+    def time(s: SparkSession, name: String): Double = {
       val t0 = System.nanoTime()
-      f.write.format("noop").mode("overwrite").save()
+      SparkEntry.queries(name)(s, dir)
+        .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
 
-    // ---- g1 decomposition ------------------------------------------------
-    def layoutEv = QShared.eventsByTimeBucket(spark, dir, tenMinNs)
-    def plainEv = Tables(spark, dir, "events")
-      .withColumn("bucket", expr(s"ts div $tenMinNs"))
-
-    val g1shapes: Seq[(String, () => DataFrame)] = Seq(
-      ("g1_cnt_only", () => layoutEv.groupBy(col("bucket"), col("event_type"))
-        .agg(count(lit(1)).as("n"))),
-      ("g1_cnt_grid", () => layoutEv.groupBy(col("bucket"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          QShared.gridSum(col("value")).cast("double").as("sum_value"))),
-      ("g1_shipped", () => SparkEntry.queries("g1_tumbling_window")(spark, dir)),
-      ("g1_plain_full", () => plainEv.groupBy(col("bucket"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          QShared.gridSum(col("value")).cast("double").as("sum_value"),
-          countDistinct(col("user_id")).as("n_users"))),
-      ("g1_plain_nocd", () => plainEv.groupBy(col("bucket"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          QShared.gridSum(col("value")).cast("double").as("sum_value"))))
-
-    // ---- g14 variants ----------------------------------------------------
-    def g14series(splitsum: Boolean): DataFrame = {
-      val base = QShared.bucketedFact(spark, dir, "orders", "o_orderdate")
-        .groupBy(col("o_orderdate"))
-      val agg =
-        if (splitsum) base.agg(QShared.splitSum(
-          round(col("o_totalprice") * 100).cast("long"), Seq(26))
-          .cast("long").as("cents"))
-        else base.agg(sum(round(col("o_totalprice") * 100).cast("long")
-          .cast(DecimalType(38, 0))).cast("long").as("cents"))
-      agg.select(
-        datediff(col("o_orderdate").cast("date"),
-          lit("1992-01-01").cast("date")).as("di"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
-        col("cents"))
+    val qs = Seq("l36_bigram_lm_score", "l38_dsir_select", "l20_winnowing")
+    val bests = scala.collection.mutable.Map[(String, Int), Double]()
+      .withDefaultValue(1e9)
+    // newSession shares the SparkContext but carries its own SQL conf —
+    // shuffle.partitions is a runtime conf, so per-session values work
+    val s32 = session(32)
+    val s128 = s32.newSession()
+    s128.conf.set("spark.sql.shuffle.partitions", 128)
+    for (q <- qs) { time(s32, q); time(s128, q) } // warmup both paths
+    for (rep <- 1 to 3; (tag, s) <- Seq((32, s32), (128, s128)); q <- qs) {
+      val t = time(s, q)
+      bests((q, tag)) = math.min(bests((q, tag)), t)
     }
-    def g14fan(series: DataFrame): DataFrame = {
-      val off = spark.range(0, 15).toDF("o")
-      val w = expr("shiftleft(1L, cast(14 - o AS int))")
-      series.select(col("di").as("tdi"), col("day"), col("cents").as("tcents"))
-        .crossJoin(broadcast(off))
-        .join(broadcast(series.select(col("di").as("sdi"), col("cents").as("scents"))),
-          col("tdi") - col("o") === col("sdi"))
-        .groupBy(col("day"), col("tcents"))
-        .agg(sum(col("scents") * w).as("num"), sum(w).as("den"))
-        .select(col("day"), col("tcents").as("cents"),
-          expr("(num * 1000) div den").as("ewma_milli"))
-    }
-    val g14shapes: Seq[(String, () => DataFrame)] = Seq(
-      ("g14_shipped", () => SparkEntry.queries("g14_ewma_smoothing")(spark, dir)),
-      ("g14_splitsum", () => g14fan(g14series(splitsum = true))),
-      ("g14_ckpt", () => g14fan(g14series(splitsum = false).localCheckpoint(false))),
-      ("g14_both", () => g14fan(g14series(splitsum = true).localCheckpoint(false))))
-
-    val shapes = g1shapes ++ g14shapes
-
-    // correctness: every variant of a query must match its shipped rows
-    def rows(f: () => DataFrame) =
-      f().collect().map(_.toString).sorted.toSeq
-    val g1ref = rows(() => SparkEntry.queries("g1_tumbling_window")(spark, dir))
-    println(s"g1_plain_full equal=${rows(g1shapes(3)._2) == g1ref}")
-    val g14ref = rows(() => SparkEntry.queries("g14_ewma_smoothing")(spark, dir))
-    for ((n, f) <- g14shapes.drop(1))
-      println(s"$n equal=${rows(f) == g14ref}")
-
-    for ((_, f) <- shapes) time(f()) // warmup
-    val bests = scala.collection.mutable.Map[String, Double]().withDefaultValue(1e9)
-    for (_ <- 1 to 5; (n, f) <- shapes)
-      bests(n) = math.min(bests(n), time(f()))
-    for ((n, _) <- shapes) println(f"$n%-16s ${bests(n)}%.3f s")
-    spark.stop()
+    for (q <- qs)
+      println(f"$q%-22s p32=${bests((q, 32))}%.2f  p128=${bests((q, 128))}%.2f")
+    s32.stop()
   }
 }
