@@ -50,6 +50,18 @@ object EventsTime extends QGroup {
 
     // G1b: sliding windows (width 10 min, slide 5 min) — each event maps
     // to two window starts; realized as an explode, not a self-join.
+    // r11 negative, recorded: the PANE decomposition (stream slicing,
+    // Li et al. "No pane, no gain" — aggregate 5-min tumbling panes
+    // over the bucketed layout, then combine pane pairs; exact by
+    // associativity of count + the integer gridSum, oracle-verified
+    // identical) measured SLOWER at every SF (sf10: 0.357 vs 0.295 s;
+    // sf0.1: 0.200 vs ~0.13) because Spark's map-side partial
+    // aggregation already collapses the exploded rows to ~#wstarts per
+    // task BEFORE the exchange — the explode never reaches the wire,
+    // so pre-paning only adds a second aggregation and the layout-read
+    // overhead. The explode shape IS the pane shape after codegen; the
+    // residual vs DuckDB is per-row explode+hash work, the marginal
+    // class.
     QDef("g1b_sliding_window",
       (s, dir) =>
         Tables(s, dir, "events")
