@@ -660,10 +660,15 @@ object Aggregates extends QGroup {
               QShared.gridSum(col("l_quantity")).cast("double")).as("wavg_price"),
             QShared.gridSum(col("l_quantity")).cast("double").as("total_qty"))
           ,
+      // DECIMAL→VARCHAR→DOUBLE, not DECIMAL→DOUBLE: the numerator's
+      // Σ(price·qty) crosses double's 2^53 at sf1 (~1.4e12 on the
+      // scale-6 grid) and DuckDB's direct decimal→double cast rounds
+      // 1 ulp off there — the a1/q1Sql landmine (see QDef's scaladoc);
+      // the scale-6 recast is exact (the product grid is 2-decimal).
       Some("""SELECT l_returnflag,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
-        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS wavg_price,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS wavg_price,
+        |  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS total_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // A18: declarative data-quality constraint suite (the Deequ-style
