@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomMightContain, BpeTokenCount, CharEntropy, CosineSimilarity, DsirBuckets, LangId, SortedPairs, MinHashSignature, NearestCentroid, NgramHashes, RepetitionStats, ShingleHashes, TokenFingerprint, UnicodeNormalize}
+import graft.functions.{BloomMightContain, BpeTokenCount, CharEntropy, CosineSimilarity, DsirBuckets, LangId, SortedPairs, MinHashSignature, NearestCentroid, NgramHashes, RepetitionStats, ShingleHashes, TokenFingerprint, UnicodeNormalize, WinnowStats}
 
 /** Session extension registering graft's native expressions, for use via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -52,6 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(BpeTokenCount.name), BpeTokenCount.info,
         BpeTokenCount.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(WinnowStats.name), WinnowStats.info,
+        WinnowStats.builder))
     ext.injectOptimizerRule(graft.plans.CorruptDateRebaseRule.apply)
   }
 }
@@ -103,6 +106,9 @@ object GraftFunctions {
     val bp = FunctionIdentifier(BpeTokenCount.name)
     if (!reg.functionExists(bp))
       reg.registerFunction(bp, BpeTokenCount.info, BpeTokenCount.builder)
+    val ws = FunctionIdentifier(WinnowStats.name)
+    if (!reg.functionExists(ws))
+      reg.registerFunction(ws, WinnowStats.info, WinnowStats.builder)
     // sessions built without withExtensions still get the transparent
     // corrupt-date rebase via the user-provided optimizer batch; skip
     // when the extensions path already injected it (double installation
@@ -153,6 +159,15 @@ object GraftFunctions {
     call_function(NgramHashes.name, text,
       org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(distinct))
+  }
+
+  /** Column API for the native one-pass winnowing signature summary. */
+  def winnowStatsNative(
+      spark: SparkSession, text: Column, k: Int, w: Int): Column = {
+    ensureRegistered(spark)
+    call_function(WinnowStats.name, text,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
   }
 
   /** Column API for the native priority-merge BPE token count. */

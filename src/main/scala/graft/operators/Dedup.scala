@@ -594,6 +594,30 @@ object Dedup {
   def winnowedFingerprints(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4): DataFrame = {
+    // one native pass per document (graft_winnow_stats): the whole
+    // signature summary is a pure function of the text, so the query is
+    // scan + project — no gram explode, no doc-keyed window exchange,
+    // no aggregation exchange. Bit-identity to the Column composition
+    // below is pinned in NativeExprPropertySpec; the DuckDB oracle
+    // (string grams + window min + countDistinct) is unchanged.
+    val stats = graft.GraftFunctions
+      .winnowStatsNative(df.sparkSession, col(textCol), k, w)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), stats.as("__s"))
+      .select(col("doc_id"),
+        col("__s.n_windows").as("n_windows"),
+        col("__s.n_fp").as("n_fp"),
+        col("__s.fp_min").as("fp_min"),
+        col("__s.fp_max").as("fp_max"))
+  }
+
+  /** The pre-r11 Column composition of [[winnowedFingerprints]] — kept
+    * as the independent semantics witness the native kernel is pinned
+    * against (NativeExprPropertySpec), the same pattern as every other
+    * native kernel's composed twin. */
+  private[graft] def winnowedFingerprintsComposed(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), split(col(textCol), " ").as("__t"))

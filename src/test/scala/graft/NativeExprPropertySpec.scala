@@ -323,6 +323,30 @@ class Round4PropertySpec extends SparkSpec {
     }
   }
 
+  test("graft_winnow_stats == window/agg composition on corpus + edge docs") {
+    // edge docs hit every regime the kernel branches on: empty text
+    // (split -> [""], one clamped gram), single token, k-1 / k / k+w-1
+    // token boundaries (partial vs full windows), repeated spaces
+    // (EMPTY tokens rejoined into the same byte span), and non-ASCII
+    // multi-byte tokens
+    val edges = Seq(
+      (9001L, ""), (9002L, "solo"), (9003L, "a b c"), (9004L, "a b c d"),
+      (9005L, "a b c d e f g"), (9006L, "a  b   c d"), (9007L, "汉字 字 mixed 漢 字"),
+      (9008L, "x x x x x x x x x x")).toDF("doc_id", "text")
+    val docs = spark.read.parquet(sf("documents"))
+      .select(col("doc_id"), col("text")).union(edges)
+    for ((k, w) <- Seq((4, 4), (3, 5), (1, 1))) {
+      val nat = Dedup.winnowedFingerprints(docs, "doc_id", "text", k, w)
+      val comp = Dedup.winnowedFingerprintsComposed(docs, "doc_id", "text", k, w)
+        .withColumnsRenamed(Map("n_windows" -> "cw", "n_fp" -> "cf",
+          "fp_min" -> "cmin", "fp_max" -> "cmax"))
+      val joined = nat.join(comp, Seq("doc_id"), "full_outer")
+      assert(joined.filter(!(col("n_windows") <=> col("cw")) ||
+        !(col("n_fp") <=> col("cf")) || !(col("fp_min") <=> col("cmin")) ||
+        !(col("fp_max") <=> col("cmax"))).count() == 0, s"k=$k w=$w")
+    }
+  }
+
   test("Morton interleave == bit-by-bit reference on generated buckets") {
     def reference(bs: Seq[Long], bits: Int): Long = {
       var z = 0L
