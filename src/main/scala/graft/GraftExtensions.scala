@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomMightContain, BpeTokenCount, CharEntropy, CosineSimilarity, DsirBuckets, LangId, SortedPairs, MinHashSignature, NearestCentroid, NgramHashes, RepetitionStats, ShingleHashes, TokenFingerprint, UnicodeNormalize, WinnowStats}
+import graft.functions.{BloomMightContain, BpeTokenCount, CharEntropy, CosineSimilarity, DsirBuckets, LangId, SortedPairs, MinHashSignature, NearestCentroid, NgramHashes, RepetitionStats, ShingleHashes, TokenFingerprint, UnicodeNormalize, VecDot, WinnowStats, GramSpans}
 
 /** Session extension registering graft's native expressions, for use via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -55,6 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(WinnowStats.name), WinnowStats.info,
         WinnowStats.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(VecDot.name), VecDot.info, VecDot.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(GramSpans.name), GramSpans.info,
+        GramSpans.builder))
     ext.injectOptimizerRule(graft.plans.CorruptDateRebaseRule.apply)
   }
 }
@@ -109,6 +114,12 @@ object GraftFunctions {
     val ws = FunctionIdentifier(WinnowStats.name)
     if (!reg.functionExists(ws))
       reg.registerFunction(ws, WinnowStats.info, WinnowStats.builder)
+    val vd = FunctionIdentifier(VecDot.name)
+    if (!reg.functionExists(vd))
+      reg.registerFunction(vd, VecDot.info, VecDot.builder)
+    val gs = FunctionIdentifier(GramSpans.name)
+    if (!reg.functionExists(gs))
+      reg.registerFunction(gs, GramSpans.info, GramSpans.builder)
     // sessions built without withExtensions still get the transparent
     // corrupt-date rebase via the user-provided optimizer batch; skip
     // when the extensions path already injected it (double installation
@@ -159,6 +170,21 @@ object GraftFunctions {
     call_function(NgramHashes.name, text,
       org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(distinct))
+  }
+
+  /** Column API for the native DSIR score fold (n, dot) over a histogram. */
+  def vecDotNative(spark: SparkSession, counts: Column, weights: Column): Column = {
+    ensureRegistered(spark)
+    call_function(VecDot.name, counts, weights)
+  }
+
+  /** Column API for the native one-pass word n-gram string-span array. */
+  def gramSpansNative(
+      spark: SparkSession, text: Column, n: Int, clamp: Boolean): Column = {
+    ensureRegistered(spark)
+    call_function(GramSpans.name, text,
+      org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(clamp))
   }
 
   /** Column API for the native one-pass winnowing signature summary. */

@@ -3,12 +3,13 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Timing scratchpad — round 11d. A/B for the l20 winnowing rewrite:
-  * the one-pass native kernel (graft_winnow_stats: scan + project, no
-  * gram explode, no doc-keyed window exchange) vs the pre-r11 Column
-  * composition (explode + WindowExec + aggregation), interleaved in one
-  * session, min-of-3 after warmup, rows verified identical first. The
-  * partitions-32-vs-128 spill probe this replaces lives in git history.
+/** Timing scratchpad — round 11d (2). A/B for the l36/l38 interpreted-
+  * HOF rewrites (graft_gram_spans single-string bigrams; one-pass
+  * checkpointed DSIR histograms + graft_vec_dot score fold) against
+  * their pre-rewrite shapes, inlined here verbatim from git history —
+  * rows verified identical first, then interleaved min-of-3 in one
+  * JVM. The l20 native-vs-composed probe this replaces lives in git
+  * history (result: 5.398 → 0.475 s at sf1).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -27,20 +28,131 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
 
     def docs: DataFrame = Tables(spark, dir, "documents")
-    def native(): DataFrame =
-      operators.Dedup.winnowedFingerprints(docs, "doc_id", "text", 4, 4)
-    def composed(): DataFrame =
-      operators.Dedup.winnowedFingerprintsComposed(docs, "doc_id", "text", 4, 4)
 
-    // rows identical before timing anything
-    val diff = native().join(composed()
-        .withColumnsRenamed(Map("n_windows" -> "cw", "n_fp" -> "cf",
-          "fp_min" -> "cmin", "fp_max" -> "cmax")),
-      Seq("doc_id"), "full_outer")
-      .filter(!(col("n_windows") <=> col("cw")) || !(col("n_fp") <=> col("cf")) ||
-        !(col("fp_min") <=> col("cmin")) || !(col("fp_max") <=> col("cmax")))
-      .count()
-    println(s"row-diff (must be 0): $diff")
+    // ---- l36 old shape (pre-r11d, verbatim) ----
+    def l36Old(): DataFrame = {
+      val toks = docs.filter(col("text").isNotNull)
+        .select(col("doc_id").as("id"), split(col("text"), " ").as("ws"))
+      val bigrams = toks.filter(size(col("ws")) >= 2)
+        .select(col("id"), explode(transform(
+          sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("prev"),
+            element_at(col("ws"), i + 1).as("cur")))).as("b"))
+        .select(col("id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+      val uni = toks.select(explode(col("ws")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val total = uni.agg(sum(col("cu")).as("n"))
+      val big = bigrams.groupBy(col("prev"), col("cur"))
+        .agg(count(lit(1)).as("cb"))
+      val scored = big
+        .join(uni.select(col("w").as("prev"), col("cu").as("cup")), Seq("prev"))
+        .join(uni.select(col("w").as("cur"), col("cu").as("cuc")), Seq("cur"))
+        .crossJoin(broadcast(total))
+        .select(col("prev"), col("cur"),
+          floor(log(
+            lit(0.75) * col("cb").cast("double") / col("cup") +
+              lit(0.25) * col("cuc").cast("double") / col("n")) * 1e6)
+            .as("lp"))
+      bigrams
+        .join(scored, Seq("prev", "cur"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          floor(sum(col("lp")).cast("double") / count(lit(1)))
+            .as("lm2_score_micro"))
+        .withColumnRenamed("id", "doc_id")
+    }
+    def l36New(): DataFrame =
+      operators.TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+
+    // variant B: gram stream checkpointed (the l41 gramStream precedent)
+    def l36Chk(): DataFrame = {
+      val base = docs.filter(col("text").isNotNull)
+      val bigrams = base.select(col("doc_id").as("id"),
+        explode(graft.GraftFunctions
+          .gramSpansNative(spark, col("text"), 2, clamp = false)).as("g"))
+        .localCheckpoint(false)
+      val uni = base.select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val total = uni.agg(sum(col("cu")).as("n"))
+      val big = bigrams.groupBy(col("g")).agg(count(lit(1)).as("cb"))
+      val scored = big
+        .withColumn("prev", substring_index(col("g"), " ", 1))
+        .withColumn("cur", expr("substring(g, instr(g, ' ') + 1)"))
+        .join(uni.select(col("w").as("prev"), col("cu").as("cup")), Seq("prev"))
+        .join(uni.select(col("w").as("cur"), col("cu").as("cuc")), Seq("cur"))
+        .crossJoin(broadcast(total))
+        .select(col("g"),
+          floor(log(
+            lit(0.75) * col("cb").cast("double") / col("cup") +
+              lit(0.25) * col("cuc").cast("double") / col("n")) * 1e6)
+            .as("lp"))
+      bigrams
+        .join(scored, Seq("g"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          floor(sum(col("lp")).cast("double") / count(lit(1)))
+            .as("lm2_score_micro"))
+        .withColumnRenamed("id", "doc_id")
+    }
+
+    // ---- l38 old shape (pre-r11d, verbatim) ----
+    def l38Old(): DataFrame = {
+      val isTarget = col("lang") === "en"
+      def hist(withTgt: Boolean): DataFrame = {
+        val lead = Seq(col("doc_id").as("id")) ++
+          (if (withTgt) Seq(isTarget.as("tgt")) else Nil)
+        docs.filter(col("text").isNotNull)
+          .select(lead :+ graft.GraftFunctions
+            .dsirBucketsNative(spark, split(col("text"), " ")).as("counts"): _*)
+      }
+      val statsRows = hist(withTgt = true)
+        .select(col("tgt"), posexplode(col("counts")).as(Seq("b", "c")))
+        .filter(col("c") > 0)
+        .groupBy(col("b"))
+        .agg(sum(col("c")).as("cs"),
+          sum(when(col("tgt"), col("c")).otherwise(0L)).as("ct"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val ns = statsRows.map(_._2).sum
+      val nt = statsRows.map(_._3).sum
+      val dlogm = new Array[Long](256)
+      statsRows.foreach { case (b, cs, ct) =>
+        dlogm(b) =
+          math.floor(math.log((ct + 1).toDouble / (nt + 256).toDouble) * 1e6).toLong -
+            math.floor(math.log((cs + 1).toDouble / (ns + 256).toDouble) * 1e6).toLong
+      }
+      val u = (pmod(col("id") * 48271L + 11L, lit(2147483647L)) + 1L)
+        .cast("double") / 2147483648.0
+      hist(withTgt = false)
+        .select(col("id"),
+          aggregate(col("counts"), lit(0L),
+            (acc, c) => acc + c).as("n_feat"),
+          aggregate(zip_with(col("counts"), typedlit(dlogm.toSeq),
+              (c, d) => c.cast("long") * d),
+            lit(0L), (acc, x) => acc + x).as("weight_micro"))
+        .withColumn("gkey_micro",
+          col("weight_micro") +
+            floor(-log(-log(u)) * 1e6).cast("long"))
+        .orderBy(col("gkey_micro").desc, col("id").asc)
+        .limit(200)
+        .withColumnRenamed("id", "doc_id")
+    }
+    def l38New(): DataFrame =
+      operators.TextAnalysis.dsirWeights(
+        docs, "doc_id", "text", col("lang") === "en", topK = 200)
+        .withColumnRenamed("id", "doc_id")
+
+    def rowDiff(a: DataFrame, b: DataFrame, cols: Seq[String]): Long = {
+      val bb = b.withColumnsRenamed(cols.map(c => c -> s"__$c").toMap)
+      a.join(bb, Seq("doc_id"), "full_outer")
+        .filter(cols.map(c => !(col(c) <=> col(s"__$c"))).reduce(_ || _))
+        .count()
+    }
+    println("l36 row-diff (must be 0): " +
+      rowDiff(l36New(), l36Old(), Seq("n_bigrams", "lm2_score_micro")))
+    println("l38 row-diff (must be 0): " +
+      rowDiff(l38New(), l38Old(), Seq("n_feat", "weight_micro", "gkey_micro")))
 
     def time(f: () => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -52,16 +164,20 @@ object Scratch {
       spark.sql("select 1").write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    time(native); time(composed) // warmup both paths
-    var bn = 1e9; var bc = 1e9
-    for (_ <- 1 to 3) {
-      bn = math.min(bn, time(native))
-      bc = math.min(bc, time(composed))
+    for ((tag, nf, of) <- Seq(
+        ("l36", () => l36New(), () => l36Old()),
+        ("l36chk", () => l36Chk(), () => l36New()),
+        ("l38", () => l38New(), () => l38Old()))) {
+      time(nf); time(of) // warmup both paths
+      var bn = 1e9; var bo = 1e9
+      for (_ <- 1 to 3) {
+        bn = math.min(bn, time(nf))
+        bo = math.min(bo, time(of))
+      }
+      val load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      println(f"$tag%-4s new=$bn%.3f  old=$bo%.3f  (b1=$b1t%.3f load=$load%.2f sf=$dir)")
     }
-    val load = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    println(f"l20 winnowing  native=$bn%.3f  composed=$bc%.3f  " +
-      f"(b1=$b1t%.3f load=$load%.2f sf=$dir)")
     spark.stop()
   }
 }

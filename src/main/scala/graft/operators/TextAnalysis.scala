@@ -187,38 +187,46 @@ object TextAnalysis {
     *
     * Output: (id, n_bigrams, lm2_score_micro) — docs with ≥2 tokens. */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
-    val bigrams = toks.filter(size(col("ws")) >= 2)
-      .select(col("id"), explode(transform(
-        sequence(lit(1), size(col("ws")) - 1),
-        i => struct(element_at(col("ws"), i).as("prev"),
-          element_at(col("ws"), i + 1).as("cur")))).as("b"))
-      .select(col("id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
-    val uni = toks.select(explode(col("ws")).as("w"))
+    val spark = df.sparkSession
+    val base = df.filter(col(textCol).isNotNull)
+    // the gram stream: ONE native byte-span pass per reference
+    // (graft_gram_spans — the transform(sequence(...), struct(...))
+    // HOF build it replaces evaluated INTERPRETED per row and was the
+    // query's dominant per-row cost; bit-equality pinned in
+    // NativeExprPropertySpec). The gram travels as the SINGLE string
+    // "prev cur" — the document's original byte span — so every
+    // downstream exchange, aggregation, and join probe keys one string
+    // instead of a two-string struct. clamp = false: sub-2-token docs
+    // contribute no bigrams, exactly like the old size >= 2 filter.
+    def bigrams = base.select(col(idCol).as("id"),
+      explode(graft.GraftFunctions
+        .gramSpansNative(spark, col(textCol), 2, clamp = false)).as("g"))
+    val uni = base.select(explode(split(col(textCol), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cu"))
     val total = uni.agg(sum(col("cu")).as("n"))
-    val big = bigrams.groupBy(col("prev"), col("cur"))
-      .agg(count(lit(1)).as("cb"))
+    val big = bigrams.groupBy(col("g")).agg(count(lit(1)).as("cb"))
     // fuse the three count tables FIRST: big⋈uni⋈uni⋈total moves only
-    // vocab-sized data, yielding one (prev, cur, lp) lookup. The raw
-    // bigram stream then crosses exactly ONE join (AQE broadcasts the
-    // lookup at small scale; past the threshold it degrades to a single
-    // stream shuffle on the pair key) instead of the old chain that
-    // re-exchanged the full doc-grain stream on (prev,cur), prev, cur
-    // in turn. Per-occurrence lp values are unchanged, so the exact
-    // BIGINT sums — and the oracle hash — are too.
+    // vocab-sized data, yielding one (g, lp) lookup. prev/cur reappear
+    // here by splitting the gram at its FIRST space (tokens cannot
+    // contain spaces; empty tokens split back correctly) — vocab-sized
+    // work. The raw gram stream then crosses exactly ONE join (AQE
+    // broadcasts the lookup at small scale; past the threshold it
+    // degrades to a single stream shuffle on the gram key). Per-
+    // occurrence lp values are unchanged, so the exact BIGINT sums —
+    // and the oracle hash — are too.
     val scored = big
+      .withColumn("prev", substring_index(col("g"), " ", 1))
+      .withColumn("cur", expr("substring(g, instr(g, ' ') + 1)"))
       .join(uni.select(col("w").as("prev"), col("cu").as("cup")), Seq("prev"))
       .join(uni.select(col("w").as("cur"), col("cu").as("cuc")), Seq("cur"))
       .crossJoin(broadcast(total))
-      .select(col("prev"), col("cur"),
+      .select(col("g"),
         floor(log(
           lit(0.75) * col("cb").cast("double") / col("cup") +
             lit(0.25) * col("cuc").cast("double") / col("n")) * 1e6)
           .as("lp"))
     bigrams
-      .join(scored, Seq("prev", "cur"))
+      .join(scored, Seq("g"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
         floor(sum(col("lp")).cast("double") / count(lit(1)))
@@ -679,24 +687,29 @@ object TextAnalysis {
       isTarget: Column,
       topK: Int): DataFrame = {
     val spark = df.sparkSession
-    // per-doc 256-bucket gram histogram: ONE native pass per DSIR pass
+    // per-doc 256-bucket gram histogram: ONE native pass TOTAL
     // (graft_dsir_buckets — no bigram strings, no hex, no gram explode),
     // property-pinned bit-identical to the portable md5-hex composition
-    // the ORACLE uses (NativeExprPropertySpec)
-    def hist(withTgt: Boolean): DataFrame = {
-      val lead = Seq(col(idCol).as("id")) ++
-        (if (withTgt) Seq(isTarget.as("tgt")) else Nil)
-      df.filter(col(textCol).isNotNull)
-        .select(lead :+ graft.GraftFunctions
-          .dsirBucketsNative(spark, split(col(textCol), " ")).as("counts"): _*)
-    }
+    // the ORACLE uses (NativeExprPropertySpec). Lazily checkpointed so
+    // the fit aggregation and the score projection both read the
+    // materialized histograms instead of re-hashing every gram (the
+    // second MD5 corpus pass was half the query): the checkpoint is a
+    // FIXED 256 ints + flag per document — orders of magnitude under
+    // the text it summarizes — and the fit's collect() action
+    // materializes it before the score job reads blocks (the l11/j22
+    // lazy-checkpoint precedent).
+    val hist = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), isTarget.as("tgt"),
+        graft.GraftFunctions
+          .dsirBucketsNative(spark, split(col(textCol), " ")).as("counts"))
+      .localCheckpoint(false)
     // fit pass: ≤256 ints per doc into one bucket-keyed aggregate
     // (map-side partials carry ≤256 rows per task), collected (bounded
     // stat). (c+1)/(N+256) divides exact integers → identical doubles →
     // ln differs by at most the libm ulp both engines share (the l10
     // precedent); computed here with the same JVM Math.log/floor the
     // in-plan expression would use.
-    val statsRows = hist(withTgt = true)
+    val statsRows = hist
       .select(col("tgt"), posexplode(col("counts")).as(Seq("b", "c")))
       .filter(col("c") > 0)
       .groupBy(col("b"))
@@ -714,16 +727,17 @@ object TextAnalysis {
     }
     val u = (pmod(col("id") * 48271L + 11L, lit(2147483647L)) + 1L)
       .cast("double") / 2147483648.0
-    // score pass: per-row zip against the 256-long literal — fully
-    // scan-local, ZERO exchanges ahead of the global top-k heap
-    // (TakeOrderedAndProject)
-    hist(withTgt = false)
+    // score pass: one native codegen'd fold against the 256-long
+    // literal (graft_vec_dot — the aggregate/zip_with HOF pair it
+    // replaces evaluated INTERPRETED per row; bit-equality pinned in
+    // NativeExprPropertySpec) — fully scan-local, ZERO exchanges ahead
+    // of the global top-k heap (TakeOrderedAndProject)
+    hist
       .select(col("id"),
-        aggregate(col("counts"), lit(0L),
-          (acc, c) => acc + c).as("n_feat"),
-        aggregate(zip_with(col("counts"), typedlit(dlogm.toSeq),
-            (c, d) => c.cast("long") * d),
-          lit(0L), (acc, x) => acc + x).as("weight_micro"))
+        graft.GraftFunctions.vecDotNative(spark,
+          col("counts"), typedlit(dlogm.toSeq)).as("__d"))
+      .select(col("id"),
+        col("__d.n").as("n_feat"), col("__d.dot").as("weight_micro"))
       .withColumn("gkey_micro",
         col("weight_micro") +
           floor(-log(-log(u)) * 1e6).cast("long"))

@@ -347,6 +347,63 @@ class Round4PropertySpec extends SparkSpec {
     }
   }
 
+  test("graft_gram_spans == transform/slice compositions on corpus + edge docs") {
+    val edges = Seq(
+      (9001L, ""), (9002L, "solo"), (9003L, "a b"), (9004L, "a b c d e"),
+      (9005L, "a  b   c"), (9006L, " leading two  empties"),
+      (9007L, "汉字 字 mixed 漢"), (9008L, "trailing space ")).toDF("doc_id", "text")
+    val docs = spark.read.parquet(sf("documents"))
+      .select(col("doc_id"), col("text")).union(edges)
+      .filter(col("text").isNotNull)
+    // clamp = false, n = 2: the l36 bigram build it replaced
+    val bigComposed = docs.select(col("doc_id"),
+      when(size(split(col("text"), " ")) >= 2,
+        expr("transform(sequence(1, size(split(text, ' ')) - 1)," +
+          " i -> concat_ws(' ', element_at(split(text, ' '), i)," +
+          " element_at(split(text, ' '), i + 1)))"))
+        .otherwise(typedlit(Array.empty[String])).as("comp"))
+    val big = docs.select(col("doc_id"),
+      graft.GraftFunctions.gramSpansNative(spark, col("text"), 2, clamp = false)
+        .as("nat"))
+    assert(big.join(bigComposed, Seq("doc_id"))
+      .filter(!(col("nat") <=> col("comp"))).count() == 0)
+    // clamp = true, n = 4: the winnowing gram build (sub-k docs keep one
+    // clamped gram)
+    val winComposed = docs.select(col("doc_id"),
+      expr("transform(sequence(0, greatest(size(split(text, ' ')) - 4, 0))," +
+        " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 4)))").as("comp"))
+    val win = docs.select(col("doc_id"),
+      graft.GraftFunctions.gramSpansNative(spark, col("text"), 4, clamp = true)
+        .as("nat"))
+    assert(win.join(winComposed, Seq("doc_id"))
+      .filter(!(col("nat") <=> col("comp"))).count() == 0)
+  }
+
+  test("graft_vec_dot == aggregate/zip_with HOF fold on generated histograms") {
+    val cGen = Gen.listOfN(256, Gen.chooseNum(0, 1000))
+    val rows = (1 to 60).map { seed =>
+      Tuple1(cGen.pureApply(Gen.Parameters.default, Seed(seed.toLong)).toArray)
+    }
+    val df = rows.toDF("counts")
+    val wGen = Gen.listOfN(256, Gen.chooseNum(-2000000L, 2000000L))
+    for (wseed <- Seq(1L, 2L)) {
+      val w = wGen.pureApply(Gen.Parameters.default, Seed(wseed)).toArray
+      val wLit = typedlit(w.toSeq)
+      val both = df.select(
+        aggregate(col("counts"), lit(0L), (a, c) => a + c).as("nh"),
+        aggregate(zip_with(col("counts"), wLit, (c, d) => c.cast("long") * d),
+          lit(0L), (a, x) => a + x).as("dh"),
+        graft.GraftFunctions.vecDotNative(spark, col("counts"), wLit).as("nat"))
+      assert(both.filter(col("nat.n") =!= col("nh") ||
+        col("nat.dot") =!= col("dh")).count() == 0, s"wseed=$wseed")
+    }
+    // empty histogram and the real corpus histograms
+    assert(Seq(Tuple1(Array.empty[Int])).toDF("counts")
+      .select(graft.GraftFunctions.vecDotNative(spark, col("counts"),
+        typedlit(Seq.fill(256)(3L))).as("d"))
+      .filter(col("d.n") =!= 0L || col("d.dot") =!= 0L).count() == 0)
+  }
+
   test("Morton interleave == bit-by-bit reference on generated buckets") {
     def reference(bs: Seq[Long], bits: Int): Long = {
       var z = 0L
