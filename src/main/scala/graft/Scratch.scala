@@ -149,10 +149,6 @@ object Scratch {
         .filter(cols.map(c => !(col(c) <=> col(s"__$c"))).reduce(_ || _))
         .count()
     }
-    println("l36 row-diff (must be 0): " +
-      rowDiff(l36New(), l36Old(), Seq("n_bigrams", "lm2_score_micro")))
-    println("l38 row-diff (must be 0): " +
-      rowDiff(l38New(), l38Old(), Seq("n_feat", "weight_micro", "gkey_micro")))
 
     def time(f: () => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -164,9 +160,53 @@ object Scratch {
       spark.sql("select 1").write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // sf10 decomposition probes
+    def l36Bcast(): DataFrame = {
+      val base = docs.filter(col("text").isNotNull)
+      def bigrams = base.select(col("doc_id").as("id"),
+        explode(graft.GraftFunctions
+          .gramSpansNative(spark, col("text"), 2, clamp = false)).as("g"))
+      val uni = base.select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val total = uni.agg(sum(col("cu")).as("n"))
+      val big = bigrams.groupBy(col("g")).agg(count(lit(1)).as("cb"))
+      val scored = big
+        .withColumn("prev", substring_index(col("g"), " ", 1))
+        .withColumn("cur", expr("substring(g, instr(g, ' ') + 1)"))
+        .join(uni.select(col("w").as("prev"), col("cu").as("cup")), Seq("prev"))
+        .join(uni.select(col("w").as("cur"), col("cu").as("cuc")), Seq("cur"))
+        .crossJoin(broadcast(total))
+        .select(col("g"),
+          floor(log(
+            lit(0.75) * col("cb").cast("double") / col("cup") +
+              lit(0.25) * col("cuc").cast("double") / col("n")) * 1e6)
+            .as("lp"))
+      bigrams
+        .join(broadcast(scored), Seq("g"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          floor(sum(col("lp")).cast("double") / count(lit(1)))
+            .as("lm2_score_micro"))
+        .withColumnRenamed("id", "doc_id")
+    }
+    // l38 pieces: histogram build alone, fit aggregation alone
+    def l38Hist(): DataFrame =
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id").as("id"), (col("lang") === "en").as("tgt"),
+          graft.GraftFunctions
+            .dsirBucketsNative(spark, split(col("text"), " ")).as("counts"))
+    def l38Fit(): DataFrame =
+      l38Hist()
+        .select(col("tgt"), posexplode(col("counts")).as(Seq("b", "c")))
+        .filter(col("c") > 0)
+        .groupBy(col("b"))
+        .agg(sum(col("c")).as("cs"),
+          sum(when(col("tgt"), col("c")).otherwise(0L)).as("ct"))
+    println("l36bcast row-diff (must be 0): " +
+      rowDiff(l36Bcast(), l36New(), Seq("n_bigrams", "lm2_score_micro")))
     for ((tag, nf, of) <- Seq(
-        ("l36", () => l36New(), () => l36Old()),
-        ("l36chk", () => l36Chk(), () => l36New()),
+        ("l36bcast_vs_new", () => l36Bcast(), () => l36New()),
+        ("l38hist_vs_fit", () => l38Hist(), () => l38Fit()),
         ("l38", () => l38New(), () => l38Old()))) {
       time(nf); time(of) // warmup both paths
       var bn = 1e9; var bo = 1e9

@@ -186,7 +186,9 @@ object TextAnalysis {
     * and summation-order-independent.
     *
     * Output: (id, n_bigrams, lm2_score_micro) — docs with ≥2 tokens. */
-  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bigramLmScore(
+      df: DataFrame, idCol: String, textCol: String,
+      broadcastModel: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val base = df.filter(col(textCol).isNotNull)
     // the gram stream: ONE native byte-span pass per reference
@@ -225,8 +227,21 @@ object TextAnalysis {
           lit(0.75) * col("cb").cast("double") / col("cup") +
             lit(0.25) * col("cuc").cast("double") / col("n")) * 1e6)
           .as("lp"))
+    // broadcastModel: the (g, lp) model is VOCABULARY-sized — it does
+    // not grow with corpus VOLUME once the vocabulary saturates, but it
+    // is data-derived, so it is not "provably small" by schema the way
+    // a dimension table is. AQE broadcasts it while its measured
+    // shuffle size fits the (conservative, 10 MB) threshold; past that
+    // it degrades the stream to a gram-keyed shuffle — correct on a
+    // cluster, but measured 4.8× the broadcast plan single-node at
+    // sf10 (53.1 vs 11.1 s, BASELINE.md r11d) because the 26.5M-row
+    // stream pays a string-keyed exchange to meet a 12 MB model.
+    // Callers that have MEASURED the vocabulary (the l36 QDef gates on
+    // a statsCache'd approx-distinct-gram count per source version —
+    // the l13/w3b cached-stat precedent) pass broadcastModel = true
+    // and keep the exchange-free stream at any volume the gate admits.
     bigrams
-      .join(scored, Seq("g"))
+      .join(if (broadcastModel) broadcast(scored) else scored, Seq("g"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
         floor(sum(col("lp")).cast("double") / count(lit(1)))

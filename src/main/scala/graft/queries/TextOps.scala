@@ -493,11 +493,30 @@ object TextOps extends QGroup {
     // Bigrams generate scan-locally per document; the count tables are
     // vocab-sized; log-probs floor-scale to micro-nats before the
     // BIGINT sum (the l10 determinism recipe).
+    // The scoring model (g → lp) is vocabulary-sized; whether it
+    // broadcasts is gated on a MEASURED per-source-version vocabulary
+    // stat (approx distinct bigrams, statsCache'd on the (mtime,
+    // length) version key — the l13 bloom precedent: a once-per-
+    // snapshot corpus pass a warehouse already has). ≤4M grams ≈ a
+    // few hundred MB broadcast — exchange-free stream scoring; past
+    // the gate the stream shuffles on the gram key, the correct
+    // cluster plan for an open vocabulary. Measured at sf10 (265k-gram
+    // vocab, 26.5M-row stream): broadcast 11.1 s vs shuffle 53.1 s.
     QDef("l36_bigram_lm_score",
-      (s, dir) =>
-        TextAnalysis.bigramLmScore(
-          Tables(s, dir, "documents"), "doc_id", "text")
-          .withColumnRenamed("id", "doc_id"),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val f = new java.io.File(s"$dir/documents.parquet")
+        val vocab = QShared.statsCache.computeIfAbsent(
+          (s, dir, "l36_bigram_vocab", (f.lastModified, f.length)), _ =>
+            Long.box(docs.filter(col("text").isNotNull)
+              .select(explode(graft.GraftFunctions
+                .gramSpansNative(s, col("text"), 2, clamp = false)).as("g"))
+              .agg(approx_count_distinct(col("g")).as("v"))
+              .head().getLong(0))).asInstanceOf[java.lang.Long]
+        TextAnalysis.bigramLmScore(docs, "doc_id", "text",
+          broadcastModel = vocab <= 4000000L)
+          .withColumnRenamed("id", "doc_id")
+      },
       Some("""WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents WHERE text IS NOT NULL),
