@@ -538,6 +538,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange SinglePartition"), p)
   }
 
+  test("l20: winnowing is scan + project — zero exchanges, no window, no agg") {
+    val p = planOf("l20_winnowing")
+    assert(p.contains("graft_winnow_stats"), p)
+    assert(!p.contains("Exchange"), s"l20 must stay exchange-free:\n$p")
+    assert(!p.contains("Window") && !p.contains("HashAggregate"),
+      s"the per-doc stats are a pure projection:\n$p")
+  }
+
+  test("l36: under the vocabulary gate the gram stream meets the model " +
+      "via BroadcastHashJoin (no stream-side exchange)") {
+    val p = planOf("l36_bigram_lm_score")
+    assert(p.contains("graft_gram_spans"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"gated model broadcast expected at certified SFs:\n$p")
+    // the stream side appears twice (count + probe): neither occurrence
+    // may exchange on the gram ahead of the final per-doc aggregation —
+    // the only gram-keyed exchange allowed is the model build's
+    val gramEx = "Exchange hashpartitioning\\(g#\\d+".r.findAllIn(p).size
+    assert(gramEx <= 1, s"stream must not shuffle on the gram key:\n$p")
+  }
+
+  test("l38: scoring is scan-shaped — vec_dot projection straight into " +
+      "the global top-k heap, no exchange past the checkpoint") {
+    val p = planOf("l38_dsir_select")
+    assert(p.contains("graft_vec_dot"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"score pass must not shuffle:\n$p")
+  }
+
   test("w3b @100TB posture: the SHIPPED QDef decomposes above the size gate") {
     // the sysprop lowers only the DEFAULT threshold (explicit callers
     // unaffected), so this drives the exact shipped query — not a
