@@ -3,13 +3,19 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Timing scratchpad — round 11d (2). A/B for the l36/l38 interpreted-
-  * HOF rewrites (graft_gram_spans single-string bigrams; one-pass
-  * checkpointed DSIR histograms + graft_vec_dot score fold) against
-  * their pre-rewrite shapes, inlined here verbatim from git history —
-  * rows verified identical first, then interleaved min-of-3 in one
-  * JVM. The l20 native-vs-composed probe this replaces lives in git
-  * history (result: 5.398 → 0.475 s at sf1).
+/** Timing scratchpad — round 11d (final state). A/B harness for the
+  * text-kernel rewrites: the pre-rewrite l36/l38 shapes inlined
+  * verbatim from git history, the shipped shapes, and the sf10
+  * decomposition probes (l36 broadcast-vs-shuffle; l38 hist vs
+  * unfused fit). Results, all recorded in BASELINE.md r11d with rows
+  * verified identical before timing: l36 old 6.2–7.2 → 3.5–3.8 s at
+  * sf1, then 53.1 → 11.1 s at sf10 with the model broadcast (shipped
+  * as the stats-gated QDef); l38 6.0–6.1 → 1.4 s at sf1 (hist
+  * checkpoint + vec_dot), the unfused fit re-measuring 31.4 vs 13.7 s
+  * at sf10; the l36 gram-stream checkpoint variant (l36Chk) measured
+  * WORSE (4.78 vs 4.03) — the rescan-beats-materialize negative. The
+  * l20 native-vs-composed probe lives one Scratch revision back
+  * (5.398 → 0.475 s at sf1).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {

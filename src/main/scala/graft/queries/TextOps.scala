@@ -513,8 +513,13 @@ object TextOps extends QGroup {
                 .gramSpansNative(s, col("text"), 2, clamp = false)).as("g"))
               .agg(approx_count_distinct(col("g")).as("v"))
               .head().getLong(0))).asInstanceOf[java.lang.Long]
+        // gate knob overridable for specs (the rangeframe precedent):
+        // PlanSpec flips it to 0 to certify the past-the-gate shuffle
+        // shape without manufacturing a 4M-gram corpus
+        val gateMax = sys.props.get("graft.l36.broadcastVocabMax")
+          .map(_.toLong).getOrElse(4000000L)
         TextAnalysis.bigramLmScore(docs, "doc_id", "text",
-          broadcastModel = vocab <= 4000000L)
+          broadcastModel = vocab <= gateMax)
           .withColumnRenamed("id", "doc_id")
       },
       Some("""WITH d AS (

@@ -559,6 +559,27 @@ class PlanSpec extends SparkSpec {
     assert(gramEx <= 1, s"stream must not shuffle on the gram key:\n$p")
   }
 
+  test("l36 past the vocabulary gate: the model is NOT broadcast-hinted " +
+      "(open-vocabulary cluster shape)") {
+    System.setProperty("graft.l36.broadcastVocabMax", "0")
+    try {
+      val p = planOf("l36_bigram_lm_score")
+      // without the gate's hint the optimizer decides from its own
+      // estimates; what the gate certifies is that the model-probe
+      // HINT is absent when the vocabulary is unbounded (AQE may still
+      // pick broadcast at tiny SFs from actual sizes — that's its
+      // call). The grand-total crossJoin carries its own always-on
+      // broadcast hint, so past the gate exactly ONE ResolvedHint
+      // remains; under it, TWO (the l36 test above certifies the
+      // gated physical BroadcastHashJoin directly).
+      val lp = SparkEntry.queries("l36_bigram_lm_score")(spark, dir)
+        .queryExecution.analyzed.toString
+      assert("ResolvedHint".r.findAllIn(lp).size == 1,
+        s"only the grand-total hint expected past the gate:\n$lp")
+      assert(p.nonEmpty)
+    } finally System.clearProperty("graft.l36.broadcastVocabMax")
+  }
+
   test("l38: scoring is scan-shaped — vec_dot projection straight into " +
       "the global top-k heap, no exchange past the checkpoint") {
     val p = planOf("l38_dsir_select")
