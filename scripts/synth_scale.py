@@ -4,12 +4,49 @@
 Round-11 verdict #1: FLOORS.md's central argument — per-query constants
 and JVM row-work premiums amortize with data volume, so the sf0.1 ratios
 are upper bounds — was extrapolated from sf0.001→0.01→0.1 marginals.
-This script manufactures the next decade so the claim can be MEASURED:
-a same-day bracketed Spark/DuckDB pairing of the headline shapes plus
-the entire >2× residual set at ~sf1 (6M-row lineitem).
+This script manufactures the next decades so the claim can be MEASURED.
 
-Synthesis (deterministic, no RNG — the replica index is the only new
-information):
+Round-12 fix (r11 verdict "Next round" #1): text and embeddings are no
+longer replicated VERBATIM.  Verbatim replication made the corpus 90%+
+exact duplicates by construction, so pair/clique-bounded ops (l14's
+prefix blocks, l1c's inverted index, l34's cross-source grams, LSH
+cliques) grew QUADRATICALLY in the replica count — a synthesis artifact,
+not engine behavior, which blocked the full-suite sf10 pairing.  Now
+each replica i applies a deterministic content bijection:
+
+  - documents.text: an affine substitution cipher per replica —
+    letter c → (a·c + b) mod 26 with a = COPRIMES[(i/26) mod 12],
+    b = i mod 26 (digits shift by i mod 10; case preserved).  Replica 0
+    is the identity (a=1, b=0), so the original sf0.1 corpus is a
+    subset and doc_id-sliced queries (l23 doc_id<150, l25 doc_id<300)
+    see byte-identical inputs at every SF.  The cipher is a bijection
+    on characters, hence on tokens and on n-grams: WITHIN a replica the
+    whole similarity structure (token/gram Jaccard, exact-dup families,
+    edit-distance blocks, winnowing spans) is preserved EXACTLY, while
+    ACROSS replicas token/gram overlap collapses to ~zero (two distinct
+    affine maps agree on a whole word only by collision).  Lengths are
+    preserved character-for-character, so n_chars stays consistent and
+    per-doc kernels (l20/l36/l38) do identical work.  (i, cipher) is
+    injective for i < 312 — asserted below.
+  - embeddings.embedding: rotate coordinates by i mod dim and negate
+    when (i/dim) is odd.  Both transforms preserve norms and all
+    WITHIN-replica cosine similarities exactly (same map applied to
+    every vector of the replica); across replicas the dot pairs
+    unrelated coordinates, so near-dup thresholds are no longer met by
+    construction.  Replica 0 is the identity passthrough (bit-exact).
+    (i, transform) is injective for i < 2·dim = 128 — asserted below.
+  - Vocabulary SHAPE is preserved (each replica's vocab is the same
+    size with the same frequency profile); the UNION vocabulary grows
+    ~linearly with replicas, which is the direction a real decade of
+    crawl data moves (new sources bring new vocabulary).  Content
+    semantics that key on real words (stopword lists, langid n-grams)
+    see cipher-text for replicas i>0 — both engines read the same
+    files, so pairings and oracles are unaffected; only the HIT RATE of
+    word-list heuristics drops, which shrinks (never inflates) the
+    downstream work those queries feed.
+
+Base synthesis (unchanged from round 11; deterministic, no RNG — the
+replica index is the only new information):
   - region/nation: unchanged (dimensions; TPC-H holds them constant).
   - Every other table is the UNION of REPLICAS copies, replica i
     offsetting each surrogate key by i * OFFSET (OFFSET = 10^9, far
@@ -23,13 +60,6 @@ information):
   - Timestamps/dates are kept as-is: ×10 density per day/time-bucket,
     the same window-count the window/event queries see in production
     as volume grows.
-  - documents/embeddings: text/vectors are replicated VERBATIM under
-    remapped ids — at this scale the corpus is 90% exact duplicates by
-    construction, a realistic (if extreme) crawl-dedup workload. The
-    pairing set below doesn't include the LSH-clique near-dup queries,
-    whose candidate-pair counts would be dominated by this synthetic
-    cliquing rather than engine behavior; per-doc queries (l20
-    winnowing, l36 LM score, l38 DSIR) are unaffected.
 
 DuckDB writes parquet with row-group sizes Spark reads fine; events.ts
 round-trips as TIMESTAMP (µs) — graft.Tables normalizes any encoding to
@@ -63,27 +93,75 @@ KEYED = {
 }
 VERBATIM = ["region", "nation"]
 
+# a values coprime to 26 — index 0 is 1 so replica 0 is the identity map
+COPRIMES = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+assert REPLICAS <= 26 * len(COPRIMES), "cipher (a,b) space exhausted"
+assert REPLICAS <= 128, "embedding (rotation, sign) space exhausted (dim=64)"
+
+LOWER = "abcdefghijklmnopqrstuvwxyz"
+UPPER = LOWER.upper()
+DIGIT = "0123456789"
+
+
+def cipher_pair(i: int):
+    """(src, dst) translate alphabets for replica i; identity for i=0."""
+    a = COPRIMES[(i // 26) % len(COPRIMES)]
+    b = i % 26
+    lo = "".join(LOWER[(a * k + b) % 26] for k in range(26))
+    up = "".join(UPPER[(a * k + b) % 26] for k in range(26))
+    dg = "".join(DIGIT[(k + i) % 10] for k in range(10))
+    return LOWER + UPPER + DIGIT, lo + up + dg
+
+
+# injectivity guard: no two replicas share a text transform
+assert len({cipher_pair(i)[1] for i in range(REPLICAS)}) == REPLICAS
+
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
 con.execute(f"SET threads = {min(32, os.cpu_count() or 8)}")
+
+# replica-indexed cipher map joined into the documents projection
+con.execute("CREATE TEMP TABLE cipher (i INTEGER, src VARCHAR, dst VARCHAR)")
+con.executemany("INSERT INTO cipher VALUES (?, ?, ?)",
+                [(i, *cipher_pair(i)) for i in range(REPLICAS)])
+
+# per-column projection overrides applied on top of the key offsets;
+# expressions may reference r.i (replica index) and c.* (cipher row)
+TRANSFORMS = {
+    "documents": {
+        "text": ("CASE WHEN r.i = 0 THEN text "
+                 "ELSE translate(text, c.src, c.dst) END AS text"),
+    },
+    "embeddings": {
+        "embedding": (
+            "CASE WHEN r.i = 0 THEN embedding ELSE CAST(list_transform("
+            "  list_slice(embedding, (r.i % len(embedding)) + 1, len(embedding))"
+            "  || list_slice(embedding, 1, r.i % len(embedding)),"
+            "  e -> e * (CASE WHEN (r.i // len(embedding)) % 2 = 1"
+            "            THEN -1 ELSE 1 END)) AS FLOAT[]) END AS embedding"),
+    },
+}
 
 for t in VERBATIM:
     con.execute(
         f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
         f"TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
-    print(f"{t}: copied verbatim")
+    print(f"{t}: copied verbatim", flush=True)
 
 for t, keys in KEYED.items():
     cols = [r[0] for r in con.execute(
         f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')").fetchall()]
+    over = TRANSFORMS.get(t, {})
     proj = ", ".join(
-        f"{c} + r.i * {OFFSET} AS {c}" if c in keys else c for c in cols)
+        over.get(c, f"{c} + r.i * {OFFSET} AS {c}" if c in keys else c)
+        for c in cols)
+    join = "JOIN cipher c ON c.i = r.i" if t in TRANSFORMS else ""
     con.execute(
         f"COPY (SELECT {proj} "
         f"      FROM read_parquet('{SRC}/{t}.parquet') "
-        f"      CROSS JOIN (SELECT unnest(range({REPLICAS})) AS i) r) "
+        f"      CROSS JOIN (SELECT unnest(range({REPLICAS})) AS i) r {join}) "
         f"TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
     n = con.execute(f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet')").fetchone()[0]
-    print(f"{t}: {n} rows ({REPLICAS} replicas, keys {keys})")
+    print(f"{t}: {n} rows ({REPLICAS} replicas, keys {keys})", flush=True)
 
 print(f"done -> {DST}")

@@ -107,8 +107,14 @@ object Bench {
     // DuckDB wall-times for the same oracle SQL on the same data (committed
     // out-of-band by scripts/baseline_times.py) -> per-query ratios.
     var baselineMeta: String = ""
+    var baselineSfDir: String = ""
     val baseline: Map[String, Double] = {
-      val p = java.nio.file.Paths.get("BASELINE_TIMES.json")
+      // SPARK_GRAFT_BASELINE points a pairing at a non-default
+      // denominator snapshot (e.g. BASELINE_TIMES_SF10.json for an sf10
+      // run) without overwriting the committed sf0.1 gate basis; the
+      // sf_dir guard above still applies to whatever file is named.
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_TIMES.json"))
       if (!java.nio.file.Files.exists(p)) Map.empty
       else
         try {
@@ -140,12 +146,13 @@ object Bench {
             // write-lane queries ("symmetric-write-lane"); older
             // snapshots ratioed them against read-only oracle SQL
             val basis = meta.path("basis").asText("read-only-oracles")
+            baselineSfDir = meta.path("sf_dir").asText("")
             val mtime = java.time.Instant
               .ofEpochMilli(java.nio.file.Files.getLastModifiedTime(p).toMillis)
               .toString
             baselineMeta =
               s""","baseline":{"generated_at":"$gen","file_mtime":"$mtime"""" +
-                s""","basis":"$basis"""" +
+                s""","basis":"$basis","sf_dir":"$baselineSfDir"""" +
                 f""","total_sec":$tot%.3f}"""
             times.fieldNames.asScala
               .map(k => k -> times.get(k).asDouble()).toMap
@@ -156,10 +163,23 @@ object Bench {
             Map.empty[String, Double]
         }
     }
-    val ratios = results.collect {
-      case (k, v) if v >= 0 && baseline.get(k).exists(_ > 0) =>
-        k -> v / baseline(k)
-    }
+    // ratio provenance guard (r11 verdict #5): a Spark leg on one SF
+    // ratioed against a denominator measured on ANOTHER SF is not a
+    // pairing — PROBES.jsonl once printed 6.51 for a run that was
+    // actually 0.786x. When the bench dir differs from the committed
+    // denominator's sf_dir (old snapshots without sf_dir fail CLOSED),
+    // every ratio field is suppressed and the artifact says why.
+    val sfMatch = baselineSfDir == sfDir
+    if (baseline.nonEmpty && !sfMatch)
+      System.err.println(
+        s"[bench] BASELINE_TIMES.json was measured on '$baselineSfDir' " +
+          s"but this run is on '$sfDir' - ratios suppressed")
+    val ratios =
+      if (!sfMatch) Seq.empty[(String, Double)]
+      else results.collect {
+        case (k, v) if v >= 0 && baseline.get(k).exists(_ > 0) =>
+          k -> v / baseline(k)
+      }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -200,7 +220,9 @@ object Bench {
     val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val aggRatio =
-      if (ratios.isEmpty) ""
+      if (baseline.nonEmpty && !sfMatch)
+        s""","ratio_suppressed":"sf_mismatch: baseline=$baselineSfDir run=$sfDir""""
+      else if (ratios.isEmpty) ""
       else {
         val resultMap = results.toMap
         val sparkSum = ratios.map { case (k, _) => resultMap(k) }.sum

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
 import graft.functions.{BloomMightContain, BpeTokenCount, CharEntropy, CosineSimilarity, DsirBuckets, LangId, SortedPairs, MinHashSignature, NearestCentroid, NgramHashes, RepetitionStats, ShingleHashes, TokenFingerprint, UnicodeNormalize, VecDot, WinnowStats, GramSpans}
 
 /** Session extension registering graft's native expressions, for use via
@@ -148,6 +148,12 @@ object GraftFunctions {
   def dsirBucketsNative(spark: SparkSession, tokens: Column): Column = {
     ensureRegistered(spark)
     call_function(DsirBuckets.name, tokens)
+  }
+
+  /** l38b production twin: xxhash64(seed 42) buckets instead of md5. */
+  def dsirBucketsXxhNative(spark: SparkSession, tokens: Column): Column = {
+    ensureRegistered(spark)
+    call_function(DsirBuckets.name, tokens, lit(true))
   }
 
   /** Column API for the native all-(i<j)-pairs fan-out. */

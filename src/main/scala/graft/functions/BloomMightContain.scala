@@ -82,7 +82,7 @@ object BloomMightContain {
   val name = "graft_bloom_contains"
   val info = new ExpressionInfo(classOf[BloomMightContain].getName, name)
   val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 2, s"$name expects 2 arguments")
+    FunctionBuilders.arity(name, 2, children)
     BloomMightContain(children.head, children(1))
   }
 }

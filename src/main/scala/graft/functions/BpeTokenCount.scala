@@ -136,17 +136,18 @@ object BpeTokenCount {
   val name = "graft_bpe_token_count"
   val info = new ExpressionInfo(classOf[BpeTokenCount].getName, name)
   val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 3,
-      s"$name expects (text, lefts array<string> literal, rights array<string> literal)")
+    FunctionBuilders.arity(name, 3, children)
     def strings(e: Expression, what: String): Seq[String] = e match {
       case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData, ArrayType(StringType, _)) =>
         v.toObjectArray(StringType).map(_.asInstanceOf[UTF8String].toString).toSeq
-      case other => throw new IllegalArgumentException(
-        s"$name $what must be an array<string> literal, got $other")
+      case _ => FunctionBuilders.invalidParam(name, what,
+        "expects an array<string> literal (a trained merge-rule column)")
     }
     val ls = strings(children(1), "lefts")
     val rs = strings(children(2), "rights")
-    require(ls.length == rs.length, s"$name lefts/rights length mismatch")
+    if (ls.length != rs.length)
+      FunctionBuilders.invalidParam(name, "rights",
+        s"lefts/rights length mismatch: ${ls.length} vs ${rs.length}")
     BpeTokenCount(children.head, ls.zip(rs))
   }
 }

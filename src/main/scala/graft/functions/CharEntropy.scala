@@ -94,7 +94,7 @@ object CharEntropy {
   }
 
   val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 1, s"$name expects (text)")
+    FunctionBuilders.arity(name, 1, children)
     CharEntropy(children.head)
   }
 }

@@ -120,7 +120,7 @@ object CosineSimilarity {
   val name = "graft_cosine"
   val info = new ExpressionInfo(classOf[CosineSimilarity].getName, name)
   val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 2, s"$name expects 2 arguments")
+    FunctionBuilders.arity(name, 2, children)
     CosineSimilarity(children.head, children(1))
   }
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Un
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression (SURVEY §7.3 preference (b)): per-document
@@ -31,8 +32,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * NULL array → NULL. NULL ELEMENTS cannot occur from `split` (the only
   * producer in this repo); for totality they are skipped, along with the
   * two bigrams they would participate in.
+  *
+  * `xxh = true` is the l38b PRODUCTION twin's bucket hash: the first
+  * byte of xxhash64(gram bytes, seed 42) — Spark's own codegen'd hash —
+  * instead of md5. DSIR needs A uniform hashed-ngram bucketing, not
+  * md5 specifically (Xie et al. hash grams into a fixed bucket count);
+  * md5 is what the one-shot portable ORACLE can express, and its
+  * intrinsic digest is l38's measured 1.9×-at-sf10 floor (BASELINE.md
+  * r11d(5): a hand-rolled MD5 LOSES to the intrinsic — the algorithm,
+  * not the call overhead, is the cost). The twin keeps l38 oracle-exact
+  * and ships the same selection pipeline on the cheap hash;
+  * distribution equivalence (same n_feat per doc, same histogram mass,
+  * comparable bucket spread) is pinned in OperatorsSpec.
   */
-case class DsirBuckets(child: Expression) extends UnaryExpression {
+case class DsirBuckets(child: Expression, xxh: Boolean = false)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -47,17 +61,22 @@ case class DsirBuckets(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    DsirBuckets.compute(input.asInstanceOf[ArrayData])
+    if (xxh) DsirBuckets.computeXxh(input.asInstanceOf[ArrayData])
+    else DsirBuckets.compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helper = DsirBuckets.getClass.getName.stripSuffix("$")
+    val fn = if (xxh) "computeXxh" else "compute"
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = $helper.compute($c);
+      ${ev.value} = $helper.$fn($c);
       ${ev.isNull} = ${ev.value} == null;""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): DsirBuckets =
     copy(child = newChild)
+
+  override def sql: String =
+    s"${prettyName}(${child.sql}${if (xxh) ", true" else ""})"
 }
 
 object DsirBuckets {
@@ -97,8 +116,56 @@ object DsirBuckets {
       .fromPrimitiveArray(counts)
   }
 
+  /** xxhash64 bucket twin of [[compute]]: same gram walk (unigrams +
+    * adjacent bigrams over "a b" bytes), bucket = low byte of
+    * xxhash64(bytes, seed 42) — seed 42 matches the SQL xxhash64()
+    * default, so the value is independently checkable from SQL. The
+    * bigram's token+space+token bytes are staged in a reused
+    * thread-local buffer (XXH64 here is one-shot over a contiguous
+    * region; the copy is cheap next to any digest). */
+  def computeXxh(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val counts = new Array[Int](256)
+    var buf = xxhBuf.get()
+    def bucket(s: UTF8String): Int =
+      (org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L) & 0xFF).toInt
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val tok = arr.getUTF8String(i)
+        counts(bucket(tok)) += 1
+        if (i + 1 < n && !arr.isNullAt(i + 1)) {
+          val nxt = arr.getUTF8String(i + 1)
+          val la = tok.numBytes(); val lb = nxt.numBytes()
+          val len = la + 1 + lb
+          if (buf.length < len) {
+            buf = new Array[Byte](Integer.highestOneBit(len) * 2)
+            xxhBuf.set(buf)
+          }
+          tok.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET)
+          buf(la) = ' '
+          nxt.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + la + 1)
+          counts((org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+            & 0xFF).toInt) += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(counts)
+  }
+
+  private val xxhBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](256)
+  }
+
   val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 1, s"$name expects (tokens)")
-    DsirBuckets(children.head)
+    FunctionBuilders.arityIn(name, Seq(1, 2), children)
+    val xxh =
+      if (children.length < 2) false
+      else FunctionBuilders.boolLit(name, "xxh", children(1))
+    DsirBuckets(children.head, xxh)
   }
 }

@@ -98,18 +98,9 @@ object GramSpans {
   }
 
   val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 3,
-      s"$name expects (text, n int literal, clamp bool literal)")
-    val n = children(1) match {
-      case Literal(v: Int, IntegerType) => v
-      case other => throw new IllegalArgumentException(
-        s"$name n must be an int literal, got $other")
-    }
-    val clamp = children(2) match {
-      case Literal(v: Boolean, BooleanType) => v
-      case other => throw new IllegalArgumentException(
-        s"$name clamp must be a boolean literal, got $other")
-    }
-    GramSpans(children.head, n, clamp)
+    FunctionBuilders.arity(name, 3, children)
+    GramSpans(children.head,
+      FunctionBuilders.intLit(name, "n", children(1)),
+      FunctionBuilders.boolLit(name, "clamp", children(2)))
   }
 }

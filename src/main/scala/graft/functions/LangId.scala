@@ -145,7 +145,7 @@ object LangId {
   }
 
   val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 1, s"$name expects (text)")
+    FunctionBuilders.arity(name, 1, children)
     LangId(children.head)
   }
 }

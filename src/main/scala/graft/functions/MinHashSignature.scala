@@ -100,12 +100,8 @@ object MinHashSignature {
   val name = "graft_minhash"
   val info = new ExpressionInfo(classOf[MinHashSignature].getName, name)
   val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 2, s"$name expects (hashes array<bigint>, numHashes int literal)")
-    val k = children(1) match {
-      case Literal(v: Int, IntegerType) => v
-      case other => throw new IllegalArgumentException(
-        s"$name numHashes must be an int literal, got $other")
-    }
-    MinHashSignature(children.head, k)
+    FunctionBuilders.arity(name, 2, children)
+    MinHashSignature(children.head,
+      FunctionBuilders.intLit(name, "numHashes", children(1)))
   }
 }

@@ -130,7 +130,7 @@ object NearestCentroid {
   val name = "graft_nearest_centroid"
   val info = new ExpressionInfo(classOf[NearestCentroid].getName, name)
   val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 2, s"$name expects 2 arguments")
+    FunctionBuilders.arity(name, 2, children)
     NearestCentroid(children.head, children(1))
   }
 }

@@ -68,18 +68,11 @@ object NgramHashes {
   val name = "graft_ngram_hashes"
   val info = new ExpressionInfo(classOf[NgramHashes].getName, name)
   val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 2 || children.length == 3,
-      s"$name expects (text, n int literal[, distinct bool literal])")
-    val n = children(1) match {
-      case Literal(v: Int, IntegerType) => v
-      case other => throw new IllegalArgumentException(
-        s"$name n must be an int literal, got $other")
-    }
-    val distinct = if (children.length < 3) true else children(2) match {
-      case Literal(v: Boolean, BooleanType) => v
-      case other => throw new IllegalArgumentException(
-        s"$name distinct must be a boolean literal, got $other")
-    }
+    FunctionBuilders.arityIn(name, Seq(2, 3), children)
+    val n = FunctionBuilders.intLit(name, "n", children(1))
+    val distinct =
+      if (children.length < 3) true
+      else FunctionBuilders.boolLit(name, "distinct", children(2))
     NgramHashes(children.head, n, distinct)
   }
 

@@ -110,7 +110,7 @@ object RepetitionStats {
   }
 
   val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 1, s"$name expects (text)")
+    FunctionBuilders.arity(name, 1, children)
     RepetitionStats(children.head)
   }
 }

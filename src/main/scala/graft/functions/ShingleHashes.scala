@@ -63,7 +63,7 @@ object ShingleHashes {
   val name = "graft_shingle_hashes"
   val info = new ExpressionInfo(classOf[ShingleHashes].getName, name)
   val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 1, s"$name expects exactly one string argument")
+    FunctionBuilders.arity(name, 1, children)
     ShingleHashes(children.head)
   }
 

@@ -89,7 +89,7 @@ object SortedPairs {
   val info = new ExpressionInfo(classOf[SortedPairs].getName, name)
 
   val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 1, s"$name expects (array)")
+    FunctionBuilders.arity(name, 1, children)
     SortedPairs(children.head)
   }
 }

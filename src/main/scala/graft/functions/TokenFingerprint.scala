@@ -81,7 +81,7 @@ object TokenFingerprint {
   }
 
   val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 1, s"$name expects (text)")
+    FunctionBuilders.arity(name, 1, children)
     TokenFingerprint(children.head)
   }
 }

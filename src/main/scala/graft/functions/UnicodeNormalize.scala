@@ -70,12 +70,8 @@ object UnicodeNormalize {
   }
 
   val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 2, s"$name expects (str, form string literal)")
-    val f = children(1) match {
-      case Literal(v: UTF8String, _: StringType) => v.toString
-      case other => throw new IllegalArgumentException(
-        s"$name form must be a string literal, got $other")
-    }
-    UnicodeNormalize(children.head, f)
+    FunctionBuilders.arity(name, 2, children)
+    UnicodeNormalize(children.head,
+      FunctionBuilders.stringLit(name, "form", children(1)))
   }
 }

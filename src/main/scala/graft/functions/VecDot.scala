@@ -36,11 +36,15 @@ case class VecDot(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(IntegerType, _), ArrayType(LongType, _)) =>
+      case (ArrayType(IntegerType, false), ArrayType(LongType, false)) =>
         TypeCheckResult.TypeCheckSuccess
+      // compute() reads elements with getInt/getLong, which is undefined
+      // for null ELEMENTS (the HOF composition this mirrors propagates
+      // NULL instead) — reject containsNull inputs at analysis time so a
+      // SQL-surface caller gets a type error, not garbage (r11 ADVICE)
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects (array<int>, array<long>), got " +
-          s"${l.simpleString}, ${r.simpleString}")
+        s"$prettyName expects (array<int>, array<long>) with non-null " +
+          s"elements, got ${l.simpleString}, ${r.simpleString}")
     }
 
   override def dataType: DataType = VecDot.schema
@@ -92,7 +96,7 @@ object VecDot {
   }
 
   val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 2, s"$name expects (counts, weights)")
+    FunctionBuilders.arity(name, 2, children)
     VecDot(children.head, children(1))
   }
 }

@@ -160,12 +160,9 @@ object WinnowStats {
   }
 
   val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 3, s"$name expects (text, k int literal, w int literal)")
-    def intLit(e: Expression, what: String): Int = e match {
-      case Literal(v: Int, IntegerType) => v
-      case other => throw new IllegalArgumentException(
-        s"$name $what must be an int literal, got $other")
-    }
-    WinnowStats(children.head, intLit(children(1), "k"), intLit(children(2), "w"))
+    FunctionBuilders.arity(name, 3, children)
+    WinnowStats(children.head,
+      FunctionBuilders.intLit(name, "k", children(1)),
+      FunctionBuilders.intLit(name, "w", children(2)))
   }
 }

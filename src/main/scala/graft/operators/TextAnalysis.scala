@@ -700,7 +700,8 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       isTarget: Column,
-      topK: Int): DataFrame = {
+      topK: Int,
+      xxh: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     // per-doc 256-bucket gram histogram: ONE native pass TOTAL
     // (graft_dsir_buckets — no bigram strings, no hex, no gram explode),
@@ -713,10 +714,12 @@ object TextAnalysis {
     // the text it summarizes — and the fit's collect() action
     // materializes it before the score job reads blocks (the l11/j22
     // lazy-checkpoint precedent).
+    val bucketsOf =
+      if (xxh) graft.GraftFunctions.dsirBucketsXxhNative(spark, _: Column)
+      else graft.GraftFunctions.dsirBucketsNative(spark, _: Column)
     val hist = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), isTarget.as("tgt"),
-        graft.GraftFunctions
-          .dsirBucketsNative(spark, split(col(textCol), " ")).as("counts"))
+        bucketsOf(split(col(textCol), " ")).as("counts"))
       .localCheckpoint(false)
     // fit pass: ≤256 ints per doc into one bucket-keyed aggregate
     // (map-side partials carry ≤256 rows per task), collected (bounded

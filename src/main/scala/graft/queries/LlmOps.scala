@@ -188,7 +188,7 @@ object LlmOps extends QGroup {
         // version-change behavior and the subset-bloom divergence.
         val srcF = new java.io.File(s"$dir/documents.parquet")
         val bloom = QShared.statsCache.computeIfAbsent(
-          (s, dir, "l13_history_bloom", (srcF.lastModified(), srcF.length())),
+          (s, dir, "l13_history_bloom", QShared.fileVersion(srcF)),
           _ => Dedup.historyBloom(docs.filter(col("doc_id") < 250), "text"))
           .asInstanceOf[Array[Byte]]
         Dedup.incrementalDedup(
@@ -872,6 +872,25 @@ object LlmOps extends QGroup {
         |    * 1e6) AS BIGINT) AS gkey_micro
         |FROM doc
         |ORDER BY gkey_micro DESC, doc_id ASC LIMIT 200""".stripMargin)),
+
+    // L38b: the DSIR PRODUCTION twin — identical pipeline to l38 with
+    // the bucket hash swapped md5 → xxhash64(seed 42). DSIR needs A
+    // uniform hashed-ngram bucketing, not md5 specifically; md5 is what
+    // the one-shot portable oracle can express, and its intrinsic
+    // digest is l38's adjudicated 1.9×-at-sf10 floor (BASELINE.md
+    // r11d(5): even a hand-rolled MD5 loses to the intrinsic — the
+    // algorithm IS the cost). The NgramHashes precedent: l38 stays
+    // oracle-exact; this twin is rows-only with OperatorsSpec pinning
+    // distribution equivalence (same per-doc n_feat — gram count is
+    // hash-independent — same histogram mass, comparable bucket
+    // spread) and PlanSpec locking the same zero-exchange score shape.
+    QDef("l38b_dsir_select_xxh",
+      (s, dir) =>
+        TextAnalysis.dsirWeights(
+          Tables(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+          isTarget = col("lang") === "en", topK = 200, xxh = true)
+          .withColumnRenamed("id", "doc_id"),
+      None),
 
     // L2: brute-force cosine top-k (query side broadcast; ranking-only
     // output — each engine computes its own double cosine, rankings agree

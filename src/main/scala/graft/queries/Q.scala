@@ -50,6 +50,23 @@ object QShared {
   val dec: org.apache.spark.sql.types.DecimalType =
     org.apache.spark.sql.types.DecimalType(38, 6)
 
+  /** (max mtime, total length) version token of a source that may be a
+    * single parquet FILE or a multi-part parquet DIRECTORY. For a
+    * directory, the token derives from the LEAF data files (recursive;
+    * `_SUCCESS`/dot markers skipped, leaf count folded into the length
+    * term) — an in-place part-file rewrite can leave the directory
+    * inode's own mtime/length unchanged, which would serve a stale
+    * statsCache entry under a bare `(f.lastModified, f.length)` key
+    * (r11 ADVICE on the l36 vocab gate). */
+  private[graft] def fileVersion(f: java.io.File): (Long, Long) =
+    if (f.isDirectory) {
+      val leaves = Option(f.listFiles()).getOrElse(Array.empty)
+        .filterNot(x => x.getName.startsWith("_") || x.getName.startsWith("."))
+      val sub = leaves.map(fileVersion)
+      (sub.foldLeft(0L)((a, v) => math.max(a, v._1)),
+        sub.foldLeft(leaves.length.toLong)((a, v) => a + v._2))
+    } else (f.lastModified(), f.length())
+
   /** Exact order-independent money sum — the fast twin of
     * `sum(e.cast(dec))`.
     *
@@ -172,7 +189,10 @@ object QShared {
     * gets the stronger key, written as `_GRAFT_SRC_VERSION` next to
     * _SUCCESS. */
   private def srcVersion(srcs: Seq[java.io.File]): String =
-    srcs.map(f => s"${f.lastModified()}:${f.length()}").mkString(";")
+    srcs.map { f =>
+      val (m, l) = QShared.fileVersion(f) // directory-safe (leaf-derived)
+      s"$m:$l"
+    }.mkString(";")
 
   private[graft] def layoutFresh(
       path: String, srcs: Seq[java.io.File]): Boolean = {

@@ -507,19 +507,25 @@ object TextOps extends QGroup {
         val docs = Tables(s, dir, "documents")
         val f = new java.io.File(s"$dir/documents.parquet")
         val vocab = QShared.statsCache.computeIfAbsent(
-          (s, dir, "l36_bigram_vocab", (f.lastModified, f.length)), _ =>
+          (s, dir, "l36_bigram_vocab", QShared.fileVersion(f)), _ =>
             Long.box(docs.filter(col("text").isNotNull)
               .select(explode(graft.GraftFunctions
                 .gramSpansNative(s, col("text"), 2, clamp = false)).as("g"))
-              .agg(approx_count_distinct(col("g")).as("v"))
+              // 1% rsd (default ~2.3%): the stat gates a FORCED
+              // broadcast, so sketch error must not admit an over-cap
+              // vocabulary (r11 ADVICE) — belt with the margin below
+              .agg(approx_count_distinct(col("g"), 0.01).as("v"))
               .head().getLong(0))).asInstanceOf[java.lang.Long]
         // gate knob overridable for specs (the rangeframe precedent):
         // PlanSpec flips it to 0 to certify the past-the-gate shuffle
         // shape without manufacturing a 4M-gram corpus
         val gateMax = sys.props.get("graft.l36.broadcastVocabMax")
           .map(_.toLong).getOrElse(4000000L)
+        // 10% safety margin on top of the sketch: broadcast only when
+        // the estimate is clear of the cap, so a near-gate UNDERestimate
+        // cannot force a broadcast of an over-cap model
         TextAnalysis.bigramLmScore(docs, "doc_id", "text",
-          broadcastModel = vocab <= gateMax)
+          broadcastModel = vocab + vocab / 10 <= gateMax)
           .withColumnRenamed("id", "doc_id")
       },
       Some("""WITH d AS (

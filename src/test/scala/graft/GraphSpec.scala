@@ -87,9 +87,15 @@ class GraphSpec extends SparkSpec {
     val r2 = run()
     assert(marker.lastModified() == m1,
       "unchanged sources must NOT trigger a relayout")
-    // advance the source mtime past the marker: next run must rebuild
-    assert(new java.io.File(s"$dir/lineitem.parquet")
-      .setLastModified(m1 + 10000))
+    // advance a LEAF data file's mtime past the marker: next run must
+    // rebuild. (r12: version tokens derive from leaf files, not the
+    // directory inode — an in-place part-file rewrite that leaves the
+    // directory mtime untouched must invalidate, and a bare directory
+    // touch with unchanged contents must not.)
+    val leaf = new java.io.File(s"$dir/lineitem.parquet").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).head
+    assert(leaf.setLastModified(m1 + 10000))
     val r3 = run()
     assert(marker.lastModified() > m1,
       "a source newer than the layout must trigger a relayout")

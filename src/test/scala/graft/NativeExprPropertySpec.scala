@@ -423,4 +423,61 @@ class Round4PropertySpec extends SparkSpec {
       assert(got == reference(bs, bits), s"seed=$seed buckets=$bs")
     }
   }
+
+  test("builders fail the SQL surface as AnalysisException, not internal errors") {
+    // r11 ADVICE: a require/IllegalArgumentException thrown inside a
+    // registered builder surfaces as an INTERNAL error from the
+    // analyzer; the graft_* builders now raise real AnalysisExceptions
+    // under Spark's public error classes. Assert the CLASS, not the
+    // message text — the condition is the stable contract.
+    import org.apache.spark.sql.AnalysisException
+    graft.GraftFunctions.ensureRegistered(spark)
+    val docs = Seq(("a b c d e", 2)).toDF("text", "n")
+
+    val wrongArity = intercept[AnalysisException] {
+      spark.sql("SELECT graft_gram_spans('a b c')").collect()
+    }
+    assert(wrongArity.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      wrongArity.getMessage)
+
+    val nonFoldableN = intercept[AnalysisException] {
+      docs.selectExpr("graft_gram_spans(text, n, true)").collect()
+    }
+    assert(nonFoldableN.getCondition == "NON_FOLDABLE_ARGUMENT",
+      nonFoldableN.getMessage)
+
+    val nonFoldableK = intercept[AnalysisException] {
+      docs.selectExpr("graft_winnow_stats(text, n, 4)").collect()
+    }
+    assert(nonFoldableK.getCondition == "NON_FOLDABLE_ARGUMENT",
+      nonFoldableK.getMessage)
+
+    val badMerges = intercept[AnalysisException] {
+      docs.selectExpr(
+        "graft_bpe_token_count(text, array('a','b'), array('c'))").collect()
+    }
+    assert(badMerges.getCondition == "INVALID_PARAMETER_VALUE.PATTERN",
+      badMerges.getMessage)
+  }
+
+  test("graft_vec_dot rejects nullable-element arrays at analysis time") {
+    // r11 ADVICE: compute() reads elements via getInt/getLong (undefined
+    // for null elements, where the HOF composition propagates NULL) — a
+    // SQL-surface caller handing a containsNull array must get a type
+    // error, not garbage values.
+    import org.apache.spark.sql.AnalysisException
+    graft.GraftFunctions.ensureRegistered(spark)
+    val e = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT graft_vec_dot(array(1, CAST(NULL AS INT)), array(1L, 2L))")
+        .collect()
+    }
+    assert(Option(e.getCondition).exists(_.startsWith("DATATYPE_MISMATCH")),
+      s"condition=${e.getCondition}: ${e.getMessage}")
+    // the pinned producers (containsNull = false on both sides) pass
+    val ok = spark.sql(
+      "SELECT graft_vec_dot(array(1, 2), array(10L, 100L)) AS d")
+      .selectExpr("d.n", "d.dot").head()
+    assert(ok.getLong(0) == 3L && ok.getLong(1) == 210L)
+  }
 }

@@ -1254,6 +1254,39 @@ class TextAnalysisSpec extends SparkSpec {
     // hash-driven Gumbel keys: identical under any partitioning
     assert(run(df.repartition(7)) == out)
   }
+
+  test("l38b xxh twin: distribution-equivalent to the md5 formulation") {
+    // The production twin swaps the bucket hash md5 → xxhash64; DSIR
+    // needs A uniform bucketing, not md5. Pins on the real corpus:
+    // (1) per-doc n_feat identical (gram COUNT is hash-independent);
+    // (2) per-doc histogram MASS identical (Σcounts == n_feat under
+    //     either hash); (3) comparable bucket spread (both hashes
+    //     occupy a similar number of the 256 buckets — uniformity,
+    //     the property the DSIR estimate actually relies on);
+    // (4) identical Gumbel noise, so score differences come only from
+    //     the fitted weights.
+    val docs = spark.read.parquet(sf("documents"))
+    def feats(xxh: Boolean) =
+      TextAnalysis.dsirWeights(docs, "doc_id", "text",
+        isTarget = col("lang") === "en", topK = 100000, xxh = xxh)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3) - r.getLong(2))))
+        .toMap // id -> (n_feat, gumbel noise = gkey - weight)
+    val md5F = feats(xxh = false)
+    val xxhF = feats(xxh = true)
+    assert(md5F.keySet == xxhF.keySet)
+    assert(md5F.forall { case (id, (n, g)) => xxhF(id) == ((n, g)) })
+    // bucket spread: distinct non-empty buckets over the corpus
+    def spread(c: org.apache.spark.sql.Column) = docs
+      .filter(col("text").isNotNull)
+      .select(posexplode(c).as(Seq("b", "n")))
+      .filter(col("n") > 0).select(col("b")).distinct().count()
+    val sMd5 = spread(graft.GraftFunctions
+      .dsirBucketsNative(spark, split(col("text"), " ")))
+    val sXxh = spread(graft.GraftFunctions
+      .dsirBucketsXxhNative(spark, split(col("text"), " ")))
+    assert(sXxh >= (sMd5 * 0.9).toLong,
+      s"xxh bucket spread $sXxh collapsed vs md5 $sMd5")
+  }
 }
 
 class BpeMergesSpec extends SparkSpec {

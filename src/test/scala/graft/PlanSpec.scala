@@ -589,6 +589,14 @@ class PlanSpec extends SparkSpec {
       s"score pass must not shuffle:\n$p")
   }
 
+  test("l38b: the xxh twin keeps the identical zero-exchange score shape") {
+    val p = planOf("l38b_dsir_select_xxh")
+    assert(p.contains("graft_vec_dot"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"score pass must not shuffle:\n$p")
+  }
+
   test("w3b @100TB posture: the SHIPPED QDef decomposes above the size gate") {
     // the sysprop lowers only the DEFAULT threshold (explicit callers
     // unaffected), so this drives the exact shipped query — not a
