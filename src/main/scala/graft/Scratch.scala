@@ -112,7 +112,8 @@ object Scratch {
         .except(Tables(spark, dir, "orders").select(col("o_custkey").as("k")))
     def t2bNew(): DataFrame =
       custBkt.filter(col("c_acctbal") > 0).select(col("c_custkey").as("k"))
-        .except(ordersCust.select(col("o_custkey").as("k")))
+        .distinct()
+        .except(ordersCust.select(col("o_custkey").as("k")).distinct())
 
     def j4bOld(): DataFrame =
       Tables(spark, dir, "customer")

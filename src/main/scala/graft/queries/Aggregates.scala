@@ -494,6 +494,22 @@ object Aggregates extends QGroup {
         val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
           "l_returnflag", "l_linestatus")
         val li = Tables(s, dir, "lineitem")
+        // r12 (verdict #2): the two HIGH-CARDINALITY branches read the
+        // shared bucketed layouts on their own column — the partial
+        // distinct then rides HashPartitioning(col): no distinct
+        // exchange, no final re-aggregate over the full key set. A/B at
+        // sf1 on the l_orderkey branch (interleaved, identical rows):
+        // raw 0.68 → layout 0.18 s; the verdict's SortAggregate lever
+        // measured 0.16 via a per-bucket linear fold (buckets are
+        // key-disjoint and sorted) — only ~10% under the layout-riding
+        // hash agg, so the DECLARATIVE shape ships and the sorted fold
+        // is the recorded margin (FLOORS.md; replaceHashWithSortAgg
+        // itself never fired on this pattern). Low-cardinality columns
+        // (suppkey 10k, flags ≤3) keep the pruned raw scan — their
+        // partial distinct already collapses map-side.
+        val layoutFor = Map(
+          "l_orderkey" -> (() => QShared.bucketedFact(s, dir, "lineitem", "l_orderkey")),
+          "l_partkey" -> (() => QShared.bucketedFact(s, dir, "lineitem", "l_partkey")))
         // r11: the five single-column branches are INDEPENDENT jobs —
         // submit them concurrently (the s11 codec-write precedent);
         // each eagerly materializes its one stat row, the union reads
@@ -509,7 +525,7 @@ object Aggregates extends QGroup {
         val frames = Await.result(
           Future.sequence(cols.map { c =>
             Future {
-              li.agg(
+              layoutFor.get(c).map(_.apply()).getOrElse(li).agg(
                   count(lit(1)).as("n_rows"),
                   count(col(c)).as("n_notnull"),
                   countDistinct(col(c)).as("n_distinct"),

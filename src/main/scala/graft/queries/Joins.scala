@@ -72,8 +72,13 @@ object Joins extends QGroup {
     // J4b: left anti — customers with no orders.
     QDef("j4b_anti_join",
       (s, dir) =>
-        Tables(s, dir, "customer")
-          .join(Tables(s, dir, "orders"),
+        // r12 (verdict #3): both sides ride the shared custkey layouts —
+        // the anti-join becomes an exchange-free, sort-free merge join
+        // (PlanSpec). The orders side is NOT pre-aggregated to distinct
+        // custkeys + broadcast: that side is data-derived, not provably
+        // small (the repo's broadcast rule). A/B at sf1: 0.61 → 0.43 s.
+        QShared.bucketedFact(s, dir, "customer", "c_custkey")
+          .join(QShared.ordersByCustkey(s, dir),
             col("c_custkey") === col("o_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_name"))
           ,
@@ -486,8 +491,13 @@ object Joins extends QGroup {
     // AQE coalesces to a handful of partitions.
     QDef("j18_q13_custdist",
       (s, dir) => {
-        val perCust = Tables(s, dir, "customer")
-          .join(Tables(s, dir, "orders")
+        // r12 (verdict #3): Q13's outer join AND the per-customer
+        // re-aggregation both key on custkey — riding the shared
+        // custkey layouts leaves the distribution regroup (a handful
+        // of c_count values) as the query's ONLY exchange (PlanSpec).
+        // A/B at sf1 (interleaved, identical rows): 1.03 → 0.64 s.
+        val perCust = QShared.bucketedFact(s, dir, "customer", "c_custkey")
+          .join(QShared.ordersByCustkey(s, dir)
               .filter(col("o_orderpriority") =!= "1-URGENT"),
             col("c_custkey") === col("o_custkey"), "left_outer")
           .groupBy(col("c_custkey"))

@@ -62,9 +62,22 @@ object SetOps extends QGroup {
     // T2b: EXCEPT (distinct) — positive-balance customers who never ordered.
     QDef("t2b_except",
       (s, dir) => {
-        val positive = Tables(s, dir, "customer")
+        // r12 (verdict #3): EXCEPT keys on custkey — the key the shared
+        // custkey layouts serve. Spark rewrites EXCEPT to a NULL-SAFE
+        // anti join (keys coalesce(k,0)+isnull(k)), whose partitioning
+        // can never match HashPartitioning(k) — so the layout can't
+        // carry the join itself. What it CAN carry is dedup-before-
+        // shuffle: each side distincts exchange-free on its layout, and
+        // the null-safe join then exchanges only the DISTINCT key sets
+        // (orders: 1.5M rows → ≤|customers| keys at sf1). EXCEPT
+        // semantics are unchanged — set-distinct first is exactly what
+        // EXCEPT does anyway, and Catalyst elides the redundant final
+        // distinct. PlanSpec locks the two layout-riding dedups.
+        val positive = QShared.bucketedFact(s, dir, "customer", "c_custkey")
           .filter(col("c_acctbal") > 0).select(col("c_custkey").as("k"))
-        val buyers = Tables(s, dir, "orders").select(col("o_custkey").as("k"))
+          .distinct()
+        val buyers = QShared.ordersByCustkey(s, dir)
+          .select(col("o_custkey").as("k")).distinct()
         positive.except(buyers)
       },
       Some("""SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0

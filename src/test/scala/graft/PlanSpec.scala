@@ -382,6 +382,61 @@ class PlanSpec extends SparkSpec {
       s"the audit must not re-exchange the fact:\n$p")
   }
 
+  test("t2b: EXCEPT dedups exchange-free on the custkey layouts; the " +
+      "null-safe anti-join moves only the distinct key sets") {
+    val p = planNoAutoBroadcast("t2b_except")
+    assert("Bucketed: true".r.findAllIn(p).size == 2,
+      s"both custkey layout scans expected:\n$p")
+    // EXCEPT's rewrite joins on coalesce(k,0)+isnull(k) — that pair can
+    // never ride HashPartitioning(k), so the two distinct-key-set
+    // exchanges are the floor; what must NOT appear is a raw-row
+    // exchange (an exchange below a partial-only HashAggregate)
+    val ex = "Exchange hashpartitioning\\(coalesce".r.findAllIn(p).size
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == ex && ex <= 2,
+      s"only the deduped null-safe join inputs may exchange:\n$p")
+    // each side's dedup is a partial+final HashAggregate PAIR with no
+    // exchange between them — the layout carries the distinct
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("j4b @100TB posture: the anti-join merges on the custkey layouts — " +
+      "zero exchanges (tiny SFs may broadcast instead; that's AQE's call)") {
+    val p = planNoAutoBroadcast("j4b_anti_join")
+    assert("Bucketed: true".r.findAllIn(p).size == 2,
+      s"both custkey layout scans expected:\n$p")
+    assert(p.contains("SortMergeJoin"), s"merge anti-join expected:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 0,
+      s"anti-join must not exchange a fact key:\n$p")
+  }
+
+  test("j18: Q13's outer join + per-customer agg ride the custkey " +
+      "layouts; the only exchange is the tiny c_count regroup") {
+    val p = planNoAutoBroadcast("j18_q13_custdist")
+    assert("Bucketed: true".r.findAllIn(p).size == 2,
+      s"both custkey layout scans expected:\n$p")
+    val ex = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(ex.forall(_ == "c_count"),
+      s"only the c_count distribution regroup may exchange, got $ex:\n$p")
+  }
+
+  test("a11: the high-cardinality profile branches ride their own-column " +
+      "layouts — no distinct exchange on l_orderkey/l_partkey") {
+    val p = planOf("a11_column_profile")
+    // the profile unions five eagerly-materialized 1-row branches; the
+    // exchanges visible in the FINAL plan are only the union's traces.
+    // Lock at the branch grain instead: the orderkey branch's own plan.
+    val li = queries.QShared.bucketedFact(spark, dir, "lineitem", "l_orderkey")
+    val branch = li.agg(
+      org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("l_orderkey")).as("nd"))
+      .queryExecution.executedPlan.toString
+    assert(branch.contains("Bucketed: true"), s"layout scan expected:\n$branch")
+    assert(!branch.contains("Exchange hashpartitioning"),
+      s"the distinct must ride HashPartitioning(l_orderkey):\n$branch")
+    assert(p.nonEmpty)
+  }
+
   test("a2: two distinct aggregates never plan the multi-distinct Expand") {
     val p = planOf("a2_distinct_agg")
     // Expand multiplies the scan ×3 (measured 99× DuckDB in r5); each
