@@ -59,11 +59,21 @@ def load_spark(name):
     return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
 
 
-n_pass = n_fail = 0
+n_pass = n_fail = n_skip = 0
 present = {os.path.basename(d.rstrip("/"))
            for d in glob.glob(OUT + "/*/")}
 
+# GRAFT_ORACLE_SKIP=l39 (comma-separated name prefixes): mirror of
+# Verify's SPARK_GRAFT_VERIFY_SKIP for scale sweeps — a query excluded
+# from the Spark dump must be reported as SKIP, not FAIL, and every
+# skip must be ledgered in the artifact citing the sweep.
+skip = [s for s in os.environ.get("GRAFT_ORACLE_SKIP", "").split(",") if s]
+
 for name in sorted(present | set(oracle)):
+    if any(name.startswith(s) for s in skip):
+        print(f"SKIP {name} (scale-excluded by GRAFT_ORACLE_SKIP)")
+        n_skip += 1
+        continue
     spark_df = load_spark(name)
     if spark_df is None:
         print(f"FAIL {name}: no spark output")
@@ -110,6 +120,7 @@ for name in sorted(present | set(oracle)):
     print(f"  spark : {act.iloc[i, j]!r}")
     n_fail += 1
 
-print(f"\n{n_pass} passed, {n_fail} failed "
+skipped = f", {n_skip} skipped" if n_skip else ""
+print(f"\n{n_pass} passed, {n_fail} failed{skipped} "
       f"({len(oracle)} oracles, {len(present)} outputs)")
 sys.exit(1 if n_fail else 0)

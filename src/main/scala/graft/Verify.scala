@@ -20,8 +20,18 @@ object Verify {
     // exist. Unset (the driver's invocation) dumps everything.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    // SPARK_GRAFT_VERIFY_SKIP=l39 (name prefixes): exclusion twin of
+    // _ONLY for scale sweeps where a named query's cost model doesn't
+    // fit the synthesized SF (e.g. l39's fixed demo k makes clusters —
+    // and its within-cluster pair check, on BOTH engines — grow
+    // linearly with corpus size; the paper scales k with n). Every skip
+    // must be ledgered in the artifact that cites the sweep.
+    val skip = sys.env.get("SPARK_GRAFT_VERIFY_SKIP")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .filter { case (name, _) =>
+        only.forall(_.exists(name.startsWith)) && !skip.exists(name.startsWith) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
