@@ -69,11 +69,67 @@ present = {os.path.basename(d.rstrip("/"))
 # skip must be ledgered in the artifact citing the sweep.
 skip = [s for s in os.environ.get("GRAFT_ORACLE_SKIP", "").split(",") if s]
 
+# Past this row count the pandas comparator (load both sides, stringify
+# every cell, sort rows by every column) no longer fits in memory — at
+# sf10 s1_scan_lineitem alone is 60M wide rows, ~60 GB of python strings
+# PER SIDE. Big outputs switch to a DuckDB-side ORDER-INDEPENDENT
+# multiset compare: both sides (the Spark parquet, read by DuckDB, and
+# the oracle result) are rendered to VARCHAR by the SAME engine, each
+# row hashed, and {count, sum(hash)} compared — exact multiset equality
+# under identical rendering, no sort, no materialized strings. The
+# driver's own gate runs at sf0.01 where the pandas path always applies;
+# this branch exists for the out-of-band sfN sweeps.
+BIG_ROWS = int(os.environ.get("GRAFT_ORACLE_BIG_ROWS", "4000000"))
+
+
+def spark_rel(name):
+    return f"read_parquet('{OUT}/{name}/*.parquet')"
+
+
+def multiset_sig(rel_sql):
+    """(n_rows, sum_of_row_hashes, sorted columns) for a relation."""
+    cols = [r[0] for r in con.execute(
+        f"DESCRIBE SELECT * FROM {rel_sql}").fetchall()]
+    rendered = ", ".join(
+        f"COALESCE(CAST(\"{c}\" AS VARCHAR), chr(1))" for c in sorted(cols))
+    n, h = con.execute(
+        f"SELECT count(*), COALESCE(SUM(hash(concat_ws(chr(2), {rendered}))), 0) "
+        f"FROM {rel_sql}").fetchone()
+    return n, h, sorted(cols)
+
+
 for name in sorted(present | set(oracle)):
     if any(name.startswith(s) for s in skip):
         print(f"SKIP {name} (scale-excluded by GRAFT_ORACLE_SKIP)")
         n_skip += 1
         continue
+    files = sorted(glob.glob(f"{OUT}/{name}/*.parquet"))
+    if files:
+        n_spark_rows = con.execute(
+            f"SELECT count(*) FROM {spark_rel(name)}").fetchone()[0]
+        if n_spark_rows > BIG_ROWS:
+            if name not in oracle:
+                print(f"PASS {name} (rows-only BIG, {n_spark_rows} rows)")
+                n_pass += 1
+                continue
+            try:
+                an, ah, acols = multiset_sig(spark_rel(name))
+                en, eh, ecols = multiset_sig(f"({oracle[name]})")
+            except Exception as e:
+                print(f"FAIL {name}: multiset compare error: {e}")
+                n_fail += 1
+                continue
+            if acols != ecols:
+                print(f"FAIL {name}: columns differ: oracle={ecols} spark={acols}")
+                n_fail += 1
+            elif (an, ah) != (en, eh):
+                print(f"FAIL {name}: multiset differs: "
+                      f"oracle=({en},{eh}) spark=({an},{ah})")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({an} rows, duckdb-multiset)")
+                n_pass += 1
+            continue
     spark_df = load_spark(name)
     if spark_df is None:
         print(f"FAIL {name}: no spark output")
