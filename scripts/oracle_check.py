@@ -35,6 +35,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 con = duckdb.connect()
+# Scale-sweep knobs (defaults = DuckDB's own): at sf10 the l26 oracle's
+# 60M-row join chain spilled >59 GB of temp and died on disk; capping
+# threads and raising the memory limit keeps the intermediates in RAM
+# on this 125 GB box.
+if os.environ.get("GRAFT_ORACLE_MEM"):
+    con.execute(f"SET memory_limit = '{os.environ['GRAFT_ORACLE_MEM']}'")
+if os.environ.get("GRAFT_ORACLE_THREADS"):
+    con.execute(f"SET threads = {int(os.environ['GRAFT_ORACLE_THREADS'])}")
 for t in TABLES:
     p = f"{SF}/{t}.parquet"
     if os.path.exists(p):

@@ -57,8 +57,8 @@ object Aggregates extends QGroup {
       },
       Some("""SELECT o_orderstatus,
         |  COUNT(DISTINCT o_custkey) AS n_cust,
-        |  CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_distinct_price,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price
+        |  CAST(CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_distinct_price,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin)),
 
     // A3: approximate distinct (HLL++). Not hash-checkable — the driver
@@ -167,7 +167,7 @@ object Aggregates extends QGroup {
             grouping_id().as("gid"))
           ,
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_price,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin)),
@@ -360,8 +360,8 @@ object Aggregates extends QGroup {
       },
       Some("""WITH wide AS (
         |  SELECT l_returnflag,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS price,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS qty,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS price,
         |    CAST(COUNT(*) AS DOUBLE) AS cnt
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, metric, val
@@ -1163,7 +1163,7 @@ object Aggregates extends QGroup {
       },
       Some("""SELECT bucket, COUNT(*) AS cnt,
         |  min(o_totalprice) AS lo, max(o_totalprice) AS hi,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS mass
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS mass
         |FROM (
         |  SELECT o_totalprice,
         |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
