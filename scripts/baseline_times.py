@@ -65,6 +65,16 @@ DOC_COLS = ("{'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR',"
             "'source':'VARCHAR','n_chars':'BIGINT'}")
 
 con = duckdb.connect()
+# Scale-sweep knobs (the oracle_check.py precedent): BASELINE_MEM caps/
+# raises DuckDB's memory limit (l26's 60M-row chain dies on temp-disk at
+# sf10 under the default), BASELINE_THREADS pins threads, BASELINE_SKIP
+# excludes query prefixes whose oracle cost model degenerates with the
+# synthesized SF (l39). Skips are recorded in _meta.
+if os.environ.get("BASELINE_MEM"):
+    con.execute(f"SET memory_limit = '{os.environ['BASELINE_MEM']}'")
+if os.environ.get("BASELINE_THREADS"):
+    con.execute(f"SET threads = {int(os.environ['BASELINE_THREADS'])}")
+SKIP = [s for s in os.environ.get("BASELINE_SKIP", "").split(",") if s]
 for t in TABLES:
     p = f"{SF}/{t}.parquet"
     if os.path.exists(p):
@@ -309,9 +319,14 @@ times = {}
 times_readonly = {}
 write_lane_meta = {}
 failed = []
+skipped = []
 for name in sorted(oracle):
+    if any(name.startswith(s) for s in SKIP):
+        skipped.append(name)
+        continue
     sql = oracle[name]
     try:
+        print(f"[baseline] {name}", file=sys.stderr, flush=True)
         read_only = time_fn(lambda: con.execute(sql).fetchall())
         if name in WRITE_LANE:
             desc, mk = WRITE_LANE[name]
@@ -343,6 +358,7 @@ doc = {
         "write_lane": write_lane_meta,
         "n_queries": len(times),
         "n_failed": len(failed),
+        "skipped": skipped,
         "total_sec": round(sum(times.values()), 3),
         "total_readonly_basis_sec": round(
             sum(times_readonly.get(k, v) for k, v in times.items()), 3),
