@@ -928,10 +928,13 @@ object Aggregates extends QGroup {
     QDef("a22_q12_priority_counts",
       (s, dir) => {
         val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-        Tables(s, dir, "lineitem")
+        // r12: the Q12 fact pair rides the shared orderkey layouts
+        // (the j12/a1b precedent) — no fact-fact exchange; the
+        // shipdate filter still reaches the bucketed scan.
+        QShared.bucketedFact(s, dir, "lineitem", "l_orderkey")
           .filter(col("l_shipdate") >= "1996-01-01" &&
             col("l_shipdate") < "1997-01-01")
-          .join(Tables(s, dir, "orders"),
+          .join(QShared.bucketedFact(s, dir, "orders", "o_orderkey"),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("l_returnflag"))
           .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),

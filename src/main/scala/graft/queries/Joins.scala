@@ -707,8 +707,13 @@ object Joins extends QGroup {
           .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
         val euRegion = broadcast(Tables(s, dir, "region"))
           .filter(col("r_name") === "EUROPE")
-        Tables(s, dir, "lineitem")
-          .join(Tables(s, dir, "orders")
+        // r12: the fact pair rides the shared orderkey layouts (the
+        // j12/a1b precedent) — the only fact-fact exchange pair in the
+        // Q8 chain disappears; the date filter still reaches the
+        // bucketed scan. Isolated quiet A/B at sf10: 3.01 -> see
+        // BASELINE.md r12 (6).
+        QShared.bucketedFact(s, dir, "lineitem", "l_orderkey")
+          .join(QShared.bucketedFact(s, dir, "orders", "o_orderkey")
               .filter(col("o_orderdate") >= "1996-01-01" &&
                 col("o_orderdate") < "1998-01-01"),
             col("l_orderkey") === col("o_orderkey"))
@@ -760,9 +765,11 @@ object Joins extends QGroup {
     QDef("j25_q10_returns",
       (s, dir) => {
         val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-        Tables(s, dir, "lineitem")
+        // r12: same orderkey-layout ride as j24 — zero fact-fact
+        // exchanges under the returnflag/date filters.
+        QShared.bucketedFact(s, dir, "lineitem", "l_orderkey")
           .filter(col("l_returnflag") === "R")
-          .join(Tables(s, dir, "orders")
+          .join(QShared.bucketedFact(s, dir, "orders", "o_orderkey")
               .filter(col("o_orderdate") >= "1996-01-01" &&
                 col("o_orderdate") < "1996-04-01"),
             col("l_orderkey") === col("o_orderkey"))

@@ -131,15 +131,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThan(l_shipdate") && p.contains("LessThan(o_orderdate"), p)
   }
 
-  test("j24 @100TB posture: six broadcasts, ONE fact-fact join, 3 exchanges total") {
+  test("j24 @100TB posture: six broadcasts, the fact pair merges " +
+      "exchange-free on the orderkey layouts, 1 exchange total") {
     val p = planNoAutoBroadcast("j24_q8_market_share")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 5,
       s"customer, supplier, 2×nation, region all arrive via broadcast:\n$p")
     assert("SortMergeJoin".r.findAllIn(p).size == 1,
       s"lineitem⋈orders is the only shuffle join:\n$p")
-    assert("Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).size == 1, p)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3,
-      s"exactly two fact-fact exchanges + the year aggregation:\n$p")
+    // r12: both facts ride the shared orderkey layouts — the join's two
+    // exchanges are gone; only the year aggregation exchanges
+    assert("Bucketed: true".r.findAllIn(p).size == 2, p)
+    assert("Exchange hashpartitioning\\([lo]_orderkey".r.findAllIn(p).size == 0, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"only the year aggregation may exchange:\n$p")
+  }
+
+  test("j25/a22: the Q10/Q12 fact pairs merge exchange-free on the " +
+      "orderkey layouts") {
+    for (q <- Seq("j25_q10_returns", "a22_q12_priority_counts")) {
+      val p = planNoAutoBroadcast(q)
+      assert("Bucketed: true".r.findAllIn(p).size == 2, s"$q:\n$p")
+      assert("Exchange hashpartitioning\\([lo]_orderkey".r.findAllIn(p).size == 0,
+        s"$q must not exchange the fact keys:\n$p")
+    }
   }
 
   test("j16 @100TB posture: semi+anti stay keyed on l_orderkey, no exchange creep") {
