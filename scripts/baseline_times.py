@@ -75,6 +75,11 @@ if os.environ.get("BASELINE_MEM"):
 if os.environ.get("BASELINE_THREADS"):
     con.execute(f"SET threads = {int(os.environ['BASELINE_THREADS'])}")
 SKIP = [s for s in os.environ.get("BASELINE_SKIP", "").split(",") if s]
+# BASELINE_ONLY (r13): prefix-filter for subset re-timings (the Bench
+# SPARK_GRAFT_BENCH_ONLY twin) — lets a changed-oracle or changed-plan
+# query get a fresh same-day DuckDB leg without re-running the full
+# suite. Recorded in _meta.only so the artifact is self-describing.
+ONLY = [s for s in os.environ.get("BASELINE_ONLY", "").split(",") if s]
 for t in TABLES:
     p = f"{SF}/{t}.parquet"
     if os.path.exists(p):
@@ -321,6 +326,8 @@ write_lane_meta = {}
 failed = []
 skipped = []
 for name in sorted(oracle):
+    if ONLY and not any(name.startswith(s) for s in ONLY):
+        continue
     if any(name.startswith(s) for s in SKIP):
         skipped.append(name)
         continue
@@ -359,6 +366,7 @@ doc = {
         "n_queries": len(times),
         "n_failed": len(failed),
         "skipped": skipped,
+        "only": ONLY,
         "total_sec": round(sum(times.values()), 3),
         "total_readonly_basis_sec": round(
             sum(times_readonly.get(k, v) for k, v in times.items()), 3),

@@ -95,15 +95,28 @@ def spark_rel(name):
 
 
 def multiset_sig(rel_sql):
-    """(n_rows, sum_of_row_hashes, sorted columns) for a relation."""
+    """(n_rows, accumulators, sorted columns) for a relation.
+
+    r13 (ADVICE): two hardenings over the r12 (count, SUM(hash)) form.
+    (1) Cells render with an explicit LENGTH PREFIX before joining, so a
+    cell whose text contains the joiner/NULL sentinel bytes cannot forge
+    another row's rendering (documents.text flows into some big outputs).
+    (2) Beside the commutative SUM (which admits cancellation between
+    pairs of differing rows), a second independent accumulator —
+    bit_xor(hash) — must also match; a discrepancy would need to cancel
+    under BOTH group operators simultaneously.
+    """
     cols = [r[0] for r in con.execute(
         f"DESCRIBE SELECT * FROM {rel_sql}").fetchall()]
-    rendered = ", ".join(
-        f"COALESCE(CAST(\"{c}\" AS VARCHAR), chr(1))" for c in sorted(cols))
-    n, h = con.execute(
-        f"SELECT count(*), COALESCE(SUM(hash(concat_ws(chr(2), {rendered}))), 0) "
+    rendered = " || ".join(
+        "COALESCE("
+        f"concat(CAST(length(CAST(\"{c}\" AS VARCHAR)) AS VARCHAR), ':', "
+        f"CAST(\"{c}\" AS VARCHAR)), 'N')" for c in sorted(cols))
+    n, hsum, hxor = con.execute(
+        f"SELECT count(*), COALESCE(SUM(hash({rendered})), 0), "
+        f"COALESCE(bit_xor(hash({rendered})), 0) "
         f"FROM {rel_sql}").fetchone()
-    return n, h, sorted(cols)
+    return n, (hsum, hxor), sorted(cols)
 
 
 for name in sorted(present | set(oracle)):
@@ -117,7 +130,23 @@ for name in sorted(present | set(oracle)):
             f"SELECT count(*) FROM {spark_rel(name)}").fetchone()[0]
         if n_spark_rows > BIG_ROWS:
             if name not in oracle:
-                print(f"PASS {name} (rows-only BIG, {n_spark_rows} rows)")
+                # r13 (ADVICE): the rows-only BIG branch must still
+                # prove the output is driver-renderable — the pandas
+                # path enforces sortability/renderability as a
+                # harness-crash predictor, so exercise the identical
+                # contract on a bounded sample before declaring PASS.
+                try:
+                    sample = con.execute(
+                        f"SELECT * FROM {spark_rel(name)} LIMIT 1000").df()
+                    rendered(sample)
+                except Exception as e:
+                    print(f"FAIL {name}: BIG rows-only sample not "
+                          f"sortable/renderable (driver harness would "
+                          f"crash): {type(e).__name__}: {e}")
+                    n_fail += 1
+                    continue
+                print(f"PASS {name} (rows-only BIG, {n_spark_rows} rows, "
+                      f"1000-row render sample)")
                 n_pass += 1
                 continue
             try:

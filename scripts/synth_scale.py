@@ -96,7 +96,22 @@ VERBATIM = ["region", "nation"]
 # a values coprime to 26 — index 0 is 1 so replica 0 is the identity map
 COPRIMES = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
 assert REPLICAS <= 26 * len(COPRIMES), "cipher (a,b) space exhausted"
-assert REPLICAS <= 128, "embedding (rotation, sign) space exhausted (dim=64)"
+# r13 (ADVICE): the embedding transform space is 2*dim (dim rotations x
+# sign flip) and the SQL transform uses len(embedding) at runtime — read
+# the ACTUAL dimension from the source parquet instead of assuming 64,
+# so a regenerated corpus with a narrower embedding can never silently
+# wrap replica i = 2*dim back to the identity map (which would
+# reintroduce the verbatim-duplicate quadratic this script exists to
+# prevent).
+_dim_con = duckdb.connect()
+_emb_dim = _dim_con.execute(
+    f"SELECT len(embedding) FROM read_parquet('{SRC}/embeddings.parquet') "
+    "WHERE embedding IS NOT NULL LIMIT 1").fetchone()
+_dim_con.close()
+assert _emb_dim is not None, "embeddings.parquet has no non-null vector"
+assert REPLICAS <= 2 * _emb_dim[0], (
+    f"embedding (rotation, sign) space exhausted "
+    f"(dim={_emb_dim[0]}, max replicas={2 * _emb_dim[0]})")
 
 LOWER = "abcdefghijklmnopqrstuvwxyz"
 UPPER = LOWER.upper()

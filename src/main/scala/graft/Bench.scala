@@ -93,6 +93,19 @@ object Bench {
     val names = SparkEntry.all.map(_.name)
       .filter(n => only.forall(_.exists(n.startsWith)))
       .filterNot(n => skipQ.exists(n.startsWith))
+    // r13 (ADVICE): a skip silently changes the aggregate ratio, so the
+    // artifact must be self-describing (the baseline_times.py _meta
+    // precedent): record the SKIP env verbatim AND the resolved query
+    // names it dropped — prefix over-matching is then visible in the
+    // artifact rather than discoverable only by diffing query lists.
+    val skippedNames = SparkEntry.all.map(_.name)
+      .filter(n => only.forall(_.exists(n.startsWith)))
+      .filter(n => skipQ.exists(n.startsWith))
+    val skipJson =
+      if (skipQ.isEmpty) ""
+      else
+        s""","skip_env":"${skipQ.mkString(",")}","skipped":${
+          skippedNames.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
 
     // INTERLEAVED reps: full warmup pass(es) over every query, then
     // `reps` complete timed passes, min per query across passes. The
@@ -219,7 +232,7 @@ object Bench {
         f""""load_avg_start":$loadStart%.2f""",
         f""""load_avg_end":$loadEnd%.2f""",
         s""""cpus":$cpus""")).mkString(",")}$baselineMeta}"""
-    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"warmup=$warmup%d,min_of=$reps%d,interleaved","queries":$qs$ratioJson$envJson,"sf":"$sfDir"}"""
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"warmup=$warmup%d,min_of=$reps%d,interleaved","queries":$qs$ratioJson$skipJson$envJson,"sf":"$sfDir"}"""
     // best-effort: an unwritable CWD must not lose the stdout lines the
     // driver parses after the whole benchmark already ran
     try java.nio.file.Files.write(
@@ -238,7 +251,7 @@ object Bench {
         f""","ratio_vs_duckdb":${sparkSum / duckSum}%.2f,"n_ratioed":${ratios.size}%d"""
       }
     println(detail)
-    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${names.size},"n_failed":$failed,"method":"warmup=$warmup%d,min_of=$reps%d,interleaved"$aggRatio,"slowest":$top5$envJson,"detail":"bench_detail.json","sf":"$sfDir"}"""
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${names.size},"n_failed":$failed,"method":"warmup=$warmup%d,min_of=$reps%d,interleaved"$aggRatio,"slowest":$top5$skipJson$envJson,"detail":"bench_detail.json","sf":"$sfDir"}"""
     println(summary)
     // append every bench run (full suite or BENCH_ONLY probe) to the
     // PROBES.jsonl trail with a timestamp: cross-round perf claims then

@@ -580,5 +580,150 @@ object Similarity {
         when(col("__dup"), lit("dropped")).otherwise(lit("kept"))
           .as("status"))
   }
+
+  /** [[semDedup]] at the paper's OWN scaling prescription, end-to-end
+    * oracle-checkable (r13, verdict #6): Abbas et al. hold the
+    * EXPECTED CLUSTER SIZE constant as the corpus grows — k ∝ n — so
+    * the within-cluster quadratic stays n·targetClusterSize, never n².
+    * k = max(minK, ⌈n / targetClusterSize⌉) from one count job (a
+    * statistic, not data).
+    *
+    * With k ∝ n a dense per-row argmax over all k centroids is itself
+    * O(n·k) = O(n²/target) — in BOTH engines (the r12 sweep exclusion).
+    * Assignment here is therefore the two-stage pruned scan as the
+    * DECLARED semantics (the [[semDedupAnn]] structure), replicated
+    * verbatim by the SQL oracle:
+    *   - seeds: first k non-null vectors by id; coarse: first
+    *     c = ⌈√k⌉ seeds.
+    *   - every seed assigns to its nearest coarse centroid by ROUNDED
+    *     6-dp cosine (ties → lowest coarse index; zero-norm pairs score
+    *     −1.0, DuckDB's own zero-vector convention) — driver-side k×c
+    *     work, and the rounding makes the grouping engine-portable
+    *     where [[semDedupAnn]]'s raw-double version is not.
+    *   - EMPTY cells (possible when duplicate seed vectors tie) are
+    *     dropped from the probe list on both sides; the surviving
+    *     cells keep their original index order.
+    *   - each row probes its top-`nProbe` cells by (rounded cosine
+    *     DESC, cell index ASC), null → −1.0, and takes the best member
+    *     by (rounded cosine DESC, cid ASC). Probing every cell would
+    *     recover the dense argmax; nProbe is the declared recall/cost
+    *     knob, same as IVF.
+    *   - drop rule unchanged: x drops iff an earlier (lower-id)
+    *     cluster-mate has rounded cosine ≥ tau.
+    *
+    * Centroids travel as plan literals (k·dim doubles — the
+    * [[semDedupAnn]] representation note applies: past k ~ 10⁴ swap
+    * the member literals for a broadcast table, same semantics). */
+  def semDedupScaled(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      targetClusterSize: Int = 128,
+      minK: Int = 8,
+      nProbe: Int = 2): DataFrame = {
+    require(targetClusterSize > 0 && minK > 0 && nProbe >= 1)
+    val spark = corpus.sparkSession
+    val vecs = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+    val n = vecs.count()
+    if (n == 0)
+      return vecs.select(col("id"), lit(-1L).as("cluster"),
+        lit("kept").as("status")).limit(0)
+    val k = math.max(minK.toLong,
+      (n + targetClusterSize - 1) / targetClusterSize).toInt
+    val seeds: Array[(Long, Array[Double])] = vecs
+      .orderBy(col("id").asc_nulls_first)
+      .limit(k)
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toArray))
+    val c = math.max(1, math.ceil(math.sqrt(seeds.length.toDouble)).toInt)
+    val coarse = seeds.take(c)
+    // rounded-cosine twin of the engines' round(cosine, 6): exact
+    // BigDecimal HALF_UP at 6 dp (Spark's round), zero-norm → -1.0
+    // (DuckDB's list_cosine_similarity convention for zero vectors)
+    def rcos6(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) -1.0
+      else new java.math.BigDecimal(dot / math.sqrt(na * nb))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    }
+    val cellOf: Array[Int] = seeds.map { s =>
+      var best = 0; var bestSim = -3.0
+      var j = 0
+      while (j < c) {
+        val sim = rcos6(s._2, coarse(j)._2)
+        if (sim > bestSim) { bestSim = sim; best = j }
+        j += 1
+      }
+      best
+    }
+    // non-empty cells only, original index order preserved on both
+    // sides (the oracle restricts its probe ranking to the same set)
+    val liveCells: IndexedSeq[Int] =
+      (0 until c).filter(j => cellOf.contains(j))
+    val cells: IndexedSeq[Array[(Long, Array[Double])]] =
+      liveCells.map(j => seeds.zip(cellOf).filter(_._2 == j).map(_._1)
+        .sortBy(_._1))
+    val coarseLit = array(liveCells.map(j =>
+      typedlit(coarse(j)._2.toSeq).cast("array<double>")): _*)
+    val memberVecsLit = typedlit(cells.map(_.map(_._2.toSeq).toSeq))
+    val memberCidsLit = typedlit(cells.map(_.map(_._1).toSeq))
+    val nLive = liveCells.length
+    val coarseSims = transform(coarseLit,
+      cc => coalesce(
+        round(graft.GraftFunctions.cosineNative(spark, col("v"), cc), 6),
+        lit(-1.0)))
+    val cellRank = array_sort(
+      zip_with(coarseSims, sequence(lit(1), lit(nLive)),
+        (sim, i) => struct(sim.as("s"), i.as("i"))),
+      (l, r) => when(l.getField("s") > r.getField("s"), -1)
+        .when(l.getField("s") < r.getField("s"), 1)
+        .otherwise(signum(l.getField("i") - r.getField("i")).cast("int")))
+    val probed = transform(slice(cellRank, 1, math.min(nProbe, nLive)),
+      p => p.getField("i").cast("int"))
+    val assigned = vecs
+      .withColumn("__cands",
+        flatten(transform(probed, j => element_at(memberVecsLit, j))))
+      .withColumn("__cids",
+        flatten(transform(probed, j => element_at(memberCidsLit, j))))
+      .withColumn("__sims", transform(col("__cands"),
+        m => coalesce(round(graft.GraftFunctions.cosineNative(
+          spark, col("v"), m.cast("array<double>")), 6), lit(-1.0))))
+      // global (sim DESC, cid ASC) argmax — the semDedupAnn fold, with
+      // no null branch (sims are coalesced to -1.0, matching the
+      // oracle's zero-vector -1.0); candidates are never empty (every
+      // live cell has members, nProbe >= 1)
+      .withColumn("cluster",
+        aggregate(
+          zip_with(col("__sims"), col("__cids"),
+            (sim, cid) => struct(sim.as("s"), cid.as("cid"))),
+          struct(lit(null).cast("double").as("s"),
+            lit(null).cast("bigint").as("cid")),
+          (acc, x) => when(
+            acc.getField("s").isNull ||
+              x.getField("s") > acc.getField("s") ||
+              (x.getField("s") === acc.getField("s") &&
+                x.getField("cid") < acc.getField("cid")),
+            x).otherwise(acc)).getField("cid"))
+      .select(col("id"), col("cluster"), col("v"))
+    val dropped = assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("y.id") < col("x.id") &&
+          round(graft.GraftFunctions.cosineNative(
+            spark, col("x.v"), col("y.v")), 6) >= tau,
+        "left_semi")
+      .select(col("id"), lit(true).as("__dup"))
+    assigned.select(col("id"), col("cluster"))
+      .join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        when(col("__dup"), lit("dropped")).otherwise(lit("kept"))
+          .as("status"))
+  }
 }
 

@@ -45,11 +45,24 @@ object Aggregates extends QGroup {
           .agg(countDistinct(col("o_custkey")).as("n_cust"),
             (QShared.gridSum(col("o_totalprice")).cast("double") /
               count(lit(1))).as("avg_price"))
-        val prices = o.groupBy(col("o_orderstatus"))
+        // r13 (verdict #1): the sum_distinct branch's partial distinct
+        // keys on (o_orderstatus, o_totalprice) — a superset of
+        // HashPartitioning(o_totalprice), so an OWN-COLUMN layout (the
+        // a11 precedent) removes the branch's only exchange; the final
+        // 3-row re-aggregate is a SinglePartition fan-in of distinct
+        // partials, not a re-shuffle of the keyset.
+        // ... and sum_distinct(cast(dec)) itself pays a BigDecimal add
+        // per distinct value (the precision-38 path leaves the compact
+        // long rep — the gridSum lesson): dedup the pairs explicitly
+        // (same zero-exchange ride), then gridSum the survivors on
+        // primitive-long micro sums. Identical exact decimal total.
+        val prices = QShared.bucketedFact(s, dir, "orders", "o_totalprice")
+          .select(col("o_orderstatus"), col("o_totalprice")).dropDuplicates()
+          .groupBy(col("o_orderstatus"))
           .agg(
             // final double cast: scale-6 decimal renders differently from
             // the oracle's float64 under the driver's hasher (VERDICT r1)
-            sum_distinct(col("o_totalprice").cast(dec)).cast("double")
+            QShared.gridSum(col("o_totalprice")).cast("double")
               .as("sum_distinct_price"))
         custs.join(prices, Seq("o_orderstatus"))
           .select(col("o_orderstatus"), col("n_cust"),
@@ -129,43 +142,101 @@ object Aggregates extends QGroup {
 
     // A4: ROLLUP + grouping_id (same bit order in Spark and DuckDB:
     // first grouping column = MSB).
+    //
+    // r13 (verdict #1): Spark plans rollup/cube as Expand — the SCAN
+    // is replicated once per grouping set (×3 row multiplication over
+    // 60M rows at sf10, 4.1× DuckDB) before any aggregation. All the
+    // aggregates here are re-aggregable (COUNT → SUM of counts,
+    // decimal SUM → SUM of partial decimal sums), so the grouping
+    // sets are DERIVED from the finest-grain base aggregate (a
+    // handful of rows) instead: one plain scan-grain hash aggregate +
+    // per-set re-aggregation of the tiny base. Identical rows incl.
+    // grouping_id semantics (data NULLs group at the finest level; a
+    // set's absent columns are NULL with the set's gid — first
+    // grouping column = MSB, same bit order both engines). An empty
+    // input still yields the single grand-total row (cnt coalesced to
+    // 0, sums NULL), matching GROUPING SETS (()) semantics
+    // (EmptyInputSpec). This is the 100 TB shape: rollups over a
+    // warehouse fact read the base cube, never Expand the scan.
     QDef("a4_rollup",
-      (s, dir) =>
-        Tables(s, dir, "lineitem")
-          .rollup(col("l_returnflag"), col("l_linestatus"))
+      (s, dir) => {
+        val base = Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("cnt"),
-            QShared.gridSum(col("l_quantity")).cast("double").as("sum_qty"),
-            grouping_id().as("gid"))
-          ,
+            QShared.gridSum(col("l_quantity")).as("qdec"))
+        val nullStr = lit(null).cast("string")
+        val finest = base.select(col("l_returnflag"), col("l_linestatus"),
+          col("cnt"), col("qdec"), lit(0L).as("gid"))
+        val byFlag = base.groupBy(col("l_returnflag"))
+          .agg(sum(col("cnt")).as("cnt"), sum(col("qdec")).cast(dec).as("qdec"))
+          .select(col("l_returnflag"), nullStr.as("l_linestatus"),
+            col("cnt"), col("qdec"), lit(1L).as("gid"))
+        val total = base
+          .agg(coalesce(sum(col("cnt")), lit(0L)).as("cnt"),
+            sum(col("qdec")).cast(dec).as("qdec"))
+          .select(nullStr.as("l_returnflag"), nullStr.as("l_linestatus"),
+            col("cnt"), col("qdec"), lit(3L).as("gid"))
+        finest.unionByName(byFlag).unionByName(total)
+          .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
+            col("qdec").cast("double").as("sum_qty"), col("gid"))
+      },
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
 
-    // A4b: CUBE over two dims.
+    // A4b: CUBE over two dims — same base-reaggregation shape as a4
+    // (the cube's four grouping sets all derive from the ~15-row
+    // finest-grain aggregate; the scan is never Expanded).
     QDef("a4b_cube",
-      (s, dir) =>
-        Tables(s, dir, "orders")
-          .cube(col("o_orderstatus"), col("o_orderpriority"))
-          .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
-          ,
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"))
+        val nullStr = lit(null).cast("string")
+        val finest = base.select(col("o_orderstatus"), col("o_orderpriority"),
+          col("cnt"), lit(0L).as("gid"))
+        val byStatus = base.groupBy(col("o_orderstatus"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .select(col("o_orderstatus"), nullStr.as("o_orderpriority"),
+            col("cnt"), lit(1L).as("gid"))
+        val byPriority = base.groupBy(col("o_orderpriority"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .select(nullStr.as("o_orderstatus"), col("o_orderpriority"),
+            col("cnt"), lit(2L).as("gid"))
+        val total = base.agg(coalesce(sum(col("cnt")), lit(0L)).as("cnt"))
+          .select(nullStr.as("o_orderstatus"), nullStr.as("o_orderpriority"),
+            col("cnt"), lit(3L).as("gid"))
+        finest.unionByName(byStatus).unionByName(byPriority).unionByName(total)
+      },
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
 
-    // A4c: explicit GROUPING SETS (the general form rollup/cube sugar
-    // over; Spark 4 Dataset.groupingSets).
+    // A4c: explicit GROUPING SETS ((s,p),(s),()) — the general form
+    // rollup/cube sugar over, same base-reaggregation shape as a4.
     QDef("a4c_grouping_sets",
-      (s, dir) =>
-        Tables(s, dir, "orders")
-          .groupingSets(
-            Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
-              Seq(col("o_orderstatus")), Seq()),
-            col("o_orderstatus"), col("o_orderpriority"))
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
           .agg(count(lit(1)).as("cnt"),
-            QShared.gridSum(col("o_totalprice")).cast("double").as("sum_price"),
-            grouping_id().as("gid"))
-          ,
+            QShared.gridSum(col("o_totalprice")).as("pdec"))
+        val nullStr = lit(null).cast("string")
+        val finest = base.select(col("o_orderstatus"), col("o_orderpriority"),
+          col("cnt"), col("pdec"), lit(0L).as("gid"))
+        val byStatus = base.groupBy(col("o_orderstatus"))
+          .agg(sum(col("cnt")).as("cnt"), sum(col("pdec")).cast(dec).as("pdec"))
+          .select(col("o_orderstatus"), nullStr.as("o_orderpriority"),
+            col("cnt"), col("pdec"), lit(1L).as("gid"))
+        val total = base
+          .agg(coalesce(sum(col("cnt")), lit(0L)).as("cnt"),
+            sum(col("pdec")).cast(dec).as("pdec"))
+          .select(nullStr.as("o_orderstatus"), nullStr.as("o_orderpriority"),
+            col("cnt"), col("pdec"), lit(3L).as("gid"))
+        finest.unionByName(byStatus).unionByName(total)
+          .select(col("o_orderstatus"), col("o_orderpriority"), col("cnt"),
+            col("pdec").cast("double").as("sum_price"), col("gid"))
+      },
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_price,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
@@ -903,8 +974,16 @@ object Aggregates extends QGroup {
     // exchange). Revenue = price × discount summed as exact DECIMAL.
     QDef("a21_q6_forecast",
       (s, dir) =>
-        Tables(s, dir, "lineitem")
-          .filter(col("l_shipdate") >= "1996-01-01" &&
+        // r13 (verdict #1): Q6's only cost is the scan, and its
+        // predicate is THE date window — the query rides the
+        // ship-year-partitioned lineitem layout so directory pruning
+        // drops every non-1996 partition before a byte is read (the
+        // l_shipyear filter is the partition-pruning twin of the exact
+        // l_shipdate bounds; both kept, rows identical). Was 4.8× at
+        // sf10 on a full-corpus filter scan.
+        QShared.lineitemByShipYear(s, dir)
+          .filter(col("l_shipyear") === 1996 &&
+            col("l_shipdate") >= "1996-01-01" &&
             col("l_shipdate") < "1997-01-01" &&
             col("l_discount").between(0.03, 0.07) &&
             col("l_quantity") < 24)
@@ -957,13 +1036,25 @@ object Aggregates extends QGroup {
     QDef("a23_q14_promo_share",
       (s, dir) => {
         val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-        Tables(s, dir, "lineitem")
-          .filter(col("l_shipdate") >= "1996-03-01" &&
+        // r13 (verdict #1): the dimension attribute the aggregate
+        // consumes is ONE boolean — broadcast (p_partkey, is_promo)
+        // instead of the full part row. At sf10 the build side drops
+        // from 2M wide rows (p_name/p_type/... strings hashed into the
+        // relation) to a long+boolean pair; the probe side then reads
+        // a 2-column map. Same rows, same oracle.
+        // ... and the 3-month shipdate window rides the ship-year
+        // partitioned layout (the a21 lever): directory pruning drops
+        // every non-1996 partition before the scan.
+        QShared.lineitemByShipYear(s, dir)
+          .filter(col("l_shipyear") === 1996 &&
+            col("l_shipdate") >= "1996-03-01" &&
             col("l_shipdate") < "1996-06-01")
-          .join(broadcast(Tables(s, dir, "part")),
+          .join(broadcast(Tables(s, dir, "part")
+              .select(col("p_partkey"),
+                (col("p_type") === "PROMO").as("is_promo"))),
             col("l_partkey") === col("p_partkey"))
           .agg(
-            QShared.gridSum(when(col("p_type") === "PROMO", rev)
+            QShared.gridSum(when(col("is_promo"), rev)
               .otherwise(lit(0.0))).as("promo_dec"),
             QShared.gridSum(rev).as("total_dec"))
           .select(

@@ -210,7 +210,14 @@ object EventsTime extends QGroup {
     // the funnel reads in order.
     QDef("g9_funnel_stages",
       (s, dir) => {
-        val ev = Tables(s, dir, "events")
+        // r13 (verdict #3): every stage keys on user_id — the three
+        // stage aggregations AND the two bound-joins all ride the
+        // shared user_id events layout (HashPartitioning(user_id) on
+        // both join sides → zero keyed exchanges). The r10 sf0.1
+        // "layout-neutral" adjudication inverted at sf10, the g14
+        // pattern: plain scans 1.40 s vs layout ride (see BASELINE.md
+        // r13 / PROBES).
+        val ev = QShared.bucketedFact(s, dir, "events", "user_id")
           .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
         def stage(of: DataFrame, evType: String): DataFrame = {
           val bound = of.withColumnRenamed("stage_ts", "prev_ts")
@@ -254,7 +261,12 @@ object EventsTime extends QGroup {
     QDef("g10_retention_cohorts",
       (s, dir) => {
         val dayUs = 86400000000L
-        val active = Tables(s, dir, "events")
+        // r13: the (user_id, day) distinct, the cohort MIN, and the
+        // cohort join all cluster on user_id — same layout ride as g9
+        // (subset clustering lets HashPartitioning(user_id) satisfy
+        // the wider distinct key). Only the final small cohort-cell
+        // count exchanges.
+        val active = QShared.bucketedFact(s, dir, "events", "user_id")
           .select(col("user_id"), expr(s"(ts div 1000) div $dayUs").as("day"))
           .distinct()
         val cohort = active.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))

@@ -108,17 +108,25 @@ object Joins extends QGroup {
         |FROM region CROSS JOIN nation""".stripMargin)),
 
     // J7: 5-table star rollup — region⋈nation⋈customer⋈orders⋈lineitem.
+    // r13 (verdict #4): the star's fact pair rides the shared orderkey
+    // layouts (zero-exchange zero-sort merge, the j12/j24 precedent)
+    // and the customer dimension broadcasts PRUNED to the two columns
+    // the rollup consumes and attaches on the ORDERS side pre-merge —
+    // the raw form exchanged 60M joined rows on o_custkey just to pick
+    // up c_nationkey. Was 4.3× at sf10.
     QDef("j7_star_join",
       (s, dir) => {
-        val l = Tables(s, dir, "lineitem")
-        val o = Tables(s, dir, "orders")
-        val c = Tables(s, dir, "customer")
         val n = broadcast(Tables(s, dir, "nation"))
         val r = broadcast(Tables(s, dir, "region"))
-        l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(c, col("o_custkey") === col("c_custkey"))
+        val o = QShared.bucketedFact(s, dir, "orders", "o_orderkey")
+          .join(broadcast(Tables(s, dir, "customer")
+              .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
           .join(n, col("c_nationkey") === col("n_nationkey"))
           .join(r, col("n_regionkey") === col("r_regionkey"))
+          .select(col("o_orderkey"), col("r_name"), col("n_name"))
+        QShared.bucketedFact(s, dir, "lineitem", "l_orderkey")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("r_name"), col("n_name"))
           .agg(count(lit(1)).as("n_items"),
             QShared.gridSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -449,23 +457,31 @@ object Joins extends QGroup {
     // inactive since 2000-01-01.
     QDef("j17_q22_shape",
       (s, dir) => {
-        Tables(s, dir, "customer").createOrReplaceTempView("j17_customer")
-        Tables(s, dir, "orders").createOrReplaceTempView("j17_orders")
-        s.sql("""WITH seg AS (
-          |  SELECT * FROM j17_customer
-          |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')),
-          |thr AS (
-          |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS total_pos,
-          |         COUNT(*) AS n_pos
-          |  FROM seg WHERE c_acctbal > 0.0)
-          |SELECT c_mktsegment, COUNT(*) AS numcust,
-          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
-          |FROM seg CROSS JOIN thr
-          |WHERE CAST(c_acctbal AS DECIMAL(38,6)) * n_pos > total_pos
-          |  AND NOT EXISTS (SELECT 1 FROM j17_orders
-          |                  WHERE o_custkey = c_custkey
-          |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
-          |GROUP BY c_mktsegment""".stripMargin)
+        // r13 (verdict #1): the anti-join keys on custkey — both sides
+        // ride the shared custkey layouts (customer bucketed ⋈ the
+        // ordersByCustkey projection) as a zero-exchange merge anti
+        // join; the scalar threshold attaches as a broadcast 1-row
+        // cross join (the standard scalar pattern). Was a temp-view
+        // SQL form whose anti-join exchanged both raw scans: 5.3× at
+        // sf10. Decimal threshold semantics unchanged — the compare is
+        // bal×n_pos > Σbal in exact DECIMAL on both engines.
+        val seg = QShared.bucketedFact(s, dir, "customer", "c_custkey")
+          .filter(col("c_mktsegment")
+            .isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+        val thr = seg.filter(col("c_acctbal") > 0.0)
+          .agg(QShared.gridSum(col("c_acctbal")).as("total_pos"),
+            count(lit(1)).as("n_pos"))
+        seg
+          .join(QShared.ordersByCustkey(s, dir)
+              .filter(col("o_orderdate") >= "2000-01-01")
+              .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .crossJoin(broadcast(thr))
+          .filter(col("c_acctbal").cast(QShared.dec) * col("n_pos") >
+            col("total_pos"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("numcust"),
+            QShared.gridSum(col("c_acctbal")).cast("double").as("totacctbal"))
       },
       Some("""WITH seg AS (
         |  SELECT * FROM customer
@@ -587,19 +603,34 @@ object Joins extends QGroup {
     // keys once each.
     QDef("j21_q7_volume",
       (s, dir) => {
-        val l = Tables(s, dir, "lineitem")
-        val su = Tables(s, dir, "supplier")
-        val o = Tables(s, dir, "orders")
-        val c = Tables(s, dir, "customer")
+        // r13 (verdict #4): the symmetric pair filter implies BOTH
+        // roles lie in {NATION_1, NATION_2} — push that relaxation to
+        // the two dimension sides BEFORE the fact joins (the exact
+        // disjunction stays as the residual filter): supplier and
+        // customer shrink to the two trading nations (~2/25), the
+        // orders⋈customer broadcast join drops ~92% of orders before
+        // the fact-fact merge, and the fact pair rides the shared
+        // orderkey layouts (exchange-free, sort-free). The raw form
+        // shuffled lineitem TWICE (supplier, then orderkey) and
+        // customer once. Was 3.1× at sf10.
         val n1 = broadcast(Tables(s, dir, "nation"))
           .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
         val n2 = broadcast(Tables(s, dir, "nation"))
           .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
-        l.join(su, col("l_suppkey") === col("s_suppkey"))
-          .join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(c, col("o_custkey") === col("c_custkey"))
+        val su = broadcast(Tables(s, dir, "supplier")
           .join(n1, col("s_nationkey") === col("n1_key"))
-          .join(n2, col("c_nationkey") === col("n2_key"))
+          .filter(col("supp_nation").isin("NATION_1", "NATION_2"))
+          .select(col("s_suppkey"), col("supp_nation")))
+        val oc = QShared.bucketedFact(s, dir, "orders", "o_orderkey")
+          .join(broadcast(Tables(s, dir, "customer")
+              .join(n2, col("c_nationkey") === col("n2_key"))
+              .filter(col("cust_nation").isin("NATION_1", "NATION_2"))
+              .select(col("c_custkey"), col("cust_nation"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("cust_nation"))
+        QShared.bucketedFact(s, dir, "lineitem", "l_orderkey")
+          .join(oc, col("l_orderkey") === col("o_orderkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey"))
           .filter(
             (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
             (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
@@ -710,19 +741,28 @@ object Joins extends QGroup {
         // r12: the fact pair rides the shared orderkey layouts (the
         // j12/a1b precedent) — the only fact-fact exchange pair in the
         // Q8 chain disappears; the date filter still reaches the
-        // bucketed scan. Isolated quiet A/B at sf10: 3.01 -> see
-        // BASELINE.md r12 (6).
-        QShared.bucketedFact(s, dir, "lineitem", "l_orderkey")
-          .join(QShared.bucketedFact(s, dir, "orders", "o_orderkey")
-              .filter(col("o_orderdate") >= "1996-01-01" &&
-                col("o_orderdate") < "1998-01-01"),
-            col("l_orderkey") === col("o_orderkey"))
+        // bucketed scan.
+        // r13 (verdict #2): the customer/nation/region pruning moves to
+        // the ORDERS side BEFORE the fact-fact merge (broadcast joins
+        // preserve the layout's partitioning AND sort, so the SMJ stays
+        // exchange-free and sort-free): the EU filter drops ~4/5 of the
+        // window's orders pre-join, the SMJ output shrinks the same
+        // factor, the 1.5M-entry customer broadcast is probed at orders
+        // grain (4.2M) instead of joined-lineitem grain (17M), and the
+        // supplier probes run on the surviving pair rows only.
+        val ordersEu = QShared.bucketedFact(s, dir, "orders", "o_orderkey")
+          .filter(col("o_orderdate") >= "1996-01-01" &&
+            col("o_orderdate") < "1998-01-01")
           .join(broadcast(Tables(s, dir, "customer")
               .select(col("c_custkey"), col("c_nationkey"))),
             col("o_custkey") === col("c_custkey"))
           .join(custNation, col("c_nationkey") === col("cn_key"))
           .join(euRegion, col("cn_region") === col("r_regionkey"))
-          .join(broadcast(Tables(s, dir, "supplier")),
+          .select(col("o_orderkey"), col("o_orderdate"))
+        QShared.bucketedFact(s, dir, "lineitem", "l_orderkey")
+          .join(ordersEu, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables(s, dir, "supplier")
+              .select(col("s_suppkey"), col("s_nationkey"))),
             col("l_suppkey") === col("s_suppkey"))
           .join(suppNation, col("s_nationkey") === col("sn_key"))
           .groupBy(year(col("o_orderdate")).as("o_year"))
@@ -963,26 +1003,32 @@ object Joins extends QGroup {
         // bounded EU-supplier list and its min land in one row per
         // part, and the tie-keeping min filter is an array HOF — no
         // min join, no second read of the pair subtree.
+        // r13 (verdict #4): two residual costs fixed. (1) The p_size=5
+        // filter (1/50 of parts) applied LAST meant the pair distinct
+        // and the min aggregation ran over every part — the selective
+        // dimension now broadcasts onto the scan FIRST, so everything
+        // after the probe works on ~2% of the pairs. (2) The
+        // collect_set→explode pair derivation (60M array inserts at
+        // sf10) becomes a dropDuplicates that rides the same
+        // HashPartitioning(l_partkey) with zero exchange (subset
+        // clustering) and no array churn. Grouping keys stay on the
+        // fact-side l_partkey so the final aggregation provably rides
+        // the layout. Was 2.8× at sf10.
         QShared.bucketedFact(s, dir, "lineitem", "l_partkey")
-          .groupBy(col("l_partkey"))
-          .agg(collect_set(col("l_suppkey")).as("__sks"))
-          .select(col("l_partkey"), explode(col("__sks")).as("l_suppkey"))
-          // broadcast the dim side EXPLICITLY: left alone the planner
-          // broadcasts the (estimated-smaller) pair set into supplier,
-          // which puts the pairs on the build side and throws away the
-          // partkey partitioning the next aggregation needs
+          .select(col("l_partkey"), col("l_suppkey"))
+          .join(broadcast(Tables(s, dir, "part")
+              .filter(col("p_size") === 5)
+              .select(col("p_partkey"), col("p_name"))),
+            col("l_partkey") === col("p_partkey"))
+          .dropDuplicates("l_partkey", "l_suppkey")
           .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
-          .groupBy(col("l_partkey"))
+          .groupBy(col("l_partkey"), col("p_name"))
           .agg(min(col("s_acctbal")).as("__mb"),
             collect_list(struct(col("s_suppkey"), col("s_name"),
               col("s_acctbal"))).as("__sups"))
-          .select(col("l_partkey"),
+          .select(col("l_partkey"), col("p_name"),
             explode(expr("filter(__sups, x -> x.s_acctbal = __mb)")).as("__s"))
-          .join(Tables(s, dir, "part")
-              .filter(col("p_size") === 5)
-              .select(col("p_partkey"), col("p_name")),
-            col("l_partkey") === col("p_partkey"))
-          .select(col("p_partkey"), col("p_name"),
+          .select(col("l_partkey").as("p_partkey"), col("p_name"),
             col("__s.s_suppkey").as("s_suppkey"), col("__s.s_name").as("s_name"),
             col("__s.s_acctbal").cast("double").as("acctbal"))
       },

@@ -968,32 +968,70 @@ object LlmOps extends QGroup {
     // Deterministic id-seeded centroids + 6dp cosine grain keep the
     // whole pipeline oracle-checkable; the kmeans-seeded production
     // variant is the l2d trainer feeding the same operator.
+    // r13 (verdict #6): k now scales with the corpus per the paper's
+    // own prescription — k = max(8, ⌈n/128⌉) holds the expected
+    // cluster size (and so the within-cluster pair check) constant as
+    // data grows, and the assignment is the two-stage pruned scan
+    // (coarse cells of the seed set, nProbe=2) whose per-row cost is
+    // O(√k) — BOTH replicated verbatim by the oracle, so the query is
+    // full-oracle at every SF including sf10 (the r12 sweep's last
+    // exclusion, removed). Cluster-size distribution + dense-agreement
+    // at full probe are pinned in SimilaritySpec.
     QDef("l39_semdedup",
       (s, dir) =>
-        Similarity.semDedup(
+        Similarity.semDedupScaled(
           Tables(s, dir, "embeddings"),
-          idCol = "vec_id", vecCol = "embedding", k = 8, tau = 0.35)
+          idCol = "vec_id", vecCol = "embedding", tau = 0.35)
           .withColumnRenamed("id", "vec_id"),
       Some("""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |  WHERE embedding IS NOT NULL),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id ASC LIMIT 8),
+        |kk AS (
+        |  SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) AS k,
+        |    CAST(CEIL(SQRT(GREATEST(8, CEIL(COUNT(*) / 128.0)))) AS BIGINT) AS c
+        |  FROM e),
+        |se AS (
+        |  SELECT vec_id AS cid, v AS cv,
+        |    ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS sidx
+        |  FROM e),
+        |seeds AS (SELECT cid, cv FROM se, kk WHERE sidx <= kk.k),
+        |coarse AS (SELECT cid AS ccid, cv AS ccv, sidx AS cidx
+        |           FROM se, kk WHERE sidx <= kk.c),
+        |cellof AS (
+        |  SELECT s.cid, s.cv, co.cidx,
+        |    ROW_NUMBER() OVER (PARTITION BY s.cid ORDER BY
+        |      coalesce(round(list_cosine_similarity(s.cv, co.ccv), 6), -1.0) DESC,
+        |      co.cidx ASC) AS rk
+        |  FROM seeds s CROSS JOIN coarse co
+        |  QUALIFY rk = 1),
+        |live AS (
+        |  SELECT cidx, ccv FROM coarse
+        |  WHERE cidx IN (SELECT cidx FROM cellof)),
+        |rowcells AS (
+        |  SELECT e.vec_id, lv.cidx,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      coalesce(round(list_cosine_similarity(e.v, lv.ccv), 6), -1.0) DESC,
+        |      lv.cidx ASC) AS rk
+        |  FROM e CROSS JOIN live lv
+        |  QUALIFY rk <= 2),
         |assign AS (
-        |  SELECT vec_id, cid,
-        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
-        |      round(list_cosine_similarity(v, cv), 6) DESC NULLS LAST,
-        |      cid ASC) AS rk
-        |  FROM e CROSS JOIN c),
-        |cl AS (SELECT vec_id, cid AS cluster FROM assign WHERE rk = 1)
+        |  SELECT e.vec_id, m.cid AS cluster,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      coalesce(round(list_cosine_similarity(e.v, m.cv), 6), -1.0) DESC,
+        |      m.cid ASC) AS ark
+        |  FROM e
+        |  JOIN rowcells rc ON rc.vec_id = e.vec_id
+        |  JOIN cellof m ON m.cidx = rc.cidx
+        |  QUALIFY ark = 1)
         |SELECT x.vec_id, x.cluster,
         |  CASE WHEN EXISTS (
-        |    SELECT 1 FROM cl y
+        |    SELECT 1 FROM assign y
         |    JOIN e ex ON ex.vec_id = x.vec_id
         |    JOIN e ey ON ey.vec_id = y.vec_id
         |    WHERE y.cluster = x.cluster AND y.vec_id < x.vec_id
         |      AND round(list_cosine_similarity(ex.v, ey.v), 6) >= 0.35)
         |  THEN 'dropped' ELSE 'kept' END AS status
-        |FROM cl x""".stripMargin)),
+        |FROM assign x""".stripMargin)),
 
     // L39b: the IVF-assisted SemDeDup assignment — the 100 TB path for
     // l39's dense O(n·k) nearest-centroid scan (√k coarse cells,

@@ -187,8 +187,13 @@ object Relational extends QGroup {
     // J1: broadcast hash join with a dimension table.
     QDef("j1_broadcast_join",
       (s, dir) =>
+        // r13: the broadcast relation carries ONLY the join key and the
+        // one consumed attribute — at sf10 the full-row part build side
+        // (2M wide rows: name/type/container strings) dominated the
+        // probe loop's cache behavior. Same join, same rows.
         Tables(s, dir, "lineitem")
-          .join(broadcast(Tables(s, dir, "part")),
+          .join(broadcast(Tables(s, dir, "part")
+              .select(col("p_partkey"), col("p_brand"))),
             col("l_partkey") === col("p_partkey"), "inner")
           .groupBy(col("p_brand"))
           .agg(count(lit(1)).as("cnt"),

@@ -159,10 +159,20 @@ object Streams {
       spark0.read.parquet(historyDir)
         .select(digestOf(col(textCol)).as("digest")).distinct()
         .write.mode("overwrite").parquet(sidecarDir)
-    val filter = BloomJoin.buildFilter(
+    // normalized to the canonical (expectedHistoryItems, fpp) geometry:
+    // buildFilter substitutes a TINY match-nothing filter for an empty
+    // history, which the per-batch executor-side bloom merge below
+    // could not OR into (incompatible bitset geometry)
+    val filter = org.apache.spark.util.sketch.BloomFilter
+      .create(expectedHistoryItems, fpp)
+    try filter.mergeInPlace(BloomJoin.buildFilter(
       spark0.read.parquet(sidecarDir)
         .select(xxhash64(col("digest")).as("k")),
-      "k", expectedHistoryItems, fpp)
+      "k", expectedHistoryItems, fpp))
+    catch {
+      // the empty-history substitute: nothing to carry over
+      case _: org.apache.spark.util.sketch.IncompatibleMergeException => ()
+    }
 
     docs.writeStream
       .outputMode("append")
@@ -192,9 +202,26 @@ object Streams {
           novelKeys.select(col("digest"))
             .write.mode("append").parquet(sidecarDir)
           // extend the driver-side bloom in place — same xxhash64 the
-          // probe uses, so next batch's fast path sees these digests
-          novelKeys.select(xxhash64(col("digest")).as("k"))
-            .collect().foreach(r => filter.putLong(r.getLong(0)))
+          // probe uses, so next batch's fast path sees these digests.
+          // r13 (verdict #9): the extension builds per-partition blooms
+          // EXECUTOR-side (same (n, fpp) geometry as `filter`, so the
+          // bitsets are OR-compatible) and tree-merges them, so the
+          // only driver-bound payload is one fixed-size bitset —
+          // bounded by bloom geometry, not batch novelty (the old
+          // collect() shipped one long per novel doc; a high-novelty
+          // 100 TB batch would have made the driver the choke point).
+          // Correctness never depended on this: the sidecar anti-join
+          // above is the exact check, the bloom only prunes it.
+          val novelBloom = novelKeys
+            .select(xxhash64(col("digest")).as("k"))
+            .rdd.mapPartitions { it =>
+              val bf = org.apache.spark.util.sketch.BloomFilter
+                .create(expectedHistoryItems, fpp)
+              it.foreach(r => bf.putLong(r.getLong(0)))
+              Iterator(bf)
+            }.treeReduce({ (a, b) => a.mergeInPlace(b); a }, depth = 2)
+          filter.mergeInPlace(novelBloom)
+          ()
         }
       }
       .start()

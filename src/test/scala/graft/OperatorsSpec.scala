@@ -931,6 +931,49 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getLong(1) == 3L && r.getString(2) == "kept", r.toString)
     }
   }
+
+  test("semDedupScaled: k ∝ n, bounded cluster-size distribution, dense at full probe") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val n = emb.filter(col("embedding").isNotNull).count()
+    val expectedK = math.max(8L, (n + 127) / 128)
+    val out = Similarity.semDedupScaled(
+      emb, "vec_id", "embedding", tau = 0.35).cache()
+    try {
+      // every non-null vector is assigned exactly once
+      assert(out.count() == n)
+      // the paper's prescription realized: at most k clusters, and the
+      // cluster-size distribution is bounded — the mean is n/k ≤ the
+      // 128-row target by construction, and no cluster degenerates into
+      // a corpus-sized bucket (the r12 sweep-exclusion failure mode);
+      // 16× the target is an empirical pin on the synthetic corpus
+      val sizes = out.groupBy(col("cluster")).count()
+        .select(col("count")).collect().map(_.getLong(0))
+      assert(sizes.length <= expectedK, s"${sizes.length} clusters > k=$expectedK")
+      assert(sizes.sum == n)
+      assert(sizes.max <= 16L * 128L,
+        s"degenerate cluster of ${sizes.max} rows")
+      // determinism: a second run renders identically
+      val again = Similarity.semDedupScaled(
+        emb, "vec_id", "embedding", tau = 0.35)
+      assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    } finally out.unpersist()
+  }
+
+  test("semDedupScaled probing every cell recovers the dense semDedup assignment") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val n = emb.filter(col("embedding").isNotNull).count()
+    val k = math.max(8L, (n + 127) / 128).toInt
+    // full probe (nProbe ≥ c caps at all live cells) = global
+    // (rounded-cosine DESC, cid ASC) argmax = the dense rule; the two
+    // operators may differ only where a 6-dp rounding boundary splits
+    // the raw-double argmax, which distinct synthetic vectors avoid
+    val dense = Similarity.semDedup(emb, "vec_id", "embedding", k = k, tau = 0.35)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val scaled = Similarity.semDedupScaled(emb, "vec_id", "embedding",
+        tau = 0.35, nProbe = k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(scaled == dense)
+  }
 }
 
 class NativeExprSpec extends SparkSpec {
