@@ -3,28 +3,39 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Timing scratchpad — round 12. A/B harness for the two r11-verdict
-  * perf items:
+/** Timing scratchpad — round 13. A/B harness for the r12-verdict perf
+  * items, run at sf10 grain (`SPARK_GRAFT_SF_DIR=/tmp/graft_sf10`):
   *
-  * 1. The countDistinct marginal class (a2/a11/a18, flat 9–11× across
-  *    three decades on a11): the verdict's named lever is sort-based
-  *    distinct over the sorted bucketed layouts. Probes on a11's most
-  *    expensive branch (l_orderkey, the high-cardinality column):
-  *      - `a11Raw`     current shape — raw scan + hash countDistinct
-  *      - `a11Layout`  orderkey-bucketed layout + hash countDistinct
-  *                     (partial distinct rides HashPartitioning)
-  *      - `a11SortAgg` layout + spark.sql.execution.replaceHashWithSortAgg
-  *                     (groupBy(key) plans SortAggregate over the
-  *                     layout's in-bucket order — linear, no hash table)
-  *      - `a11MapPart` layout + per-bucket linear fold (buckets are
-  *                     key-disjoint and sorted, so per-partition
-  *                     (n, notnull, distinct, min, max) sums globally)
+  * 1. a19 (verdict #8, 33 s at sf10 — the board's largest >2×
+  *    absolute): stage decomposition of the basket pipeline —
+  *      - `a19basket`  basket build alone (layout groupBy +
+  *                     collect_list/array_distinct/sort_array)
+  *      - `a19pairs`   basket build + native sorted-pairs explode
+  *                     (no pair aggregation)
+  *      - `a19full`    the shipped QDef shape end-to-end
+  *      - `a19selfjoin` variant: NO basket arrays at all — distinct
+  *                     (okey, supp) rides the layout exchange-free,
+  *                     then a self-equi-join on okey with supp_a <
+  *                     supp_b (zero-exchange in-bucket SMJ) fans out
+  *                     the same i<j pairs row-at-a-time, then the same
+  *                     pair aggregation + top-200
+  * 2. j24 (verdict #2): the residual after the r13 orders-side pruning
+  *    is the 60M-row lineitem SMJ stream against ~1M EU orders —
+  *      - `j24smj`     shipped shape (zero-exchange layout merge)
+  *      - `j24bcast`   variant: broadcast the pruned EU orders into a
+  *                     PLAIN pruned lineitem scan (no layout, no sort
+  *                     stream — the hash-probe posture DuckDB uses)
+  * 3. j2 (verdict #4): per-stage decomposition for the FLOORS row —
+  *      - `j2exchange` both fact exchanges alone (repartition on the
+  *                     join keys + noop, no join executed)
+  *      - `j2full`     the shipped certification shape
+  *    (j2 is the DECLARED shuffle-join certification query — the
+  *    decomposition adjudicates where its sf10 residual lives, it does
+  *    not change the shipped shape.)
   *
-  * 2. The selective-join certification tail (t2b/j4b/j18): all three
-  *    key on custkey — the same key the shared ordersByCustkey layout
-  *    already serves; a customer custkey layout makes both sides
-  *    exchange-free merge joins. Old vs layout shapes, rows verified
-  *    identical before timing.
+  * Method: row identity asserted before timing (also pays layout
+  * builds untimed), one interleaved warmup pass, min-of-3 interleaved
+  * timed passes, noop-sink writes, b1 floor + load in the output.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -41,106 +52,107 @@ object Scratch {
       .config("spark.sql.parquet.filterPushdown", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
-    def li: DataFrame = Tables(spark, dir, "lineitem")
-    def liBkt: DataFrame = queries.QShared.bucketedFact(spark, dir, "lineitem", "l_orderkey")
+    def liBkt: DataFrame =
+      queries.QShared.bucketedFact(spark, dir, "lineitem", "l_orderkey")
+    def oBkt: DataFrame =
+      queries.QShared.bucketedFact(spark, dir, "orders", "o_orderkey")
 
-    // ---- 1. a11 l_orderkey branch variants (5 profile outputs each) ----
-    def profile(src: DataFrame): DataFrame =
-      src.agg(
-        count(lit(1)).as("n_rows"),
-        count(col("l_orderkey")).as("n_notnull"),
-        countDistinct(col("l_orderkey")).as("n_distinct"),
-        min(col("l_orderkey")).cast("string").as("min_str"),
-        max(col("l_orderkey")).cast("string").as("max_str"))
+    // ---- 1. a19 stage decomposition ----
+    def baskets: DataFrame = liBkt
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(array_distinct(collect_list(col("l_suppkey")))).as("items"))
+      .select(col("l_orderkey").as("ok"), col("items"))
 
-    def a11Raw(): DataFrame = profile(li)
-    def a11Layout(): DataFrame = profile(liBkt)
+    def a19basket(): DataFrame = baskets
 
-    def a11SortAgg(): DataFrame = {
-      val prev = spark.conf.getOption("spark.sql.execution.replaceHashWithSortAgg")
-      spark.conf.set("spark.sql.execution.replaceHashWithSortAgg", "true")
-      try {
-        val grouped = liBkt.groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
-        grouped.agg(
-          sum(col("c")).cast("long").as("n_rows"),
-          sum(when(col("l_orderkey").isNotNull, col("c")).otherwise(0L))
-            .cast("long").as("n_notnull"),
-          count(when(col("l_orderkey").isNotNull, 1)).as("n_distinct"),
-          min(col("l_orderkey")).cast("string").as("min_str"),
-          max(col("l_orderkey")).cast("string").as("max_str"))
-      } finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.execution.replaceHashWithSortAgg", v)
-        case None => spark.conf.unset("spark.sql.execution.replaceHashWithSortAgg")
-      }
+    def a19pairs(): DataFrame = baskets.select(explode(
+      graft.GraftFunctions.sortedPairsNative(spark, col("items"))).as("p"))
+
+    def pairAgg(pairs: DataFrame): DataFrame = pairs
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .orderBy(col("n_ab").desc, col("a").asc, col("b").asc)
+      .limit(200)
+
+    def a19full(): DataFrame = pairAgg(a19pairs())
+
+    def a19selfjoin(): DataFrame = {
+      val d = liBkt.select(col("l_orderkey").as("ok"), col("l_suppkey"))
+        .dropDuplicates("ok", "l_suppkey")
+      val x = d.select(col("ok"), col("l_suppkey").as("sa"))
+      val y = d.select(col("ok").as("ok2"), col("l_suppkey").as("sb"))
+      x.join(y, col("ok") === col("ok2") && col("sa") < col("sb"))
+        .select(struct(col("sa").as("a"), col("sb").as("b")).as("p"))
     }
+    def a19selfjoinFull(): DataFrame = pairAgg(a19selfjoin())
 
-    def a11MapPart(): DataFrame = {
-      // buckets are key-disjoint (hash-bucketed) and key-sorted, and a
-      // bucketed scan never splits a bucket file, so per-partition
-      // profile stats sum/min/max to the global profile
-      val parts = liBkt.select(col("l_orderkey")).as[Long].mapPartitions { it =>
-        var n = 0L; var nd = 0L
-        var mn = Long.MaxValue; var mx = Long.MinValue
-        var prev = Long.MinValue; var first = true
-        while (it.hasNext) {
-          val k = it.next()
-          n += 1
-          if (first || k != prev) { nd += 1; first = false }
-          prev = k
-          if (k < mn) mn = k
-          if (k > mx) mx = k
-        }
-        Iterator.single((n, nd, mn, mx))
-      }.toDF("n", "nd", "mn", "mx")
-      parts.agg(
-        sum(col("n")).cast("long").as("n_rows"),
-        sum(col("n")).cast("long").as("n_notnull"), // key is non-null
-        sum(col("nd")).cast("long").as("n_distinct"),
-        min(col("mn")).cast("string").as("min_str"),
-        max(col("mx")).cast("string").as("max_str"))
+    // ---- 2. j24 SMJ-vs-broadcast residual ----
+    def ordersEu: DataFrame = oBkt
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1998-01-01")
+      .join(broadcast(Tables(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, dir, "nation"))
+          .select(col("n_nationkey").as("cn_key"),
+            col("n_regionkey").as("cn_region")),
+        col("c_nationkey") === col("cn_key"))
+      .join(broadcast(Tables(spark, dir, "region"))
+          .filter(col("r_name") === "EUROPE"),
+        col("cn_region") === col("r_regionkey"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+
+    def j24tail(joined: DataFrame): DataFrame = {
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      joined
+        .join(broadcast(Tables(spark, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables(spark, dir, "nation"))
+            .select(col("n_nationkey").as("sn_key"),
+              col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          queries.QShared.gridSum(when(col("supp_nation") === "NATION_1", rev)
+            .otherwise(lit(0.0))).as("nat_dec"),
+          queries.QShared.gridSum(rev).as("all_dec"))
+        .select(col("o_year"),
+          col("all_dec").cast("double").as("total_revenue"),
+          floor(col("nat_dec").cast("double") / col("all_dec").cast("double")
+            * 1e6).cast("bigint").as("mkt_share_micro"))
     }
+    def j24smj(): DataFrame = j24tail(
+      liBkt.join(ordersEu, col("l_orderkey") === col("o_orderkey")))
+    def j24bcast(): DataFrame = j24tail(
+      Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(ordersEu), col("l_orderkey") === col("o_orderkey")))
 
-    // ---- 2. t2b / j4b / j18 layout variants ----
-    def custBkt: DataFrame = queries.QShared.bucketedFact(spark, dir, "customer", "c_custkey")
-    def ordersCust: DataFrame = queries.QShared.ordersByCustkey(spark, dir)
-
-    def t2bOld(): DataFrame =
-      Tables(spark, dir, "customer").filter(col("c_acctbal") > 0)
-        .select(col("c_custkey").as("k"))
-        .except(Tables(spark, dir, "orders").select(col("o_custkey").as("k")))
-    def t2bNew(): DataFrame =
-      custBkt.filter(col("c_acctbal") > 0).select(col("c_custkey").as("k"))
-        .distinct()
-        .except(ordersCust.select(col("o_custkey").as("k")).distinct())
-
-    def j4bOld(): DataFrame =
-      Tables(spark, dir, "customer")
-        .join(Tables(spark, dir, "orders"),
-          col("c_custkey") === col("o_custkey"), "left_anti")
-        .select(col("c_custkey"), col("c_name"))
-    def j4bNew(): DataFrame =
-      custBkt.join(ordersCust, col("c_custkey") === col("o_custkey"), "left_anti")
-        .select(col("c_custkey"), col("c_name"))
-
-    def j18Old(): DataFrame = {
-      val perCust = Tables(spark, dir, "customer")
-        .join(Tables(spark, dir, "orders")
-            .filter(col("o_orderpriority") =!= "1-URGENT"),
-          col("c_custkey") === col("o_custkey"), "left_outer")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("c_count"))
-      perCust.groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+    // ---- 3. j2 exchange-vs-rowwork decomposition ----
+    def j2exchange(): DataFrame = {
+      // both sides' keyed exchanges, no join: prices the wire/material
+      // cost the certification query pays before any probe work
+      val o = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(col("o_orderkey"))
+      val l = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .repartition(col("l_orderkey"))
+      o.select(count(lit(1)).as("c")).unionAll(l.select(count(lit(1)).as("c")))
     }
-    def j18New(): DataFrame = {
-      val perCust = custBkt
-        .join(ordersCust.filter(col("o_orderpriority") =!= "1-URGENT"),
-          col("c_custkey") === col("o_custkey"), "left_outer")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("c_count"))
-      perCust.groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
-    }
+    def j2full(): DataFrame =
+      Tables(spark, dir, "orders")
+        .join(Tables(spark, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          queries.QShared.gridSum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority").asc_nulls_first)
 
     def rowDiff(a: DataFrame, b: DataFrame): Long = {
       val ac = a.columns.toSeq
@@ -160,26 +172,18 @@ object Scratch {
     }
 
     // row identity before timing (also pays the layout builds untimed)
-    println("a11 layout row-diff: " + rowDiff(a11Raw(), a11Layout()))
-    println("a11 sortagg row-diff: " + rowDiff(a11Raw(), a11SortAgg()))
-    println("a11 mappart row-diff: " + rowDiff(a11Raw(), a11MapPart()))
-    println("t2b row-diff: " + rowDiff(t2bOld(), t2bNew()))
-    println("j4b row-diff: " + rowDiff(j4bOld(), j4bNew()))
-    println("j18 row-diff: " + rowDiff(j18Old(), j18New()))
-    println("sortagg plan has SortAggregate: " +
-      a11SortAgg().queryExecution.executedPlan.toString.contains("SortAggregate"))
+    println("a19 selfjoin row-diff: " + rowDiff(a19full(), a19selfjoinFull()))
+    println("j24 bcast row-diff: " + rowDiff(j24smj(), j24bcast()))
 
     val probes: Seq[(String, () => DataFrame)] = Seq(
-      "a11raw" -> (() => a11Raw()),
-      "a11layout" -> (() => a11Layout()),
-      "a11sortagg" -> (() => a11SortAgg()),
-      "a11mappart" -> (() => a11MapPart()),
-      "t2bold" -> (() => t2bOld()),
-      "t2bnew" -> (() => t2bNew()),
-      "j4bold" -> (() => j4bOld()),
-      "j4bnew" -> (() => j4bNew()),
-      "j18old" -> (() => j18Old()),
-      "j18new" -> (() => j18New()))
+      "a19basket" -> (() => a19basket()),
+      "a19pairs" -> (() => a19pairs()),
+      "a19full" -> (() => a19full()),
+      "a19selfjoin" -> (() => a19selfjoinFull()),
+      "j24smj" -> (() => j24smj()),
+      "j24bcast" -> (() => j24bcast()),
+      "j2exchange" -> (() => j2exchange()),
+      "j2full" -> (() => j2full()))
     probes.foreach { case (_, f) => time(f) } // warmup, interleaved
     val best = scala.collection.mutable.Map[String, Double]()
     for (_ <- 1 to 3; (tag, f) <- probes) {
@@ -189,7 +193,7 @@ object Scratch {
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     probes.foreach { case (tag, _) =>
-      println(f"$tag%-10s ${best(tag)}%.3f s  (b1=$b1t%.3f load=$load%.2f sf=$dir)")
+      println(f"$tag%-11s ${best(tag)}%.3f s  (b1=$b1t%.3f load=$load%.2f sf=$dir)")
     }
     spark.stop()
   }

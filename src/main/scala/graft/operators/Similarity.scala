@@ -51,8 +51,6 @@ object Similarity {
       useNativeExpr: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc_nulls_last, col("n_id").asc_nulls_first)
     // native codegen'd expression by default (bit-identical to the HOF
     // composition, ~no per-element lambda dispatch in the O(|q|·|c|·dim)
     // hot loop); HOF kept as the cross-check path.
@@ -60,11 +58,24 @@ object Similarity {
       if (useNativeExpr)
         graft.GraftFunctions.cosineNative(queries.sparkSession, col("q_vec"), col("n_vec"))
       else cosine(col("q_vec"), col("n_vec"))
+    // r13 (verdict #7): EXACT bounded top-k via the graft.functions
+    // TopKBySim aggregate instead of a per-query ranking window. The
+    // window formulation exchanged and sorted the whole |q|·|c| score
+    // stream with parallelism bounded by the QUERY count (20 tasks
+    // sorting 500k rows each at sf10); the aggregate's map-side
+    // partials keep a k-bounded ordered buffer in place, so the
+    // exchange carries |q|·nPart buffers of ≤ k entries — statistics,
+    // not the stream. Same rows, same ties (insertion order is the
+    // window's (sim DESC NULLS LAST, n_id ASC) total order).
+    val topk = udaf(new graft.functions.TopKBySim(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.TopKCand]())
     c.join(broadcast(q), col("n_id") =!= col("q_id"))
       .withColumn("sim", simExpr)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("sim"), col("n_id"), lit(null).cast("string")).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("n_id"), col("col.sim").as("sim"))
   }
 
   /** IVF (inverted-file) ANN — the other classic scale path (SURVEY L2):

@@ -539,6 +539,14 @@ object Joins extends QGroup {
     // those with negative account balance.
     QDef("j19_q16_shape",
       (s, dir) => {
+        // r13 (verdict #4) NEGATIVE, recorded: pre-deduping
+        // (l_partkey, l_suppkey) on the partkey layout (the j29 trick)
+        // measured 5.0 s vs 1.66 s at sf10 — the perturbed replica
+        // synthesis makes the pair relation nearly unique (each
+        // replica remaps both keys), so the dedup shrank nothing and
+        // added a 60M-row hash stage. The raw scan ships; the NOT IN
+        // stays in the SQL front door — its null-aware anti-join
+        // planning is the declared surface of this query.
         Tables(s, dir, "lineitem").createOrReplaceTempView("j19_lineitem")
         Tables(s, dir, "part").createOrReplaceTempView("j19_part")
         Tables(s, dir, "supplier").createOrReplaceTempView("j19_supplier")
@@ -807,20 +815,29 @@ object Joins extends QGroup {
         val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
         // r12: same orderkey-layout ride as j24 — zero fact-fact
         // exchanges under the returnflag/date filters.
-        QShared.bucketedFact(s, dir, "lineitem", "l_orderkey")
+        // r13 (verdict #2): customer attributes attach AFTER the top-20
+        // — c_name/n_name are functionally determined by c_custkey, so
+        // the revenue aggregation runs at bare custkey grain (one
+        // narrow exchange of the quarter's joined rows) and the 20
+        // survivors broadcast INTO the customer scan. The old shape
+        // built a 1.5M-entry full-row customer broadcast map just to
+        // carry names through the aggregation. The 100 TB posture:
+        // top-k first, dimension decoration after.
+        val top = QShared.bucketedFact(s, dir, "lineitem", "l_orderkey")
           .filter(col("l_returnflag") === "R")
           .join(QShared.bucketedFact(s, dir, "orders", "o_orderkey")
               .filter(col("o_orderdate") >= "1996-01-01" &&
-                col("o_orderdate") < "1996-04-01"),
+                col("o_orderdate") < "1996-04-01")
+              .select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables(s, dir, "customer")),
-            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_custkey"))
+          .agg(QShared.gridSum(rev).as("rev_dec"))
+          .orderBy(col("rev_dec").desc, col("o_custkey"))
+          .limit(20)
+        Tables(s, dir, "customer")
+          .join(broadcast(top), col("c_custkey") === col("o_custkey"))
           .join(broadcast(Tables(s, dir, "nation")),
             col("c_nationkey") === col("n_nationkey"))
-          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-          .agg(QShared.gridSum(rev).as("rev_dec"))
-          .orderBy(col("rev_dec").desc, col("c_custkey"))
-          .limit(20)
           .select(col("c_custkey"), col("c_name"), col("n_name"),
             col("rev_dec").cast("double").as("revenue"))
       },
@@ -848,31 +865,38 @@ object Joins extends QGroup {
     // Supplier+nation broadcast; Catalyst evaluates the total once.
     QDef("j26_q11_important_parts",
       (s, dir) => {
-        // r10: both the per-part aggregation and the scalar-subquery
-        // total read the PARTKEY-bucketed lineitem projection (shared
-        // with j29) — the broadcast supplier/nation joins preserve the
-        // layout partitioning, so GROUP BY l_partkey rides it with no
-        // exchange. A/B at sf0.1 (interleaved): 0.37 → 0.25 s.
-        QShared.bucketedFact(s, dir, "lineitem", "l_partkey")
-          .createOrReplaceTempView("j26_lineitem")
-        Tables(s, dir, "supplier").createOrReplaceTempView("j26_supplier")
-        Tables(s, dir, "nation").createOrReplaceTempView("j26_nation")
-        s.sql("""SELECT l_partkey AS p_key,
-          |  CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e4)
-          |               AS DECIMAL(38,0))) AS DOUBLE) AS value_micro
-          |FROM j26_lineitem
-          |JOIN j26_supplier ON l_suppkey = s_suppkey
-          |JOIN j26_nation   ON s_nationkey = n_nationkey
-          |WHERE n_name = 'NATION_3'
-          |GROUP BY l_partkey
-          |HAVING SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e4)
-          |               AS DECIMAL(38,0))) * 1000 >
-          |  (SELECT SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e4)
-          |                  AS DECIMAL(38,0)))
-          |   FROM j26_lineitem
-          |   JOIN j26_supplier ON l_suppkey = s_suppkey
-          |   JOIN j26_nation   ON s_nationkey = n_nationkey
-          |   WHERE n_name = 'NATION_3')""".stripMargin)
+        // r10: the per-part aggregation reads the PARTKEY-bucketed
+        // lineitem projection (shared with j29) — the broadcast
+        // supplier/nation joins preserve the layout partitioning, so
+        // GROUP BY l_partkey rides it with no exchange. A/B at sf0.1
+        // (interleaved): 0.37 → 0.25 s.
+        // r13 (verdict #4): the scalar threshold DERIVES from the
+        // per-part aggregate (Σ per-part sums ≡ the subquery's total
+        // by associativity — same DECIMAL(38,0) grid, same value) —
+        // the old HAVING-subquery form re-ran the whole fact join a
+        // second time because the two aggregations share no plan
+        // subtree Spark can reuse (different group keys). One fact
+        // pass; the ~2M-row per-part result is lazily checkpointed
+        // (the j22 precedent) and re-read for the total and the
+        // filter. The HAVING-subquery front door stays certified by
+        // the oracle SQL and j14's scalar-subquery query.
+        val rev = ("CAST(round(l_extendedprice * (1.0 - l_discount) * 1e4) " +
+          "AS DECIMAL(38,0))")
+        val perPart = QShared.bucketedFact(s, dir, "lineitem", "l_partkey")
+          .join(broadcast(Tables(s, dir, "supplier")
+              .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables(s, dir, "nation"))
+              .filter(col("n_name") === "NATION_3"),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("l_partkey"))
+          .agg(sum(expr(rev)).as("value_dec"))
+          .localCheckpoint(false)
+        val total = perPart.agg(sum(col("value_dec")).as("total_dec"))
+        perPart.crossJoin(broadcast(total))
+          .filter(col("value_dec") * 1000 > col("total_dec"))
+          .select(col("l_partkey").as("p_key"),
+            col("value_dec").cast("double").as("value_micro"))
       },
       Some("""SELECT l_partkey AS p_key,
         |  CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e4)
@@ -899,7 +923,14 @@ object Joins extends QGroup {
     // so the HAVING cut is engine-stable.
     QDef("j27_q20_volume_suppliers",
       (s, dir) => {
-        Tables(s, dir, "lineitem").createOrReplaceTempView("j27_lineitem")
+        // r13: the inner volume scan is a one-year shipdate window —
+        // the a21/a23 partition-pruning lever: the registered view is
+        // the ship-year-partitioned layout pre-pruned to 1996 (a
+        // derived-column restatement of the exact bounds the SQL
+        // keeps), so directory pruning drops 6/7 of the fact before
+        // the red-part probe.
+        QShared.lineitemByShipYear(s, dir).filter(col("l_shipyear") === 1996)
+          .createOrReplaceTempView("j27_lineitem")
         Tables(s, dir, "part").createOrReplaceTempView("j27_part")
         Tables(s, dir, "supplier").createOrReplaceTempView("j27_supplier")
         Tables(s, dir, "nation").createOrReplaceTempView("j27_nation")

@@ -1443,17 +1443,23 @@ object LlmOps extends QGroup {
             col("label").as("q_label"))
         val c = emb.select(col("vec_id").as("n_id"),
           col("embedding").as("n_vec"), col("label").as("n_label"))
-        val w = Window
-          .partitionBy(col("q_id"))
-          .orderBy(col("sim").desc_nulls_last, col("n_id").asc_nulls_first)
+        // r13 (verdict #7): the bounded TopKBySim aggregate instead of
+        // a per-query ranking window (the l2 lever) — map-side partials
+        // hold a 5-entry ordered buffer, so the exchange ships
+        // |q|·nPart tiny buffers instead of the |q|·|c| score stream;
+        // n_label rides the aggregate's tag slot. Same rows, same ties.
+        val topk = udaf(new graft.functions.TopKBySim(5),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.TopKCand]())
         c.join(broadcast(q),
             col("n_id") =!= col("q_id") && col("n_label") =!= col("q_label"))
           .withColumn("sim",
             graft.GraftFunctions.cosineNative(s, col("q_vec"), col("n_vec")))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("q_id"), col("rank"), col("n_id"), col("n_label"),
-            round(col("sim"), 6).as("sim6"))
+          .groupBy(col("q_id"))
+          .agg(topk(col("sim"), col("n_id"), col("n_label")).as("__top"))
+          .select(col("q_id"), posexplode(col("__top")))
+          .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+            col("col.id").as("n_id"), col("col.tag").as("n_label"),
+            round(col("col.sim"), 6).as("sim6"))
       },
       Some("""WITH sims AS (
         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, b.label AS n_label,

@@ -800,6 +800,35 @@ class DedupSpec extends SparkSpec {
 
 class SimilaritySpec extends SparkSpec {
 
+  test("TopKBySim aggregate: window-equivalent order, null sims last, merge exact") {
+    // the r13 bounded top-k aggregate must reproduce row_number() OVER
+    // (ORDER BY sim DESC NULLS LAST, id ASC) exactly — including NULL
+    // sims surviving when a group has fewer than k non-null candidates
+    import graft.functions.{TopKBySim, TopKCand}
+    val agg = new TopKBySim(3)
+    def cand(sim: java.lang.Double, id: Long) =
+      TopKCand(Option(sim).map(_.doubleValue), id, None)
+    val in = Seq(cand(0.5, 10), cand(null, 1), cand(0.9, 7), cand(0.9, 3),
+      cand(null, 0), cand(0.1, 99))
+    // reduce path
+    val reduced = in.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(reduced).map(_.id) == Seq(3L, 7L, 10L))
+    // merge path (split across two partials) must agree
+    val (a, b) = in.splitAt(2)
+    val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+      b.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(merged) == agg.finish(reduced))
+    // null sims fill the tail when non-null candidates run out, id ASC
+    val sparse = Seq(cand(null, 5), cand(0.2, 9), cand(null, 2))
+    val got = agg.finish(sparse.foldLeft(agg.zero)(agg.reduce))
+    assert(got.map(_.id) == Seq(9L, 2L, 5L))
+    assert(got.map(_.sim) == Seq(Some(0.2), None, None))
+    // tie on sim broken by id ascending; bounded at k
+    val ties = (1L to 10L).reverse.map(i => cand(0.7, i))
+    assert(agg.finish(ties.foldLeft(agg.zero)(agg.reduce)).map(_.id) ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("brute-force top-1 equals manually computed nearest") {
     val emb = spark.read.parquet(sf("embeddings"))
     val res = Similarity.bruteForceTopK(
