@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.{call_function, lit}
-import graft.functions.{BloomMightContain, BpeTokenCount, CharEntropy, CosineSimilarity, DsirBuckets, LangId, SortedPairs, MinHashSignature, NearestCentroid, NgramHashes, RepetitionStats, ShingleHashes, TokenFingerprint, UnicodeNormalize, VecDot, WinnowStats, GramSpans}
+import graft.functions.{Barrier, BloomMightContain, BpeTokenCount, CharEntropy, CosineSimilarity, DsirBuckets, LangId, SortedPairs, MinHashSignature, NearestCentroid, NgramHashes, RepetitionStats, ShingleHashes, TokenFingerprint, UnicodeNormalize, VecDot, WinnowStats, GramSpans}
 
 /** Session extension registering graft's native expressions, for use via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -60,6 +60,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(GramSpans.name), GramSpans.info,
         GramSpans.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(Barrier.name), Barrier.info, Barrier.builder))
     ext.injectOptimizerRule(graft.plans.CorruptDateRebaseRule.apply)
   }
 }
@@ -120,6 +122,9 @@ object GraftFunctions {
     val gs = FunctionIdentifier(GramSpans.name)
     if (!reg.functionExists(gs))
       reg.registerFunction(gs, GramSpans.info, GramSpans.builder)
+    val ba = FunctionIdentifier(Barrier.name)
+    if (!reg.functionExists(ba))
+      reg.registerFunction(ba, Barrier.info, Barrier.builder)
     // sessions built without withExtensions still get the transparent
     // corrupt-date rebase via the user-provided optimizer batch; skip
     // when the extensions path already injected it (double installation
@@ -136,6 +141,15 @@ object GraftFunctions {
   def cosineNative(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function(CosineSimilarity.name, a, b)
+  }
+
+  /** Zero-cost projection barrier (see [[graft.functions.Barrier]]):
+    * fences an expensive computed-once column against CollapseProject
+    * re-inlining into downstream per-element HOF lambdas — the
+    * shuffle-free replacement for the old repartition-as-barrier. */
+  def barrier(spark: SparkSession, c: Column): Column = {
+    ensureRegistered(spark)
+    call_function(Barrier.name, c)
   }
 
   /** Column API for the native nearest-centroid assignment kernel. */

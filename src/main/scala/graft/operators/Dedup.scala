@@ -91,12 +91,19 @@ object Dedup {
       // composition allocates five intermediate arrays per row —
       // bit-identity pinned in DedupSpec; the HOF stays as the
       // cross-check path behind useNativeExpr=false
+      // r13: graft_barrier replaces the repartition-as-projection-
+      // barrier — same single evaluation of sh (and of sig, which the
+      // banded posexplode lambda would otherwise re-inline per band),
+      // ZERO shuffle of the text/hash payload (guide §2.3/§4.4; the
+      // old exchange cost ~0.5 s per query at 32 cores on sf0.1 and
+      // moved the whole corpus' shingle arrays at scale)
       .select(col(idCol).as("id"),
-        (if (useNativeExpr)
-          graft.GraftFunctions.shingleHashesNative(df.sparkSession, col(textCol))
-        else shingleHashes(col(textCol))).as("sh"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col("id"), signatureOf(col("sh")).as("sig"))
+        graft.GraftFunctions.barrier(df.sparkSession,
+          if (useNativeExpr)
+            graft.GraftFunctions.shingleHashesNative(df.sparkSession, col(textCol))
+          else shingleHashes(col(textCol))).as("sh"))
+      .select(col("id"), graft.GraftFunctions.barrier(df.sparkSession,
+        signatureOf(col("sh"))).as("sig"))
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(slice(col("sig"), b * r + 1, lit(r)), lit(42)))))
@@ -142,9 +149,11 @@ object Dedup {
       // native one-pass shingle hashing (see minHashLshPairs)
       .select(col(idCol).as("id"),
         graft.GraftFunctions.shingleHashesNative(df.sparkSession, col(textCol)).as("sh"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col("id"),
-        graft.GraftFunctions.minhashNative(df.sparkSession, col("sh"), numHashes).as("sig"))
+      // r13: the banded posexplode lambda downstream references sig per
+      // band — graft_barrier keeps it computed once with no shuffle
+      // (was repartition(defaultParallelism); see minHashLshPairs)
+      .select(col("id"), graft.GraftFunctions.barrier(df.sparkSession,
+        graft.GraftFunctions.minhashNative(df.sparkSession, col("sh"), numHashes)).as("sig"))
     // no cache() here: propagateMinLabels lazily checkpoints its first
     // round's output, which materializes this upstream plan exactly
     // once — a cache() on top was a second full storage write of the
@@ -418,9 +427,16 @@ object Dedup {
     * across cores, not on the scan's few input splits. */
   private[graft] def ngramRows(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    // r13: the repartition-as-barrier is GONE — `explode(native(txt))`
+    // has no CollapseProject hazard (GenerateExec evaluates its
+    // generator child exactly once per input row), so the exchange's
+    // only effect was shuffling the full text payload to spread a
+    // single-split small file across cores. At sf0.1 that shuffle COST
+    // 2-5x the gram work it parallelized (l9 0.92→0.36 s at 32 cores);
+    // at warehouse scale the scan is already distributed and shuffling
+    // text payloads is exactly what guide §2.3 forbids.
     df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).as("__txt"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id"), explode(graft.GraftFunctions
         .ngramHashesNative(df.sparkSession, col("__txt"), n)).as("gram"))
 
@@ -744,6 +760,13 @@ object Dedup {
   private[graft] def gramStream(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     graft.GraftFunctions.ensureRegistered(df.sparkSession)
+    // r13: the ngramRows barrier-removal was A/B'd here too and KEPT as
+    // a repartition — a measured NEGATIVE for removal: unlike ngramRows
+    // (whose explode feeds straight into a keyed exchange), the
+    // NON-distinct positional stream does heavy generate+window map
+    // work before its first exchange, and on a single-split sf0.1 scan
+    // that serialized (l40 0.75→1.64 s, l41 0.82→1.47 s at 32 cores,
+    // quiet interleaved min-of-5). The spread stays.
     df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).as("__txt"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -964,11 +987,12 @@ object Dedup {
   def simHashFingerprint(text: Column): Column = foldBits(simHashBits(text))
 
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    // same shuffle-as-projection-barrier trick as minHashLshPairs: token
-    // hashes are computed once below the exchange, not 64× per row
+    // r13: graft_barrier instead of the repartition-as-barrier — token
+    // hashes still computed once (not 64× per row via CollapseProject
+    // re-inline into the per-bit lambdas), with zero shuffle
     df.select(col(idCol),
-        transform(array_distinct(split(col(textCol), " ")), t => xxhash64(t)).as("__th"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        graft.GraftFunctions.barrier(df.sparkSession,
+          transform(array_distinct(split(col(textCol), " ")), t => xxhash64(t))).as("__th"))
       .select(col(idCol), foldBits(simHashBitsFromHashes(col("__th"))).as("simhash"))
 
   /** Hamming distance between two SimHash fingerprints. */

@@ -221,10 +221,11 @@ object Similarity {
     val bands = nPlanes / 4
     def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
       df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
-        lshSignature(col(vecCol), nPlanes, dim).as("sig"))
-        // shuffle = projection barrier: the signature is computed once,
-        // not re-evaluated per band by the posexplode lambda (see Dedup)
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        // r13: graft_barrier instead of the repartition-as-barrier —
+        // the signature is still computed once (not per band by the
+        // posexplode lambda), with zero shuffle of the vectors
+        graft.GraftFunctions.barrier(df.sparkSession,
+          lshSignature(col(vecCol), nPlanes, dim)).as("sig"))
         .select(col(idAs), col(vecAs),
           posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
             xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), lit(7)))))

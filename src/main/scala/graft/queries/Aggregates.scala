@@ -480,12 +480,22 @@ object Aggregates extends QGroup {
     // A10's exact values.
     QDef("a10b_percentile_approx",
       (s, dir) =>
+        // r13: ONE QuantileSummaries digest per distinct column — the
+        // two l_quantity percentiles query the same digest via the
+        // array form instead of building two bit-identical digests
+        // (same inserts, same compression ⇒ same answers; A/B'd rows
+        // identical). 3 digests → 2 per group, and the digest build IS
+        // this query's cost at every SF.
         Tables(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
-            percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_approx"),
-            percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("p90_approx"),
+            percentile_approx(col("l_quantity"),
+              array(lit(0.5), lit(0.9)), lit(10000)).as("__q"),
             percentile_approx(col("l_extendedprice"), lit(0.25), lit(10000)).as("price_p25_approx"))
+          .select(col("l_returnflag"),
+            col("__q").getItem(0).as("p50_approx"),
+            col("__q").getItem(1).as("p90_approx"),
+            col("price_p25_approx"))
           ,
       None),
 
